@@ -1,0 +1,108 @@
+package graft
+
+import graft.core._
+import graft.functions.Wav
+import graft.operators.Sharding
+import graft.sinks.{DuckDbShardSink, ParquetShardSink}
+import graft.sources.{AudioScan, Metadata}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end pipeline — the Spark re-expression of the reference CLI
+  * (reference: main(), src/main.rs:615-860). Declarative plan:
+  *
+  *   binaryFile scan (S1, F1–F5)
+  *     → WAV parse (P5) → audio struct assembly (P6)
+  *     → 3-level broadcast metadata join (J1/J2, P7/P8)
+  *     → deterministic shard assignment (X1)
+  *     → exact-name Parquet (K1) or DuckDB (K2) shards
+  *
+  * All defaults mirror the reference's clap args (src/main.rs:55-95).
+  */
+object AudioToDataset {
+
+  final case class Config(
+      input: String,
+      output: String,
+      metadataFile: Option[String] = None,
+      format: String = "parquet",                   // parquet | duckdb
+      filesPerShard: Int = Sharding.DefaultFilesPerShard, // --files-per-db, 500
+      maxDepth: Int = AudioScan.DefaultMaxDepth,    // --max-depth-size, 50
+      checkMimeType: Boolean = false,               // --check-mime-type
+      parquetCompression: String = "snappy")        // --parquet-compression
+
+  /** The logical plan up to (but excluding) the sink: returns the dataframe
+    * with columns `audio, duration, <metadata keys sorted>, shard_id` and the
+    * resolved metadata schema. */
+  def plan(spark: SparkSession, cfg: Config): (DataFrame, Metadata.MetaSchema) = {
+    val (metaDf, metaSchema) = cfg.metadataFile match {
+      case Some(mf) =>
+        val (df, sch) = Metadata.load(spark, mf)
+        (Some(df), sch)
+      case None =>
+        (None, Metadata.MetaSchema(
+          scala.collection.immutable.TreeMap("transcription" -> (MString: MetadataType))))
+    }
+    val files = AudioScan.scan(spark, cfg.input, cfg.maxDepth, cfg.metadataFile, cfg.checkMimeType)
+      .withColumn("wav", Wav.parseCol(col("content"))) // P5
+
+    val joined = metaDf match {
+      case Some(m) => Metadata.joinFiles(files, m, metaSchema)
+      case None    => files.withColumn("transcription", lit("-"))
+    }
+    val assembled = joined.select(
+      Seq(
+        struct( // P6 — Parquet field order bytes, sampling_rate, path (src/main.rs:465-470)
+          col("content").as("bytes"),
+          col("wav.sampling_rate").as("sampling_rate"),
+          col("relative_path").as("path")).as("audio"),
+        col("wav.duration").as("duration")) ++
+        metaSchema.keys.map(col): _*)
+    // X1: scan order defined as relative-path order (documented divergence
+    // from the platform-dependent directory iterator, SURVEY.md §7.4)
+    val sharded = Sharding.shardConsecutive(
+      assembled.withColumn("_order", col("audio.path")),
+      cfg.filesPerShard, col("_order")).drop("_order")
+    (sharded, metaSchema)
+  }
+
+  def run(spark: SparkSession, cfg: Config): Unit = {
+    val (sharded, metaSchema) = plan(spark, cfg)
+    val metaTypes = metaSchema.types.toSeq
+    cfg.format match {
+      case "parquet" =>
+        ParquetShardSink.writeShards(
+          sharded, cfg.output, cfg.parquetCompression,
+          footerKv = Map("huggingface" -> ParquetShardSink.hfFeaturesJson(metaTypes)),
+          orderCols = Seq("audio"))
+      case "duckdb" =>
+        DuckDbShardSink.writeShards(sharded, cfg.output, metaTypes)
+      case other => throw new IllegalArgumentException(s"unknown format: $other")
+    }
+  }
+
+  /** CLI mirroring the reference's flags. */
+  def main(args: Array[String]): Unit = {
+    def arg(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
+    val cfg = Config(
+      input = arg("input").getOrElse(sys.error("--input required")),
+      output = arg("output").getOrElse(sys.error("--output required")),
+      metadataFile = arg("metadata-file"),
+      format = arg("format").getOrElse("parquet"),
+      filesPerShard = arg("files-per-db").map(_.toInt).getOrElse(Sharding.DefaultFilesPerShard),
+      maxDepth = arg("max-depth-size").map(_.toInt).getOrElse(AudioScan.DefaultMaxDepth),
+      checkMimeType = args.contains("--check-mime-type"),
+      parquetCompression = arg("parquet-compression").getOrElse("snappy"))
+    val builder = SparkSession.builder()
+      .appName("audios-to-dataset-spark")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // Under spark-submit the master comes from the launcher; standalone runs
+    // (sbt runMain, plain java -jar) default to all local cores.
+    if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
+      builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+    val spark = builder.getOrCreate()
+    try run(spark, cfg) finally spark.stop()
+  }
+}

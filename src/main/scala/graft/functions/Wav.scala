@@ -1,0 +1,80 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** WAV header parsing (reference: src/main.rs:760-769, via the `hound` crate).
+  *
+  * Semantics mirrored exactly: for a readable PCM RIFF/WAVE file,
+  * `duration = frames / sample_rate` and `sampling_rate` is the header rate;
+  * for non-WAV or corrupt bytes the result is `(0.0, 0)` — bad audio rows are
+  * kept, not dropped.
+  *
+  * This is a header-only parse (reads the fmt/data chunk headers, never the
+  * samples), so it is cheap even on multi-MB files and safe to run inside a
+  * scan task at 100 TB scale.
+  */
+object Wav {
+  final case class WavInfo(duration: Double, sampling_rate: Int)
+
+  def parse(bytes: Array[Byte]): WavInfo = {
+    try {
+      if (bytes == null || bytes.length < 44) return WavInfo(0.0, 0)
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(0) != 0x46464952 /* "RIFF" LE */ ||
+          bb.getInt(8) != 0x45564157 /* "WAVE" LE */ ) return WavInfo(0.0, 0)
+      var pos = 12
+      var sampleRate = 0
+      var blockAlign = 0
+      var dataSize = -1L
+      var haveFmt = false
+      while (pos + 8 <= bytes.length && (dataSize < 0 || !haveFmt)) {
+        val chunkId = bb.getInt(pos)
+        val chunkSize = bb.getInt(pos + 4).toLong & 0xffffffffL
+        if (chunkId == 0x20746d66 /* "fmt " */ && pos + 24 <= bytes.length) {
+          sampleRate = bb.getInt(pos + 12)
+          blockAlign = bb.getShort(pos + 20) & 0xffff
+          haveFmt = true
+        } else if (chunkId == 0x61746164 /* "data" */) {
+          // Actual payload may be truncated; hound reports frames present.
+          val avail = math.max(0L, bytes.length.toLong - (pos + 8))
+          dataSize = math.min(chunkSize, avail)
+        }
+        pos += 8 + chunkSize.toInt + (chunkSize.toInt & 1) // chunks are 2-aligned
+        if (chunkSize > Int.MaxValue) return WavInfo(0.0, 0)
+      }
+      if (!haveFmt || dataSize < 0 || sampleRate <= 0 || blockAlign <= 0)
+        return WavInfo(0.0, 0)
+      val frames = dataSize / blockAlign
+      WavInfo(frames.toDouble / sampleRate, sampleRate)
+    } catch { case _: Throwable => WavInfo(0.0, 0) }
+  }
+
+  /** `wav_parse(bytes) -> struct<duration double, sampling_rate int>`. */
+  val parseUdf = udf((b: Array[Byte]) => parse(b))
+  def parseCol(c: Column): Column = parseUdf(c)
+
+  /** Deterministic mono 16-bit PCM sine fixture (reference: tests/end_to_end.rs:332-351):
+    * `lengthSamples` frames of a 440 Hz sine at `sampleRate`, i16 max amplitude.
+    * Used by specs and the verification surface; NOT part of the pipeline.
+    */
+  def synthWav(sampleRate: Int, lengthSamples: Int): Array[Byte] = {
+    val dataSize = lengthSamples * 2
+    val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952); bb.putInt(36 + dataSize); bb.putInt(0x45564157)
+    bb.putInt(0x20746d66); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)            // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16)           // block align, bits
+    bb.putInt(0x61746164); bb.putInt(dataSize)
+    var i = 0
+    while (i < lengthSamples) {
+      val v = (math.sin(2.0 * math.Pi * 440.0 * i / sampleRate) * Short.MaxValue).toShort
+      bb.putShort(v); i += 1
+    }
+    bb.array()
+  }
+
+  val synthUdf = udf((sr: Int, len: Int) => synthWav(sr, len))
+}

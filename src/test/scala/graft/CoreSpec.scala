@@ -1,0 +1,83 @@
+package graft
+
+import graft.core._
+import graft.functions.{Magic, Wav}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Unit tests for the pure-Scala core (reference: src/main.rs:862-987). */
+class CoreSpec extends AnyFunSuite {
+
+  /** Tiny property-check driver over a ScalaCheck Gen (no scalatestplus in cache). */
+  def forAll[A](g: Gen[A], n: Int = 200)(check: A => Unit): Unit =
+    (0 until n).foreach { i => g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(check) }
+
+  // reference test: normalized paths (src/main.rs:871-893)
+  test("path normalization: backslashes and leading ./ only") {
+    assert(PathNorm.normalize("nested\\folder\\file.wav") == "nested/folder/file.wav")
+    assert(PathNorm.normalize("./nested/file.wav") == "nested/file.wav")
+    assert(PathNorm.normalize("././x.wav") == "x.wav")
+    // interior ./ survives — only the leading prefix strips
+    assert(PathNorm.normalize("./nested/./folder/file.wav") == "nested/./folder/file.wav")
+    assert(PathNorm.normalize("plain.wav") == "plain.wav")
+  }
+
+  test("wav parse: synthetic fixtures at every reference sample rate") {
+    for (sr <- Seq(8000, 16000, 22050, 44100)) {
+      val info = Wav.parse(Wav.synthWav(sr, sr)) // 1 second exactly
+      assert(info.duration == 1.0, s"sr=$sr")
+      assert(info.sampling_rate == sr)
+    }
+    val half = Wav.parse(Wav.synthWav(16000, 8000))
+    assert(half.duration == 0.5)
+  }
+
+  test("wav parse: non-WAV and corrupt bytes → (0.0, 0)") {
+    assert(Wav.parse(Array[Byte]()) == Wav.WavInfo(0.0, 0))
+    assert(Wav.parse("not audio at all".getBytes) == Wav.WavInfo(0.0, 0))
+    assert(Wav.parse(null) == Wav.WavInfo(0.0, 0))
+    val truncated = Wav.synthWav(16000, 16000).take(40)
+    assert(Wav.parse(truncated) == Wav.WavInfo(0.0, 0))
+  }
+
+  test("metadata type lattice: merge semantics") {
+    assert(MFloat64.merge(MFloat64) == MFloat64)
+    assert(MBool.merge(MFloat64) == MString)
+    assert(MList(MFloat64).merge(MList(MFloat64)) == MList(MFloat64))
+    assert(MList(MBool).merge(MList(MString)) == MList(MString))
+    assert(MList(MBool).merge(MString) == MString)
+  }
+
+  val genType: Gen[MetadataType] = {
+    val scalar = Gen.oneOf[MetadataType](MString, MBool, MFloat64)
+    Gen.frequency(4 -> scalar, 1 -> scalar.map(MList(_)))
+  }
+
+  test("lattice is commutative, associative, idempotent (property)") {
+    forAll(Gen.zip(genType, genType, genType)) { case (a, b, c) =>
+      assert(a.merge(b) == b.merge(a))
+      assert(a.merge(b).merge(c) == a.merge(b.merge(c)))
+      assert(a.merge(a) == a)
+      // String is absorbing for scalars
+      assert(a.merge(MString) == MString || a.isInstanceOf[MList])
+    }
+  }
+
+  test("reserved metadata keys") {
+    assert(MetadataType.reservedKeys == Set("duration", "audio", "id"))
+    assert(MetadataType.sanitizeColumnName("""a"b""") == """a""b""")
+  }
+
+  test("magic sniff recognizes the audio families; allow-list ported verbatim") {
+    assert(Magic.audioMimeTypes.size == 12)
+    assert(Magic.sniff(Wav.synthWav(8000, 100)).contains("audio/wav"))
+    assert(Magic.sniff("fLaC0000".getBytes).contains("audio/flac"))
+    assert(Magic.sniff("OggS0000".getBytes).contains("audio/ogg"))
+    assert(Magic.sniff("ID3rest".getBytes).contains("audio/mpeg"))
+    assert(Magic.sniff("FORM1234AIFF".getBytes).contains("audio/aiff"))
+    assert(Magic.sniff("hello text".getBytes).isEmpty)
+    assert(Magic.isAllowedAudio(Wav.synthWav(44100, 10)))
+    assert(!Magic.isAllowedAudio("RIFFxxxxNOPE".getBytes))
+  }
+}

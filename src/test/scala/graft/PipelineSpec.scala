@@ -1,0 +1,194 @@
+package graft
+
+import graft.functions.Wav
+import graft.sinks.DuckDbShardSink
+import graft.core.{MBool, MFloat64, MList, MString}
+import org.apache.spark.sql.Row
+
+/** End-to-end pipeline tests, mirroring the reference's CLI tests
+  * (reference: tests/end_to_end.rs). Each test synthesizes WAV fixtures plus
+  * a sidecar, runs the full pipeline to Parquet shards, and reads the output
+  * back with an independent `spark.read.parquet`.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def outputFiles(out: java.io.File): Seq[String] =
+    Option(out.list()).map(_.toSeq.filterNot(_.startsWith(".")).sorted).getOrElse(Nil)
+
+  // reference: tests/end_to_end.rs:11-86
+  test("e2e: CSV metadata joined by relative_path; duration and bytes exact") {
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    val wav = Wav.synthWav(16000, 16000)
+    writeFile(in, "sample.wav", wav)
+    val meta = writeText(in, "metadata.csv",
+      "file_name,transcription,relative_path\nsample.wav,test transcription,sample.wav\n")
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      input = in.getAbsolutePath, output = out.getAbsolutePath,
+      metadataFile = Some(meta.getAbsolutePath)))
+    assert(outputFiles(out) == Seq("0.parquet"))
+    val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    assert(df.columns.toSeq == Seq("audio", "duration", "transcription"))
+    val row = df.head()
+    assert(row.getAs[Double]("duration") == 1.0)
+    assert(row.getAs[String]("transcription") == "test transcription")
+    val audio = row.getAs[Row]("audio")
+    assert(audio.getAs[String]("path") == "sample.wav")
+    assert(audio.getAs[Int]("sampling_rate") == 16000)
+    assert(audio.getAs[Array[Byte]]("bytes").sameElements(wav))
+  }
+
+  // reference: tests/end_to_end.rs:88-131
+  test("e2e: CSV metadata falls back to file_name when no relative_path") {
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    writeFile(in, "fallback.wav", Wav.synthWav(22050, 22050))
+    val meta = writeText(in, "metadata.csv",
+      "file_name,transcription\nfallback.wav,using filename\n")
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      in.getAbsolutePath, out.getAbsolutePath, Some(meta.getAbsolutePath)))
+    val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    assert(df.head().getAs[String]("transcription") == "using filename")
+  }
+
+  // reference: tests/end_to_end.rs:133-189
+  test("e2e: JSONL typed metadata — string, bool, float") {
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    writeFile(in, "jsonl.wav", Wav.synthWav(44100, 44100))
+    val meta = writeText(in, "metadata.jsonl",
+      """{"relative_path":"jsonl.wav","transcription":"jsonl text","speaker":"alice","verified":true,"snr":12.5}""" + "\n")
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      in.getAbsolutePath, out.getAbsolutePath, Some(meta.getAbsolutePath)))
+    val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    // metadata columns in sorted order after audio, duration
+    assert(df.columns.toSeq == Seq("audio", "duration", "snr", "speaker", "transcription", "verified"))
+    val row = df.head()
+    assert(row.getAs[String]("speaker") == "alice")
+    assert(row.getAs[Boolean]("verified"))
+    assert(row.getAs[Double]("snr") == 12.5)
+    assert(row.getAs[String]("transcription") == "jsonl text")
+  }
+
+  // reference: tests/end_to_end.rs:191-269
+  test("e2e: JSONL array metadata → typed list columns") {
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    writeFile(in, "arrays.wav", Wav.synthWav(8000, 8000))
+    val meta = writeText(in, "metadata.jsonl",
+      """{"relative_path":"arrays.wav","transcription":"array text","tags":["music","test"],"scores":[0.1,0.2],"flags":[true,false]}""" + "\n")
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      in.getAbsolutePath, out.getAbsolutePath, Some(meta.getAbsolutePath)))
+    val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    val row = df.head()
+    assert(row.getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("music", "test"))
+    assert(row.getAs[scala.collection.Seq[Double]]("scores").toSeq == Seq(0.1, 0.2))
+    assert(row.getAs[scala.collection.Seq[Boolean]]("flags").toSeq == Seq(true, false))
+  }
+
+  // reference: tests/end_to_end.rs:271-330 — pins the J1 third lookup level
+  test("e2e: file_name containing a path matches against the relative path") {
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    writeFile(in, "nested/with_path.wav", Wav.synthWav(16000, 16000))
+    val meta = writeText(in, "metadata.jsonl",
+      """{"file_name":"nested/with_path.wav","transcription":"path lookup","speaker":"bob","verified":true,"snr":5.5}""" + "\n")
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      in.getAbsolutePath, out.getAbsolutePath, Some(meta.getAbsolutePath)))
+    val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    val row = df.head()
+    assert(row.getAs[String]("transcription") == "path lookup")
+    assert(row.getAs[String]("speaker") == "bob")
+    assert(row.getAs[Row]("audio").getAs[String]("path") == "nested/with_path.wav")
+  }
+
+  test("e2e: no metadata file → transcription defaults to '-'; sharding splits files") {
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    for (i <- 0 until 5) writeFile(in, f"clip_$i%02d.wav", Wav.synthWav(8000, 800 * (i + 1)))
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      in.getAbsolutePath, out.getAbsolutePath, filesPerShard = 2))
+    assert(outputFiles(out) == Seq("0.parquet", "1.parquet", "2.parquet"))
+    val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    assert(df.count() == 2) // shards of filesPerShard in path order
+    val all = spark.read.parquet(outputFiles(out).map(f => new java.io.File(out, f).getAbsolutePath): _*)
+    assert(all.count() == 5)
+    import org.apache.spark.sql.functions.col
+    assert(all.filter(col("transcription") === "-").count() == 5)
+    // durations follow path order within the first shard
+    val d0 = df.orderBy(col("audio.path")).collect().map(_.getAs[Double]("duration")).toSeq
+    assert(d0 == Seq(0.1, 0.2))
+  }
+
+  test("e2e: non-WAV bytes kept with duration 0.0, sampling_rate 0; mime filter drops them") {
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    writeFile(in, "good.wav", Wav.synthWav(16000, 16000))
+    writeFile(in, "bad.txt", "just text".getBytes)
+    AudioToDataset.run(spark, AudioToDataset.Config(in.getAbsolutePath, out.getAbsolutePath))
+    val all = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    assert(all.count() == 2)
+    import org.apache.spark.sql.functions.col
+    val bad = all.filter(col("audio.path") === "bad.txt").head()
+    assert(bad.getAs[Double]("duration") == 0.0)
+    assert(bad.getAs[Row]("audio").getAs[Int]("sampling_rate") == 0)
+    // now with the MIME filter on (F5)
+    val out2 = tmpDir("graft-out2")
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      in.getAbsolutePath, out2.getAbsolutePath, checkMimeType = true))
+    val filtered = spark.read.parquet(new java.io.File(out2, "0.parquet").getAbsolutePath)
+    assert(filtered.count() == 1)
+    assert(filtered.head().getAs[Row]("audio").getAs[String]("path") == "good.wav")
+  }
+
+  test("hf footer: huggingface key-value present with features for every column") {
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    writeFile(in, "a.wav", Wav.synthWav(8000, 8000))
+    val meta = writeText(in, "metadata.jsonl",
+      """{"relative_path":"a.wav","snr":1.5,"tags":["x"]}""" + "\n")
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      in.getAbsolutePath, out.getAbsolutePath, Some(meta.getAbsolutePath)))
+    val file = new java.io.File(out, "0.parquet")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf))
+    val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
+    reader.close()
+    assert(kv.containsKey("huggingface"))
+    val hf = kv.get("huggingface")
+    assert(hf.contains(""""audio":{"_type":"Audio"}"""))
+    assert(hf.contains(""""duration":{"dtype":"float64","_type":"Value"}"""))
+    assert(hf.contains(""""snr":{"dtype":"float64","_type":"Value"}"""))
+    assert(hf.contains(""""tags":{"_type":"Sequence","feature":{"dtype":"string","_type":"Value"}}"""))
+    assert(hf.contains(""""transcription":{"dtype":"string","_type":"Value"}"""))
+  }
+
+  test("first-wins dedup: duplicate metadata keys keep the first file-order row") {
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    writeFile(in, "dup.wav", Wav.synthWav(8000, 8000))
+    val meta = writeText(in, "metadata.csv",
+      "relative_path,transcription\ndup.wav,first\ndup.wav,second\n")
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      in.getAbsolutePath, out.getAbsolutePath, Some(meta.getAbsolutePath)))
+    val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    assert(df.head().getAs[String]("transcription") == "first")
+  }
+
+  test("duckdb sink SQL generation matches the reference DDL/INSERT shape") {
+    val types = Seq(
+      "snr" -> MFloat64, "tags" -> MList(MString),
+      "transcription" -> MString, "verified" -> MBool)
+    assert(DuckDbShardSink.createTableSql(types) ==
+      """CREATE TABLE files (id INTEGER PRIMARY KEY DEFAULT NEXTVAL('seq'), """ +
+      """duration DOUBLE, audio STRUCT(path VARCHAR, sampling_rate INTEGER, bytes BLOB), """ +
+      """"snr" DOUBLE, "tags" VARCHAR, "transcription" VARCHAR, "verified" BOOLEAN)""")
+    assert(DuckDbShardSink.insertSql(types) ==
+      """INSERT INTO files (id, duration, audio, "snr", "tags", "transcription", "verified") """ +
+      """VALUES (?, ?, row(?, ?, ?), ?, ?, ?, ?)""")
+  }
+
+  test("metadata type quirks: keyless rows still vote types; reserved keys dropped") {
+    val in = tmpDir("graft-in")
+    val meta = writeText(in, "m.jsonl",
+      """{"x": 1.5, "duration": 9.9, "id": 3}""" + "\n" +          // keyless: votes only
+      """{"relative_path":"a.wav","x": 2.5}""" + "\n")
+    val schema = graft.sources.Metadata.inferJsonlSchema(spark, meta.getAbsolutePath)
+    assert(schema.types.get("x").contains(MFloat64)) // voted from the keyless row too
+    assert(!schema.types.contains("duration") && !schema.types.contains("id"))
+    assert(schema.types.get("transcription").contains(MString))
+  }
+}
