@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed batch-wise with `mapPartitions` (the Scala
+  * twin of `mapInPandas`: one iterator per partition, vectorizable inside).
+  *
+  * The actual media codecs are NOT in this container, so the decode kernel is
+  * a clearly-marked deterministic stub ([[stubDecode]]); everything Spark-side
+  * — schema, partition batching, null handling, the frame-sampling slice — is
+  * real and tested. Swapping in a real decoder is a one-function change.
+  */
+object Multimodal {
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** STUB decode — deterministic fake standing in for an image/audio decoder:
+    * checksum = the engine-portable char-fold over bytes; width/height derived
+    * from length. A real implementation replaces ONLY this function. */
+  def stubDecode(bytes: Array[Byte]): (Int, Long, Int, Int) = {
+    var acc = 7L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    (bytes.length, acc, bytes.length % 640, bytes.length % 480)
+  }
+
+  /** Decode a binary column batch-wise. Output: input columns + `decoded`
+    * struct. Partition-iterator shape mirrors mapInPandas: per-partition
+    * setup cost (codec init) is paid once, rows stream through. */
+  def decodeBinary(df: DataFrame, binaryCol: String): DataFrame = {
+    val inSchema = StructType(df.schema.fields)
+    val schema = StructType(inSchema.fields :+ StructField("decoded", decodedSchema, nullable = true))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rows = df.queryExecution.toRdd.mapPartitions { it =>
+      // per-partition: a real codec would be initialized HERE, once
+      val converter = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(inSchema)
+      it.map { internal =>
+        val row = converter(internal).asInstanceOf[Row]
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val dec = if (bytes == null) null else {
+          val (n, ck, w, h) = stubDecode(bytes)
+          Row(n, ck, w, h)
+        }
+        Row.fromSeq(row.toSeq :+ dec)
+      }
+    }
+    df.sparkSession.createDataFrame(rows.map(identity), schema)
+  }
+
+  /** Frame sampling: slice `n` consecutive fixed-size windows out of a binary
+    * payload (the video-frame-sample shape) — pure column expressions, no UDF. */
+  def frameSlices(bin: Column, n: Int, frameSize: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => substring(bin, i * lit(frameSize) + 1, lit(frameSize)))
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** General analytics surface: aggregation, multi-way joins, windows, set ops,
+  * rollup, top-k, time bucketing — the query capabilities the engine exposes
+  * beyond the reference's fixed pipeline. Aggregated doubles are rounded so
+  * summation order (Spark partial aggs vs DuckDB) cannot flip the hash.
+  *
+  * Scale notes per query are in the Scaladoc; plans verified via
+  * .explain("formatted") (broadcast for dims, partial aggregation map-side).
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1 shape: single wide scan → hash agg. Partial aggregation
+    * map-side; no join. The headline throughput query. */
+  val q1Agg: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  val q1AggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: fact-fact join + agg + deterministic top-10.
+    * customer is broadcast; orders⋈lineitem shuffles on orderkey once. */
+  val q3TopRevenue: Q = (s, dir) => {
+    val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = table(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+  val q3TopRevenueSql =
+    """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: 5-way join through the dimension chain; all dims
+    * broadcast, single shuffle on the fact keys. */
+  val q5RegionRevenue: Q = (s, dir) => {
+    val region = table(s, dir, "region")
+    val nation = table(s, dir, "nation")
+    val cust = table(s, dir, "customer")
+    val ord = table(s, dir, "orders")
+    val li = table(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+  val q5RegionRevenueSql =
+    """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** Window functions: per-customer running revenue and order rank. */
+  val windowRunning: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    table(s, dir, "orders").filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("order_seq"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+  }
+  val windowRunningSql =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS order_seq,
+      |  round(sum(o_totalprice) OVER w, 2) AS running_total
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Grouping sets / rollup. */
+  val aggRollup: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  val aggRollupSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Set operations: union / intersect / except over supplier vs customer
+    * nation sets. */
+  val setOps: Q = (s, dir) => {
+    val sn = table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+    val cn = table(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+    sn.intersect(cn).withColumn("op", lit("both"))
+      .unionAll(cn.exceptAll(sn).withColumn("op", lit("customer_only")))
+  }
+  val setOpsSql =
+    """SELECT nationkey, 'both' AS op FROM
+      |  (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+      |   INTERSECT SELECT DISTINCT c_nationkey FROM customer)
+      |UNION ALL
+      |SELECT nationkey, 'customer_only' AS op FROM
+      |  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |   EXCEPT SELECT DISTINCT s_nationkey FROM supplier)""".stripMargin
+
+  /** Time bucketing (the batch shape of a streaming tumbling-window agg —
+    * the streaming variant is graft.streaming.EventStream). */
+  val eventsTumbling: Q = (s, dir) =>
+    eventsWithTs(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  val eventsTumblingSql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization in batch: 30-minute inactivity gaps via lag + cumulative
+    * sum — the batch twin of flatMapGroupsWithState sessionization. */
+  val eventsSessionize: Q = (s, dir) => {
+    // Gap arithmetic on exact µs longs (engine-portable); ordering pinned by
+    // (ts_us, event_id) so ties cannot flip between engines.
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    eventsWithTs(s, dir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+  }
+  val eventsSessionizeSql =
+    """SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+      |FROM (
+      |  SELECT user_id, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, value, ts_us, event_id,
+      |      CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+      |        OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+      |        THEN 1 ELSE 0 END AS new_session
+      |    FROM (SELECT user_id, value, event_id, epoch_us(ts) AS ts_us FROM events)))
+      |GROUP BY user_id, session_id""".stripMargin
+
+  /** JSON extraction from the events props column. */
+  val jsonExtract: Q = (s, dir) =>
+    table(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("double").as("k_value"))
+      .filter(col("k_value") > 50)
+  val jsonExtractSql =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_value
+      |FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50""".stripMargin
+
+  def defs: Map[String, (Q, Option[String])] = Map(
+    "q1_agg" -> (q1Agg, Some(q1AggSql)),
+    "q3_top_revenue" -> (q3TopRevenue, Some(q3TopRevenueSql)),
+    "q5_region_revenue" -> (q5RegionRevenue, Some(q5RegionRevenueSql)),
+    "window_running" -> (windowRunning, Some(windowRunningSql)),
+    "agg_rollup" -> (aggRollup, Some(aggRollupSql)),
+    "set_ops" -> (setOps, Some(setOpsSql)),
+    "events_tumbling" -> (eventsTumbling, Some(eventsTumblingSql)),
+    "events_sessionize" -> (eventsSessionize, Some(eventsSessionizeSql)),
+    "json_extract" -> (jsonExtract, Some(jsonExtractSql)),
+  )
+}

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Multimodal-column verification queries: the documents' text bytes stand in
+  * for opaque media payloads (the container has no codecs); the Spark-side
+  * plumbing — binary schema, mapPartitions batching, frame slicing — is the
+  * real thing being verified.
+  */
+object MultimodalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** mapPartitions decode of a binary column (stub kernel): n_bytes and the
+    * byte-fold checksum must match the oracle computed from the text. */
+  val mmDecode: Q = (s, dir) => {
+    val bin = table(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.decodeBinary(bin, "payload")
+      .select(col("doc_id"),
+        col("decoded.n_bytes").as("n_bytes"),
+        col("decoded.checksum").as("checksum"),
+        col("decoded.width").as("width"))
+  }
+  // ASCII text ⇒ byte-fold == char-fold, so the oracle can reuse it.
+  val mmDecodeSql =
+    s"""SELECT doc_id, strlen(text) AS n_bytes, ${charFoldHashSql("text")} AS checksum,
+       |  strlen(text) % 640 AS width
+       |FROM documents WHERE doc_id < 500""".stripMargin
+
+  /** Frame sampling: 4 consecutive 16-byte slices from each payload; verify
+    * count and per-frame lengths (slices run off the end → shorter tails). */
+  val mmFrameSample: Q = (s, dir) =>
+    table(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        Multimodal.frameSlices(col("payload"), 4, 16).as("frames"))
+      .select(col("doc_id"), size(col("frames")).as("n_frames"),
+        transform(col("frames"), f => length(f)).as("frame_lens"))
+  val mmFrameSampleSql =
+    """SELECT doc_id, 4 AS n_frames,
+      |  list_transform([0,1,2,3], i -> CASE
+      |    WHEN strlen(text) - i*16 >= 16 THEN 16
+      |    WHEN strlen(text) - i*16 > 0 THEN strlen(text) - i*16
+      |    ELSE 0 END) AS frame_lens
+      |FROM documents WHERE doc_id < 500""".stripMargin
+
+  def defs: Map[String, (Q, Option[String])] = Map(
+    "mm_decode" -> (mmDecode, Some(mmDecodeSql)),
+    "mm_frame_sample" -> (mmFrameSample, Some(mmFrameSampleSql)),
+  )
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.functions.{Magic, Wav}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** The reference's operator inventory (SURVEY.md §2) demonstrated over the
+  * driver's testdata tables, each with a DuckDB oracle. The audio pipeline
+  * itself is exercised end-to-end in PipelineSpec; these queries pin the same
+  * operator SEMANTICS on oracle-checkable data.
+  *
+  * Query/oracle pairs live side by side so column aliases stay in sync.
+  */
+object ReferenceOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** S1+P2: scan with projection + filter pushdown (column pruning reaches the
+    * parquet reader; filter is pushed to the scan). */
+  val s1ScanProject: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+  val s1ScanProjectSql =
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity > 45"
+
+  /** P1: path normalization — backslash→slash, strip ALL leading ./
+    * (reference: src/main.rs:112-122). Paths synthesized from documents. */
+  val p1PathNormalize: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit(".\\"), col("source"), lit("\\sub\\"), col("doc_id"), lit(".wav")).as("raw_path"))
+      .select(col("doc_id"), col("raw_path"),
+        graft.core.PathNorm.normalizeCol(col("raw_path")).as("norm_path"))
+  val p1PathNormalizeSql =
+    """SELECT doc_id, raw_path, regexp_replace(regexp_replace(raw_path, '\\', '/', 'g'), '^(\./)+', '') AS norm_path
+      |FROM (SELECT doc_id, '.\' || source || '\sub\' || doc_id || '.wav' AS raw_path FROM documents)""".stripMargin
+
+  /** P3+F3: file-name extraction (basename) and the depth filter
+    * (reference: src/main.rs:664-666, 771-780). */
+  val f3DepthFilter: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("source"), lit("/d"), col("doc_id") % 7, lit("/d"), col("doc_id") % 3,
+          lit("/f"), col("doc_id"), lit(".wav")).as("relpath"))
+      .withColumn("depth", size(split(col("relpath"), "/")))
+      .withColumn("file_name", element_at(split(col("relpath"), "/"), -1))
+      .filter(col("depth") <= 4 && (col("doc_id") % 7) < 5)
+  val f3DepthFilterSql =
+    """SELECT doc_id, relpath, len(string_split(relpath, '/')) AS depth, (string_split(relpath, '/'))[-1] AS file_name
+      |FROM (SELECT doc_id, source || '/d' || (doc_id % 7) || '/d' || (doc_id % 3) || '/f' || doc_id || '.wav' AS relpath FROM documents)
+      |WHERE len(string_split(relpath, '/')) <= 4 AND (doc_id % 7) < 5""".stripMargin
+
+  /** F4: metadata-file exclusion — drop an exact path from the scan set. */
+  val f4Exclusion: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"), concat(col("source"), lit("/"), col("doc_id"), lit(".wav")).as("relpath"))
+      .filter(col("relpath") =!= lit("src0/0.wav"))
+  val f4ExclusionSql =
+    """SELECT doc_id, source || '/' || doc_id || '.wav' AS relpath FROM documents
+      |WHERE source || '/' || doc_id || '.wav' <> 'src0/0.wav'""".stripMargin
+
+  /** F5: MIME sniffing semantics over synthetic magic-byte payloads. Each doc
+    * takes one of 6 deterministic headers; the sniffer must classify them and
+    * keep only allow-listed audio (reference: src/main.rs:97-110, 695-707). */
+  val f5MimeSniff: Q = (s, dir) => {
+    val payload = when(col("doc_id") % 6 === 0, concat(lit("RIFF1234WAVE"), col("text")))
+      .when(col("doc_id") % 6 === 1, concat(lit("fLaC"), col("text")))
+      .when(col("doc_id") % 6 === 2, concat(lit("OggS"), col("text")))
+      .when(col("doc_id") % 6 === 3, concat(lit("ID3x"), col("text")))
+      .when(col("doc_id") % 6 === 4, concat(lit("FORM1234AIFF"), col("text")))
+      .otherwise(col("text"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), Magic.sniffCol(encode(payload, "UTF-8")).as("mime"))
+      .groupBy(col("mime")).agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+  }
+  val f5MimeSniffSql =
+    """SELECT CASE
+      |  WHEN doc_id % 6 = 0 THEN 'audio/wav'  WHEN doc_id % 6 = 1 THEN 'audio/flac'
+      |  WHEN doc_id % 6 = 2 THEN 'audio/ogg'  WHEN doc_id % 6 = 3 THEN 'audio/mpeg'
+      |  WHEN doc_id % 6 = 4 THEN 'audio/aiff' ELSE 'unknown' END AS mime,
+      |  count(*) AS n, min(doc_id) AS first_doc
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** P5: WAV header parse round-trip — synthesize a WAV per row at a rate
+    * chosen by doc_id, parse it back; duration must be exactly 1s and the
+    * rate must round-trip (reference: src/main.rs:760-769). */
+  val p5WavParse: Q = (s, dir) => {
+    val sr = when(col("doc_id") % 4 === 0, 8000)
+      .when(col("doc_id") % 4 === 1, 16000)
+      .when(col("doc_id") % 4 === 2, 22050)
+      .otherwise(44100)
+    table(s, dir, "documents").filter(col("doc_id") < 64)
+      .select(col("doc_id"), sr.as("sr_in"))
+      .withColumn("wav", Wav.parseUdf(Wav.synthUdf(col("sr_in"), col("sr_in"))))
+      .select(col("doc_id"), col("sr_in"), col("wav.duration").as("duration"),
+        col("wav.sampling_rate").as("sampling_rate"))
+  }
+  val p5WavParseSql =
+    """SELECT doc_id, sr_in, 1.0 AS duration, sr_in AS sampling_rate FROM (
+      |  SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 8000 WHEN doc_id % 4 = 1 THEN 16000
+      |    WHEN doc_id % 4 = 2 THEN 22050 ELSE 44100 END AS sr_in
+      |  FROM documents WHERE doc_id < 64)""".stripMargin
+
+  /** P7: value→string coercion — scalars and arrays under a String-typed
+    * column render as JSON text (reference: src/main.rs:499-509, 542-563). */
+  val p7StringCoercion: Q = (s, dir) =>
+    table(s, dir, "events").filter(col("event_id") < 200)
+      .select(col("event_id"),
+        to_json(array(col("user_id"), col("event_id") % 5)).as("ids_json"),
+        col("value").cast("string").as("value_str"))
+  val p7StringCoercionSql =
+    """SELECT event_id, to_json([user_id, event_id % 5])::VARCHAR AS ids_json,
+      |  CAST(value AS VARCHAR) AS value_str
+      |FROM events WHERE event_id < 200""".stripMargin
+
+  /** P8: default transcription — COALESCE to '-' when the join missed
+    * (reference: src/main.rs:204-208). */
+  val p8DefaultValue: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        coalesce(when(col("lang") === "en", col("source")), lit("-")).as("transcription"))
+  val p8DefaultValueSql =
+    "SELECT doc_id, COALESCE(CASE WHEN lang = 'en' THEN source END, '-') AS transcription FROM documents"
+
+  /** J1: the 3-level priority left join — resolve each order against three
+    * lookup tables with whole-row priority, then per-column coalesce
+    * (reference: metadata_for_file, src/main.rs:195-209). Lookup 1 = customers
+    * in AUTOMOBILE, 2 = customers in BUILDING, 3 = any customer; priority
+    * must pick the highest level that matched. */
+  val j1PriorityJoin: Q = (s, dir) => {
+    val cust = table(s, dir, "customer")
+    val l1 = cust.filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val l2 = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k2"), col("c_name").as("n2"))
+    val l3 = cust.select(col("c_custkey").as("k3"), col("c_acctbal").as("b3"))
+    table(s, dir, "orders").filter(col("o_orderkey") < 3000)
+      .join(broadcast(l1), col("o_custkey") === col("k1"), "left")
+      .join(broadcast(l2), col("o_custkey") === col("k2"), "left")
+      .join(broadcast(l3), col("o_custkey") === col("k3"), "left")
+      .select(col("o_orderkey"),
+        when(col("k1").isNotNull, col("n1"))
+          .when(col("k2").isNotNull, col("n2"))
+          .otherwise(col("b3").cast("string")).as("resolved"),
+        when(col("k1").isNotNull, lit(1)).when(col("k2").isNotNull, lit(2))
+          .otherwise(lit(3)).as("level"))
+  }
+  val j1PriorityJoinSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN l1.c_custkey IS NOT NULL THEN l1.c_name
+      |       WHEN l2.c_custkey IS NOT NULL THEN l2.c_name
+      |       ELSE CAST(l3.c_acctbal AS VARCHAR) END AS resolved,
+      |  CASE WHEN l1.c_custkey IS NOT NULL THEN 1
+      |       WHEN l2.c_custkey IS NOT NULL THEN 2 ELSE 3 END AS level
+      |FROM orders
+      |LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE') l1 ON o_custkey = l1.c_custkey
+      |LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') l2 ON o_custkey = l2.c_custkey
+      |LEFT JOIN customer l3 ON o_custkey = l3.c_custkey
+      |WHERE o_orderkey < 3000""".stripMargin
+
+  /** J2: first-wins dedup — first row per key in a defined order survives
+    * (reference: insert_record, src/main.rs:178-193). */
+  val j2FirstWins: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_order"), col("o_totalprice").as("first_price"))
+  }
+  val j2FirstWinsSql =
+    """SELECT o_custkey, o_orderkey AS first_order, o_totalprice AS first_price FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders)
+      |WHERE rn = 1""".stripMargin
+
+  /** X1: deterministic chunking — consecutive shards of 500 in key order;
+    * per-shard row counts and key ranges (reference: src/main.rs:714-718). */
+  val x1ShardAssign: Q = (s, dir) => {
+    val w = Window.orderBy(col("o_orderkey"))
+    table(s, dir, "orders")
+      .withColumn("shard_id", floor((row_number().over(w) - 1) / 500).cast("int"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+  }
+  val x1ShardAssignSql =
+    """SELECT shard_id, count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (
+      |  SELECT o_orderkey, CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 500) AS INT) AS shard_id
+      |  FROM orders)
+      |GROUP BY shard_id""".stripMargin
+
+  /** §1.3: the schema-inference lattice as a distributed aggregate over the
+    * events JSON props column — per-row type votes merged with
+    * MetadataType.merge (all JSON numbers → Float64). */
+  val schemaInferJson: Q = (s, dir) => {
+    import graft.core.MetadataType
+    val mapperBc = s.sparkContext.broadcast(())
+    val votes = table(s, dir, "events").select(col("props")).rdd
+      .map { row =>
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = try m.readTree(row.getString(0)) catch { case _: Throwable => null }
+        if (node == null || !node.isObject) Map.empty[String, graft.core.MetadataType]
+        else {
+          import scala.jdk.CollectionConverters._
+          node.properties().asScala.flatMap { e =>
+            MetadataType.inferJson(e.getValue).map(e.getKey -> _)
+          }.toMap
+        }
+      }
+      .reduce { (a, b) =>
+        (a.keySet ++ b.keySet).map { k =>
+          k -> ((a.get(k), b.get(k)) match {
+            case (Some(x), Some(y)) => x.merge(y)
+            case (x, y)             => x.orElse(y).get
+          })
+        }.toMap
+      }
+    import s.implicits._
+    votes.toSeq.sortBy(_._1).map { case (k, t) => (k, t.name) }.toDF("key", "type")
+  }
+  val schemaInferJsonSql = "SELECT 'k' AS key, 'Float64' AS type"
+
+  def defs: Map[String, (Q, Option[String])] = Map(
+    "s1_scan_project" -> (s1ScanProject, Some(s1ScanProjectSql)),
+    "p1_path_normalize" -> (p1PathNormalize, Some(p1PathNormalizeSql)),
+    "f3_depth_filter" -> (f3DepthFilter, Some(f3DepthFilterSql)),
+    "f4_exclusion" -> (f4Exclusion, Some(f4ExclusionSql)),
+    "f5_mime_sniff" -> (f5MimeSniff, Some(f5MimeSniffSql)),
+    "p5_wav_parse" -> (p5WavParse, Some(p5WavParseSql)),
+    "p7_string_coercion" -> (p7StringCoercion, Some(p7StringCoercionSql)),
+    "p8_default_value" -> (p8DefaultValue, Some(p8DefaultValueSql)),
+    "j1_priority_join" -> (j1PriorityJoin, Some(j1PriorityJoinSql)),
+    "j2_first_wins" -> (j2FirstWins, Some(j2FirstWinsSql)),
+    "x1_shard_assign" -> (x1ShardAssign, Some(x1ShardAssignSql)),
+    "schema_infer_json" -> (schemaInferJson, Some(schemaInferJsonSql)),
+  )
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Text-analysis and deduplication operators for LLM-data pipelines, over the
+  * `documents` table. All hash-based signatures use the engine-portable
+  * char-fold hash so every operator — including MinHash and SimHash — has a
+  * full DuckDB oracle, not a rows-only check.
+  *
+  * Scale design: everything here is a scan + narrow transforms + one
+  * aggregation/self-join on a blocking key. No driver-side collection; LSH
+  * banding turns the O(n²) candidate space into bucket-local joins.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val tokens = split(col("text"), " ")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count. */
+  val textTokens: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"),
+        length(col("text")).as("n_chars_computed"))
+  val textTokensSql =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+      |  length(text) AS n_chars_computed
+      |FROM documents""".stripMargin
+
+  /** Quality scoring: length, mean word length, stopword ratio, distinct-token
+    * ratio — the classic cheap text-quality heuristics, rounded for the oracle. */
+  val textQuality: Q = (s, dir) => {
+    val toks = split(col("text"), " ")
+    val stop = array(lit("the"), lit("a"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_q"),
+        size(col("toks")).as("n_tokens"),
+        round(length(col("text")).cast("double") / size(col("toks")), 4).as("mean_tok_len"),
+        round(size(filter(col("toks"), t => array_contains(stop, t))).cast("double")
+          / size(col("toks")), 4).as("stopword_ratio"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 4)
+          .as("distinct_ratio"))
+  }
+  val textQualitySql =
+    """SELECT doc_id, length(text) AS n_chars_q, len(toks) AS n_tokens,
+      |  round(CAST(length(text) AS DOUBLE) / len(toks), 4) AS mean_tok_len,
+      |  round(CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+      |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS distinct_ratio
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+
+  /** Language-ID heuristic: score = stopword-hit ratio against per-language
+    * marker lists; argmax with deterministic tie-break. (A real n-gram model
+    * plugs into the same shape.) */
+  val textLangid: Q = (s, dir) => {
+    val toks = split(col("text"), " ")
+    // marker lists over the synthetic vocabulary: deterministic, portable
+    val enHits = size(filter(toks, t => t === "the" || t === "a" || t === "fast"))
+    val dataHits = size(filter(toks, t => t === "data" || t === "table" || t === "row"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        enHits.as("en_score"), dataHits.as("db_score"))
+      .withColumn("guessed",
+        when(col("en_score") > col("db_score"), "en")
+          .when(col("db_score") > col("en_score"), "db").otherwise("tie"))
+  }
+  val textLangidSql =
+    """SELECT doc_id, lang AS labeled_lang,
+      |  len(list_filter(string_split(text,' '), t -> t IN ('the','a','fast'))) AS en_score,
+      |  len(list_filter(string_split(text,' '), t -> t IN ('data','table','row'))) AS db_score,
+      |  CASE WHEN len(list_filter(string_split(text,' '), t -> t IN ('the','a','fast')))
+      |          > len(list_filter(string_split(text,' '), t -> t IN ('data','table','row'))) THEN 'en'
+      |       WHEN len(list_filter(string_split(text,' '), t -> t IN ('data','table','row')))
+      |          > len(list_filter(string_split(text,' '), t -> t IN ('the','a','fast'))) THEN 'db'
+      |       ELSE 'tie' END AS guessed
+      |FROM documents""".stripMargin
+
+  /** Document fingerprinting: whole-text rolling hash (content-defined id). */
+  val textFingerprint: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"), charFoldHash(col("text")).as("fingerprint"))
+  val textFingerprintSql =
+    s"SELECT doc_id, ${charFoldHashSql("text")} AS fingerprint FROM documents"
+
+  /** Exact dedup: group identical texts (hash-groupBy); keep min doc_id as
+    * the canonical copy. Map-side partial agg; shuffle only on text hash. */
+  val dedupExact: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"), length(col("text")).as("text_len"))
+  val dedupExactSql =
+    """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies, length(text) AS text_len
+      |FROM documents GROUP BY text""".stripMargin
+
+  /** N-gram Jaccard near-dup: candidate pairs sharing ≥1 word-3-gram shingle
+    * (inverted-index join on shingle), scored |A∩B| / |A∪B| over DISTINCT
+    * shingles, thresholded. The shingle join IS the blocking step — no n²
+    * pair enumeration. Restricted to doc_id<400 to bound the oracle's cost;
+    * the unbounded variant is the bench path. */
+  val dedupNgramJaccard: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id"), shingles3(tokens).as("sh"))
+      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val a = inv.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("shingle"))
+    val b = inv.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        round(col("shared").cast("double") / (col("a_n") + col("b_n") - col("shared")), 4))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("a_id"), col("b_id"), col("shared"), col("jaccard"))
+  }
+  val dedupNgramJaccardSql = {
+    val sh = shingles3Sql("string_split(text, ' ')")
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct($sh) AS sh FROM documents WHERE doc_id < 400),
+       |inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+       |  round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) AS jaccard
+       |FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+       |HAVING round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) >= 0.2""".stripMargin
+  }
+
+  /** MinHash signatures: k=8 permutations over distinct word-3-gram shingle
+    * hashes. Signature verified bit-for-bit against DuckDB — possible because
+    * the base hash is engine-portable. */
+  val dedupMinhash: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles3(tokens)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", transform(col("sh"), x => charFoldHash(x)))
+    val sigCols = (0 until MinhashK).map { j =>
+      array_min(transform(col("hs"),
+        h => (h * lit(minhashA(j)) + lit(minhashB(j))) % lit(MinhashP))).as(s"sig$j")
+    }
+    docs.select(col("doc_id") +: sigCols: _*)
+  }
+  val dedupMinhashSql = {
+    val sh = shingles3Sql("string_split(text, ' ')")
+    val hs = s"list_transform(list_distinct($sh), x -> ${charFoldHashSql("x")})"
+    val sigs = (0 until MinhashK).map { j =>
+      s"list_min(list_transform(hs, h -> (h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashP)) AS sig$j"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, $sigs
+       |FROM (SELECT doc_id, $hs AS hs FROM documents)
+       |WHERE len(hs) > 0""".stripMargin
+  }
+
+  /** MinHash-LSH near-dup pairs: 4 bands × 2 rows; docs sharing any band
+    * bucket become candidates; candidates verified by signature agreement
+    * (≥6/8 matching minhashes ≈ Jaccard ≥ 0.75). Bucket join = the scale
+    * path: candidates ∝ collisions, not n². */
+  val dedupMinhashLsh: Q = (s, dir) => {
+    val sig = dedupMinhash(s, dir)
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bucket"),
+        array((0 until MinhashK).map(j => col(s"sig$j")): _*).as("sigv"))
+    }.reduce(_ unionAll _)
+    val a = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("sigv").as("a_sig"))
+    val b = bands.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("sigv").as("b_sig"))
+    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
+          .as("sig_agree"))
+      .distinct()
+      .filter(col("sig_agree") >= 6)
+  }
+  val dedupMinhashLshSql = {
+    val sigSql = dedupMinhashSql
+    s"""WITH sig AS ($sigSql),
+       |bands AS (
+       |  SELECT doc_id, b.band, CASE b.band
+       |      WHEN 0 THEN sig0 || '_' || sig1 WHEN 1 THEN sig2 || '_' || sig3
+       |      WHEN 2 THEN sig4 || '_' || sig5 ELSE sig6 || '_' || sig7 END AS bucket,
+       |    [sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7] AS sigv
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  len(list_filter(list_zip(a.sigv, b.sigv), p -> p[1] = p[2])) AS sig_agree
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE len(list_filter(list_zip(a.sigv, b.sigv), p -> p[1] = p[2])) >= 6""".stripMargin
+  }
+
+  /** SimHash (16-bit) over token multiset: per-bit weighted vote of token
+    * hashes, assembled into an integer fingerprint. Near-dups share most bits;
+    * banding on the byte halves gives the LSH variant. */
+  val dedupSimhash: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), transform(tokens, t => charFoldHash(t)).as("hs"))
+    val bitCols = (0 until 16).map { i =>
+      aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L)).as(s"w$i")
+    }
+    val weighted = docs.select(col("doc_id") +: bitCols: _*)
+    val sim = (0 until 16).map(i =>
+      when(col(s"w$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    weighted.select(col("doc_id"), sim.as("simhash"))
+  }
+  val dedupSimhashSql = {
+    val hs = s"list_transform(string_split(text, ' '), t -> ${charFoldHashSql("t")})"
+    val ws = (0 until 16).map { i =>
+      s"list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) % 2 = 1 THEN 1 ELSE -1 END)) AS w$i"
+    }.mkString(",\n  ")
+    val sim = (0 until 16).map(i => s"CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM (
+       |  SELECT doc_id, $ws FROM (SELECT doc_id, $hs AS hs FROM documents))""".stripMargin
+  }
+
+  def defs: Map[String, (Q, Option[String])] = Map(
+    "text_tokens" -> (textTokens, Some(textTokensSql)),
+    "text_quality" -> (textQuality, Some(textQualitySql)),
+    "text_langid" -> (textLangid, Some(textLangidSql)),
+    "text_fingerprint" -> (textFingerprint, Some(textFingerprintSql)),
+    "dedup_exact" -> (dedupExact, Some(dedupExactSql)),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard, Some(dedupNgramJaccardSql)),
+    "dedup_minhash" -> (dedupMinhash, Some(dedupMinhashSql)),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh, Some(dedupMinhashLshSql)),
+    "dedup_simhash" -> (dedupSimhash, Some(dedupSimhashSql)),
+  )
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Cosine is computed with `zip_with` + `aggregate` — pure codegen'd column
+  * expressions, left-to-right summation, so Spark and DuckDB produce
+  * bit-comparable doubles (guarded by round(…,4) in outputs).
+  *
+  * Scale path: brute force is the oracle baseline; the LSH-bucketed variant
+  * (random-hyperplane signs) turns top-k into bucket-local joins, and the
+  * IVF shape (coarse centroids = label partitions here) prunes to the
+  * closest lists. At 100 TB both variants shuffle only (bucket, vec) pairs,
+  * never the n² cross join.
+  */
+object VectorOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private val dotSql = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
+
+  /** Brute-force cosine top-k: 5 query vectors (vec_id < 5) against the whole
+    * table; rank by cosine desc with vec_id tie-break; k=5. */
+  val annBruteCosine: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = emb.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = q.join(cand, col("q_id") =!= col("c_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 4).as("cosine"))
+  }
+  val annBruteCosineSql =
+    """WITH emb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) / (q.nrm * c.nrm) AS cos
+      |  FROM emb q JOIN emb c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank, cos
+      |  FROM scored)
+      |SELECT q_id, c_id, rank, round(cos, 4) AS cosine FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Embedding-cosine near-duplicate detection, blocked by label (the IVF
+    * idea: compare only within a coarse partition). */
+  val dedupEmbedding: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings").filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = emb.select(col("label"), col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = emb.select(col("label"), col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cos") > 0.9)
+      .select(col("label"), col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
+  }
+  val dedupEmbeddingSql =
+    """WITH emb AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings WHERE vec_id < 2000)
+      |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cosine
+      |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) > 0.9""".stripMargin
+
+  /** Sign-LSH bucketing: 8-bit signature from the signs of fixed coordinate
+    * contrasts (a deterministic stand-in for random hyperplanes — portable to
+    * the oracle). Vectors sharing a bucket are ANN candidates; per-bucket
+    * sizes summarize the index. */
+  val annLshBuckets: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val bits = (0 until 8).map { i =>
+      when(element_at(col("v"), 2 * i + 1) - element_at(col("v"), 2 * i + 2) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.withColumn("bucket", bits)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
+  }
+  val annLshBucketsSql = {
+    val bits = (0 until 8).map { i =>
+      s"CASE WHEN CAST(embedding[${2 * i + 1}] AS DOUBLE) - CAST(embedding[${2 * i + 2}] AS DOUBLE) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT CAST($bits AS BIGINT) AS bucket, count(*) AS n_vectors, min(vec_id) AS min_vec
+       |FROM embeddings GROUP BY 1""".stripMargin
+  }
+
+  /** IVF shape: centroid per label (mean vector), then per-vector distance to
+    * its own centroid — the residual statistics an IVF index maintains.
+    * Exercises a two-phase agg: centroid agg then re-join. */
+  val ivfCentroidResiduals: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    // mean vector per label: element-wise sum via 64 aggregates, then divide
+    val sums = (0 until 64).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
+    val cents = emb.groupBy(col("label")).agg(sums.head, sums.tail: _*)
+    val centsN = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val centroid = cents.join(centsN, Seq("label"))
+      .select(col("label"), col("n"),
+        array((0 until 64).map(i => col(s"s$i") / col("n")): _*).as("centroid"))
+    emb.join(broadcast(centroid), Seq("label"))
+      .withColumn("dist2",
+        aggregate(zip_with(col("v"), col("centroid"), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("dist2")), 4).as("avg_residual2"),
+        round(max(col("dist2")), 4).as("max_residual2"))
+  }
+  val ivfCentroidResidualsSql = {
+    val sums = (0 until 64).map(i => s"avg(CAST(embedding[${i + 1}] AS DOUBLE)) AS c$i").mkString(", ")
+    val dist = (0 until 64).map(i =>
+      s"(CAST(e.embedding[${i + 1}] AS DOUBLE) - c.c$i) * (CAST(e.embedding[${i + 1}] AS DOUBLE) - c.c$i)")
+      .mkString(" + ")
+    s"""WITH c AS (SELECT label, $sums FROM embeddings GROUP BY label)
+       |SELECT e.label, count(*) AS n_vectors,
+       |  round(avg($dist), 4) AS avg_residual2,
+       |  round(max($dist), 4) AS max_residual2
+       |FROM embeddings e JOIN c ON e.label = c.label
+       |GROUP BY e.label""".stripMargin
+  }
+
+  def defs: Map[String, (Q, Option[String])] = Map(
+    "ann_brute_cosine" -> (annBruteCosine, Some(annBruteCosineSql)),
+    "dedup_embedding" -> (dedupEmbedding, Some(dedupEmbeddingSql)),
+    "ann_lsh_buckets" -> (annLshBuckets, Some(annLshBucketsSql)),
+    "ivf_centroid_residuals" -> (ivfCentroidResiduals, Some(ivfCentroidResidualsSql)),
+  )
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the verification/bench query surface.
+  *
+  * Every query here reads the driver's parquet tables and has (where SQL can
+  * express it) a DuckDB oracle in [[graft.SparkEntry.oracleSql]]. Hash-based
+  * operators use [[Util.charFoldHash]], a polynomial rolling hash chosen
+  * because it computes bit-identically in Spark (`aggregate` over `split`)
+  * and DuckDB (`list_reduce`) — so even MinHash/SimHash signatures are
+  * oracle-checkable, not just rows-only.
+  */
+object Util {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table's `ts` is TIMESTAMP(NANOS) parquet, which Spark only
+    * reads as a nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`,
+    * set by Verify/Bench/tests). Expose both an exact µs long (for gap
+    * arithmetic — integer, engine-portable) and a µs timestamp (for
+    * date_trunc). */
+  def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts_us", floor(col("ts") / 1000L))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ =>
+        df.withColumn("ts_us", unix_micros(col("ts")))
+    }
+  }
+
+  /** Polynomial rolling hash over the characters of a string column:
+    * fold(acc = 7; acc = (acc * 31 + ascii(char)) mod 1e9+7).
+    * Codegen-friendly (pure `functions._`, no UDF).
+    */
+  def charFoldHash(c: Column): Column =
+    aggregate(split(c, ""), lit(7L), (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(1000000007L))
+
+  /** The same hash in DuckDB SQL, verbatim-inlinable. */
+  def charFoldHashSql(expr: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** Word 3-gram shingles of a whitespace-tokenized text column (Spark side):
+    * shingle i = tokens[i] ' ' tokens[i+1] ' ' tokens[i+2], 0-based.
+    * Empty result for texts with <3 tokens. */
+  def shingles3(tokens: Column): Column =
+    when(size(tokens) >= 3,
+      transform(sequence(lit(0), size(tokens) - 3),
+        i => concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2), element_at(tokens, i + 3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB equivalent of [[shingles3]] over `string_split(expr, ' ')`. */
+  def shingles3Sql(tokensExpr: String): String =
+    s"CASE WHEN len($tokensExpr) >= 3 THEN " +
+      s"list_transform(range(1, len($tokensExpr) - 1), " +
+      s"i -> ($tokensExpr)[i] || ' ' || ($tokensExpr)[i+1] || ' ' || ($tokensExpr)[i+2]) " +
+      s"ELSE [] END"
+
+  /** MinHash permutation parameters: k independent affine maps (a*h+b) mod P.
+    * Fixed odd multipliers/offsets; P = 1e9+7 (same in both engines). */
+  val MinhashK = 8
+  val MinhashP = 1000000007L
+  def minhashA(j: Int): Long = 2L * j + 3
+  def minhashB(j: Int): Long = 1000 * j + 7
+}
