@@ -18,6 +18,22 @@ object TextOps {
 
   private val tokens = split(col("text"), " ")
 
+  /** Distinct word-3-gram shingles as rows `(doc_id, shingle)` — built with
+    * posexplode + lead() so each token is materialized exactly once (an
+    * element_at-in-lambda formulation re-evaluates the split per element).
+    * One narrow window shuffle on doc_id; scales linearly in corpus size. */
+  private def shingleRows(s: SparkSession, dir: String, maxDocId: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = maxDocId.foldLeft(table(s, dir, "documents"))((d, m) => d.filter(col("doc_id") < m))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    base.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t2", lead(col("tok"), 1).over(w))
+      .withColumn("t3", lead(col("tok"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
+      .distinct()
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count. */
   val textTokens: Q = (s, dir) =>
     table(s, dir, "documents")
@@ -104,11 +120,9 @@ object TextOps {
     * pair enumeration. Restricted to doc_id<400 to bound the oracle's cost;
     * the unbounded variant is the bench path. */
   val dedupNgramJaccard: Q = (s, dir) => {
-    val docs = table(s, dir, "documents").filter(col("doc_id") < 400)
-      .select(col("doc_id"), shingles3(tokens).as("sh"))
-      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val sh = shingleRows(s, dir, Some(400))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inv = sh.join(counts, Seq("doc_id"))
     val a = inv.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("shingle"))
     val b = inv.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("shingle"))
     a.join(b, Seq("shingle")).filter(col("a_id") < col("b_id"))
@@ -135,15 +149,16 @@ object TextOps {
     * hashes. Signature verified bit-for-bit against DuckDB — possible because
     * the base hash is engine-portable. */
   val dedupMinhash: Q = (s, dir) => {
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id"), array_distinct(shingles3(tokens)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), x => charFoldHash(x)))
+    // explode → hash once → 8 min-aggregates: the shingle hash is computed
+    // exactly once per shingle (a projection-collapse in the array form would
+    // duplicate it per permutation), and the groupBy gets map-side partial
+    // aggregation — the shape that scales.
+    val hashed = shingleRows(s, dir, None)
+      .select(col("doc_id"), charFoldHash(col("shingle")).as("h"))
     val sigCols = (0 until MinhashK).map { j =>
-      array_min(transform(col("hs"),
-        h => (h * lit(minhashA(j)) + lit(minhashB(j))) % lit(MinhashP))).as(s"sig$j")
+      min((col("h") * lit(minhashA(j)) + lit(minhashB(j))) % lit(MinhashP)).as(s"sig$j")
     }
-    docs.select(col("doc_id") +: sigCols: _*)
+    hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
   val dedupMinhashSql = {
     val sh = shingles3Sql("string_split(text, ' ')")
@@ -161,12 +176,19 @@ object TextOps {
     * (≥6/8 matching minhashes ≈ Jaccard ≥ 0.75). Bucket join = the scale
     * path: candidates ∝ collisions, not n². */
   val dedupMinhashLsh: Q = (s, dir) => {
+    // Banding via ONE pass over the signatures: explode (band, bucket) pairs,
+    // persist the tiny banded table so the self-join does not recompute the
+    // shingle→hash pipeline per side (signatures are ~rows×(8 longs) — at
+    // 100 TB of text this is still GBs, i.e. cache-able or spillable).
     val sig = dedupMinhash(s, dir)
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bucket"),
-        array((0 until MinhashK).map(j => col(s"sig$j")): _*).as("sigv"))
-    }.reduce(_ unionAll _)
+      .select(col("doc_id"), array((0 until MinhashK).map(j => col(s"sig$j")): _*).as("sigv"))
+    val bands = sig.select(col("doc_id"), col("sigv"),
+        explode(transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("band"),
+            concat_ws("_", element_at(col("sigv"), b * 2 + 1), element_at(col("sigv"), b * 2 + 2))
+              .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("sigv"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist()
     val a = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("sigv").as("a_sig"))
     val b = bands.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("sigv").as("b_sig"))
     a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))

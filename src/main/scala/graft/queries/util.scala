@@ -33,11 +33,12 @@ object Util {
   }
 
   /** Polynomial rolling hash over the characters of a string column:
-    * fold(acc = 7; acc = (acc * 31 + ascii(char)) mod 1e9+7).
-    * Codegen-friendly (pure `functions._`, no UDF).
+    * fold(acc = 7; acc = (acc * 31 + code(char)) mod 1e9+7).
+    * Implemented as a native codegen'd Catalyst expression
+    * ([[graft.functions.CharFoldHash]]); bit-identical to the DuckDB
+    * `list_reduce` form in [[charFoldHashSql]] for BMP text.
     */
-  def charFoldHash(c: Column): Column =
-    aggregate(split(c, ""), lit(7L), (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(1000000007L))
+  def charFoldHash(c: Column): Column = graft.functions.CharFoldHash(c)
 
   /** The same hash in DuckDB SQL, verbatim-inlinable. */
   def charFoldHashSql(expr: String): String =
