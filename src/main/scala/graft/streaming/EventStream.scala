@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events schema
+  * `(event_id long, ts timestamp, user_id long, event_type string,
+  *   value double, props string)`.
+  *
+  * The transforms are written against plain DataFrames so the SAME code
+  * serves the batch queries (Analytics.eventsTumbling / eventsSessionize are
+  * their batch twins, oracle-checked) and the streaming path
+  * (readStream → transform → writeStream). Watermarks bound state at scale:
+  * a 1000-executor job holds only in-flight windows/sessions, never history.
+  */
+object EventStream {
+
+  /** File-based stream source over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Tumbling 1-hour window aggregation with a 2-hour watermark: count and
+    * value sum per (window, event_type). Late data beyond the watermark is
+    * dropped; state is bounded by watermark horizon × type cardinality. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, value: Double)
+  final case class Session(user_id: Long, start_ts: Long, end_ts: Long,
+                           n_events: Int, session_value: Double)
+
+  val SessionGapMs: Long = 30 * 60 * 1000
+
+  /** Custom streaming state: per-user sessionization with a 30-minute
+    * inactivity gap via flatMapGroupsWithState in EVENT time — a watermark on
+    * `ts` drives both late-data handling and session-close timeouts, so
+    * behavior is deterministic (no wall-clock dependence) and state is
+    * bounded by the watermark horizon. The streaming twin of the
+    * oracle-checked Analytics.eventsSessionize. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, s.start, s.last, s.n, s.value)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= SessionGapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.last, s.n, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the event-time watermark passes last + gap
+              state.setTimeoutTimestamp(s.last + SessionGapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming specs: MemoryStream-driven, results compared to the
+  * batch twins of the same transforms. */
+class StreamingSpec extends SparkSpec {
+
+  // base offset keeps event times away from the epoch-0 initial watermark
+  private val Base = 86400000L
+  private def ts(minutes: Long) = new java.sql.Timestamp(Base + minutes * 60000L)
+
+  test("streaming tumbling window agg matches the batch computation") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.tumblingCounts(events)
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    try {
+      mem.addData(
+        (1L, ts(10), 1L, "click", 1.0, "{}"),
+        (2L, ts(20), 1L, "click", 2.0, "{}"),
+        (3L, ts(70), 2L, "view", 5.0, "{}"),
+        (4L, ts(80), 2L, "click", 7.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .orderBy("hour", "event_type")
+        .collect().map(r => ((r.getTimestamp(0).getTime - Base) / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == Seq(
+        (0L, "click", 2L, 3.0), (60L, "click", 1L, 7.0), (60L, "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on gap and emits exact aggregates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: events at t=0,10 then a 60-min gap then t=70 → first session closes
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(70), 1, "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[Session].collect().toSeq
+      assert(got == Seq(Session(1, Base, Base + 10 * 60000, 2, 3.0)))
+    } finally q.stop()
+  }
+}
