@@ -221,7 +221,26 @@ object ReferenceOps {
   }
   val schemaInferJsonSql = "SELECT 'k' AS key, 'Float64' AS type"
 
+  /** §2.7 companion tool: csv_path_rewriter as a DataFrame transform —
+    * basename extraction + relative path against the distributed
+    * longest-common-directory-prefix. */
+  val pathRewriter: Q = (s, dir) => {
+    val in = table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("/data/corpus/"), col("source"), lit("/f"), col("doc_id"), lit(".wav"))
+          .as("file_name"),
+        col("lang").as("transcription"))
+    graft.operators.PathRewriter.rewrite(in, baseDir = None)
+      .select(col("doc_id"), col("file_name"), col("relative_path"), col("transcription"))
+  }
+  val pathRewriterSql =
+    """SELECT doc_id, 'f' || doc_id || '.wav' AS file_name,
+      |  source || '/f' || doc_id || '.wav' AS relative_path,
+      |  lang AS transcription
+      |FROM documents""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "path_rewriter" -> (pathRewriter, Some(pathRewriterSql)),
     "s1_scan_project" -> (s1ScanProject, Some(s1ScanProjectSql)),
     "p1_path_normalize" -> (p1PathNormalize, Some(p1PathNormalizeSql)),
     "f3_depth_filter" -> (f3DepthFilter, Some(f3DepthFilterSql)),

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Multimodal, PathRewriter, Sharding}
+import org.apache.spark.sql.functions._
+
+/** Specs for standalone operators: path rewriter (reference:
+  * scripts/test_csv_path_rewriter.py), sharding, multimodal decode, and the
+  * SQL extension registration. */
+class OperatorSpec extends SparkSpec {
+
+  test("path rewriter: LCP-relative paths + basename (Cyrillic preserved)") {
+    val s = spark
+    import s.implicits._
+    // mirrors scripts/test_csv_path_rewriter.py:69-94
+    val in = Seq(
+      ("/home/devops/a/b/6.wav/6_1.wav", "Він хотів стягти її з вагончика."),
+      ("/home/devops/a/b/7.wav/7_1.wav", "друга фраза"),
+      ("/home/devops/a/c/8.wav", "третя")
+    ).toDF("file_name", "transcription")
+    val out = PathRewriter.rewrite(in).orderBy("relative_path").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("6_1.wav", "7_1.wav", "8.wav"))
+    assert(out.map(_.getString(1)).toSeq == Seq("b/6.wav/6_1.wav", "b/7.wav/7_1.wav", "c/8.wav"))
+    assert(out.map(_.getString(2)).head == "Він хотів стягти її з вагончика.")
+  }
+
+  test("path rewriter: explicit base dir wins over LCP") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(("/data/x/1.wav", "a"), ("/data/y/2.wav", "b")).toDF("file_name", "transcription")
+    val out = PathRewriter.rewrite(in, Some("/data")).orderBy("file_name").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("x/1.wav", "y/2.wav"))
+  }
+
+  test("common dir prefix helper") {
+    assert(PathRewriter.commonDirPrefix("/a/b/c/", "/a/b/d/") == "/a/b/")
+    assert(PathRewriter.commonDirPrefix("/a/b/", "/a/b/") == "/a/b/")
+    assert(PathRewriter.commonDirPrefix("x/1", "y/2") == "")
+  }
+
+  test("sharding: consecutive chunks in sort order; range variant balances") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(i => (f"f$i%03d", i)).toDF("path", "v")
+    val sharded = Sharding.shardConsecutive(df, 30, col("path"))
+    val sizes = sharded.groupBy("shard_id").count().orderBy("shard_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(sizes == Seq((0, 30L), (1, 30L), (2, 30L), (3, 10L)))
+    val ranged = Sharding.shardByRange(df, 4, col("path"))
+    assert(ranged.select("shard_id").distinct().count() == 4)
+  }
+
+  test("multimodal decode: stub kernel over binary column, null-safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", "hello"), ("b", null)).toDF("id", "txt")
+      .select(col("id"), encode(col("txt"), "UTF-8").as("payload"))
+    val out = Multimodal.decodeBinary(df, "payload").orderBy("id").collect()
+    assert(out(0).getStruct(2).getInt(0) == 5) // n_bytes
+    assert(out(0).getStruct(2).getLong(1) ==
+      graft.functions.CharFoldHash.hash("hello")) // ascii text: byte-fold == char-fold
+    assert(out(1).get(2) == null)
+  }
+
+  test("sql extension: char_fold_hash registered and codegen result matches scala") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT char_fold_hash('abc') AS h").head().getLong(0)
+    assert(r == graft.functions.CharFoldHash.hash("abc"))
+    assert(r == 304891L) // pinned against the DuckDB list_reduce oracle form
+  }
+}
