@@ -173,7 +173,38 @@ object Analytics {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_value
       |FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50""".stripMargin
 
+  /** Skew-salted join: results must be IDENTICAL to the plain join — the
+    * oracle is the plain SQL join, proving salting is semantics-preserving.
+    * orders.o_custkey is the "skewed" side; customer the replicated side. */
+  val skewSaltedJoin: Q = (s, dir) => {
+    val big = table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val small = table(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.operators.SkewJoin.saltedJoin(big, small, "o_custkey", 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+  val skewSaltedJoinSql =
+    """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Exact interpolated percentiles (median / p90) — Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition. */
+  val aggPercentiles: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n"))
+  val aggPercentilesSql =
+    """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "skew_salted_join" -> (skewSaltedJoin, Some(skewSaltedJoinSql)),
+    "agg_percentiles" -> (aggPercentiles, Some(aggPercentilesSql)),
     "q1_agg" -> (q1Agg, Some(q1AggSql)),
     "q3_top_revenue" -> (q3TopRevenue, Some(q3TopRevenueSql)),
     "q5_region_revenue" -> (q5RegionRevenue, Some(q5RegionRevenueSql)),

@@ -67,4 +67,34 @@ class OperatorSpec extends SparkSpec {
     assert(r == graft.functions.CharFoldHash.hash("abc"))
     assert(r == 304891L) // pinned against the DuckDB list_reduce oracle form
   }
+
+  test("optimizer rule rewrites the portable char-fold into CharFoldHash") {
+    val s = spark
+    import s.implicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.CharFoldRewrite
+    try {
+      // parquet-backed source: a literal Seq would be constant-folded to a
+      // LocalRelation before the rule could fire
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") < 5).select(col("text"))
+      val df = docs.select(aggregate(split(col("text"), ""), lit(7L),
+        (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(1000000007L)).as("h"))
+      val optimized = df.queryExecution.optimizedPlan
+      assert(optimized.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.CharFoldHash])),
+        s"rule did not fire:\n$optimized")
+      val expected = docs.collect().map(r =>
+        graft.functions.CharFoldHash.hash(r.getString(0))).toSeq
+      assert(df.collect().map(_.getLong(0)).toSeq == expected)
+      // a DIFFERENT fold (init 8) must NOT be rewritten
+      val other = docs.select(aggregate(split(col("text"), ""), lit(8L),
+        (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(1000000007L)).as("h"))
+      assert(!other.queryExecution.optimizedPlan.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.CharFoldHash])))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.CharFoldRewrite)
+    }
+  }
 }
