@@ -59,24 +59,31 @@ object AudioToDataset {
         col("wav.duration").as("duration")) ++
         metaSchema.keys.map(col): _*)
     // X1: scan order defined as relative-path order (documented divergence
-    // from the platform-dependent directory iterator, SURVEY.md §7.4)
-    val sharded = Sharding.shardConsecutive(
+    // from the platform-dependent directory iterator, SURVEY.md §7.4).
+    // Ranks come from the skinny-path two-phase ranking so audio bytes never
+    // pass through a single-partition window.
+    val sharded = Sharding.shardConsecutiveByKey(
       assembled.withColumn("_order", col("audio.path")),
-      cfg.filesPerShard, col("_order")).drop("_order")
+      "_order", cfg.filesPerShard).drop("_order")
     (sharded, metaSchema)
   }
 
   def run(spark: SparkSession, cfg: Config): Unit = {
     val (sharded, metaSchema) = plan(spark, cfg)
     val metaTypes = metaSchema.types.toSeq
+    // shard count from a content-pruned scan (binaryFile only reads bytes
+    // for plans that project `content`) — avoids a wide pass in the sink
+    val nFiles = AudioScan.scan(spark, cfg.input, cfg.maxDepth, cfg.metadataFile, checkMimeType = false)
+      .select("path").count()
+    val nShards = Some(math.max(1, math.ceil(nFiles.toDouble / cfg.filesPerShard).toInt))
     cfg.format match {
       case "parquet" =>
         ParquetShardSink.writeShards(
           sharded, cfg.output, cfg.parquetCompression,
           footerKv = Map("huggingface" -> ParquetShardSink.hfFeaturesJson(metaTypes)),
-          orderCols = Seq("audio"))
+          orderCols = Seq("audio"), numShards = nShards)
       case "duckdb" =>
-        DuckDbShardSink.writeShards(sharded, cfg.output, metaTypes)
+        DuckDbShardSink.writeShards(sharded, cfg.output, metaTypes, numShards = nShards)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
   }

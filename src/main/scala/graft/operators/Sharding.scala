@@ -33,4 +33,24 @@ object Sharding {
     df.repartitionByRange(numShards, order: _*)
       .withColumn("shard_id", spark_partition_id())
   }
+
+  /** Exact consecutive chunking WITHOUT a single-partition window over the
+    * data: global ranks are computed on a SKINNY (key-only) projection with
+    * range-partition + per-partition zipWithIndex (partition sizes are tiny
+    * metadata; order across range partitions is total), then joined back on
+    * the key. The wide rows — audio content at 100 TB — only ever move
+    * through parallel shuffles, never through one task.
+    */
+  def shardConsecutiveByKey(df: DataFrame, keyCol: String, filesPerShard: Int): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val skinny = df.select(col(keyCol)).repartitionByRange(parts, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+    val ranked = skinny.rdd.zipWithIndex.map { case (row, rank) =>
+      (row.getString(0), (rank / filesPerShard).toInt)
+    }
+    import spark.implicits._
+    val shardMap = ranked.toDF(keyCol, "shard_id")
+    df.join(shardMap, Seq(keyCol))
+  }
 }

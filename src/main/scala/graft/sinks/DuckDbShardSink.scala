@@ -65,12 +65,14 @@ object DuckDbShardSink {
       df: DataFrame,
       outDir: String,
       metaTypes: Seq[(String, MetadataType)],
-      orderCols: Seq[String] = Seq.empty): Unit = {
+      orderCols: Seq[String] = Seq.empty,
+      numShards: Option[Int] = None): Unit = {
     val ddl = Seq(createSequenceSql, createTableSql(metaTypes))
     val ins = insertSql(metaTypes)
     val metaNames = metaTypes.map(_._1)
     val metaKinds = metaTypes.map(_._2)
-    val nShards = math.max(1, df.agg(max(col("shard_id"))).head.getInt(0) + 1)
+    val nShards = numShards.getOrElse(
+      math.max(1, df.agg(max(col("shard_id"))).head.getInt(0) + 1))
     val sortCols = (Seq("shard_id") ++ orderCols).map(col)
     val arranged = df
       .select((Seq(col("audio"), col("duration")) ++ metaNames.map(col) :+ col("shard_id")): _*)

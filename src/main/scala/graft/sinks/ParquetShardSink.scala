@@ -86,12 +86,15 @@ object ParquetShardSink {
       outDir: String,
       compression: String = "snappy",
       footerKv: Map[String, String] = Map.empty,
-      orderCols: Seq[String] = Seq.empty): Unit = {
+      orderCols: Seq[String] = Seq.empty,
+      numShards: Option[Int] = None): Unit = {
     val spark = df.sparkSession
     val dataSchema = StructType(df.schema.filterNot(_.name == "shard_id"))
     val dataCols = dataSchema.map(f => col(f.name))
-    val nShards = math.max(1,
-      df.agg(max(col("shard_id"))).head.getInt(0) + 1)
+    // prefer a caller-provided count — the fallback aggregate is an extra
+    // pass over the (wide) input
+    val nShards = numShards.getOrElse(math.max(1,
+      df.agg(max(col("shard_id"))).head.getInt(0) + 1))
     val sortCols = col("shard_id") +: orderCols.map(col)
     val arranged = df.select(dataCols :+ col("shard_id"): _*)
       .repartition(nShards, col("shard_id"))
