@@ -81,7 +81,7 @@ object AudioToDataset {
         ParquetShardSink.writeShards(
           sharded, cfg.output, cfg.parquetCompression,
           footerKv = Map("huggingface" -> ParquetShardSink.hfFeaturesJson(metaTypes)),
-          orderCols = Seq("audio"), numShards = nShards)
+          orderCols = Seq("audio.path"), numShards = nShards)
       case "duckdb" =>
         DuckDbShardSink.writeShards(sharded, cfg.output, metaTypes, numShards = nShards)
       case other => throw new IllegalArgumentException(s"unknown format: $other")

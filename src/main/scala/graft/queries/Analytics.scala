@@ -202,9 +202,78 @@ object Analytics {
       |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Left-semi and left-anti joins: customers with vs without orders. */
+  val joinSemiAnti: Q = (s, dir) => {
+    val cust = table(s, dir, "customer")
+    val ord = table(s, dir, "orders").select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("op"))
+      .unionAll(
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("no_orders").as("op")))
+  }
+  val joinSemiAntiSql =
+    """SELECT c_custkey, 'has_orders' AS op FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, 'no_orders' AS op FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Pivot: order counts by status across market segments (Spark .pivot;
+    * oracle via conditional aggregation). */
+  val pivotStatus: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  val pivotStatusSql =
+    """SELECT c_mktsegment,
+      |  count(*) FILTER (o_orderstatus = 'F') AS F,
+      |  count(*) FILTER (o_orderstatus = 'O') AS O,
+      |  count(*) FILTER (o_orderstatus = 'P') AS P
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Scalar string-function surface. */
+  val stringFuncs: Q = (s, dir) =>
+    table(s, dir, "part").filter(col("p_partkey") < 500)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_name"), 1, 5).as("pre5"),
+        regexp_replace(col("p_name"), "a", "@").as("subbed"),
+        lpad(col("p_brand"), 12, "_").as("padded"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        length(col("p_name")).as("len"))
+  val stringFuncsSql =
+    """SELECT p_partkey, upper(p_name) AS up, substring(p_name, 1, 5) AS pre5,
+      |  regexp_replace(p_name, 'a', '@', 'g') AS subbed, lpad(p_brand, 12, '_') AS padded,
+      |  concat_ws('|', p_brand, p_type) AS joined, length(p_name) AS len
+      |FROM part WHERE p_partkey < 500""".stripMargin
+
+  /** Date/time function surface over order dates. */
+  val dateFuncs: Q = (s, dir) =>
+    table(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate"))).as("days_to_end"))
+  val dateFuncsSql =
+    """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |  dayofmonth(o_orderdate) AS d, strftime(o_orderdate, '%Y-%m') AS ym,
+      |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end
+      |FROM orders WHERE o_orderkey < 2000""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "skew_salted_join" -> (skewSaltedJoin, Some(skewSaltedJoinSql)),
     "agg_percentiles" -> (aggPercentiles, Some(aggPercentilesSql)),
+    "join_semi_anti" -> (joinSemiAnti, Some(joinSemiAntiSql)),
+    "pivot_status" -> (pivotStatus, Some(pivotStatusSql)),
+    "string_funcs" -> (stringFuncs, Some(stringFuncsSql)),
+    "date_funcs" -> (dateFuncs, Some(dateFuncsSql)),
     "q1_agg" -> (q1Agg, Some(q1AggSql)),
     "q3_top_revenue" -> (q3TopRevenue, Some(q3TopRevenueSql)),
     "q5_region_revenue" -> (q5RegionRevenue, Some(q5RegionRevenueSql)),

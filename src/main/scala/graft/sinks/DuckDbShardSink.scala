@@ -73,7 +73,7 @@ object DuckDbShardSink {
     val metaKinds = metaTypes.map(_._2)
     val nShards = numShards.getOrElse(
       math.max(1, df.agg(max(col("shard_id"))).head.getInt(0) + 1))
-    val sortCols = (Seq("shard_id") ++ orderCols).map(col)
+    val sortCols = (Seq("shard_id") ++ (if (orderCols.isEmpty) Seq("audio.path") else orderCols)).map(col)
     val arranged = df
       .select((Seq(col("audio"), col("duration")) ++ metaNames.map(col) :+ col("shard_id")): _*)
       .repartition(nShards, col("shard_id"))
