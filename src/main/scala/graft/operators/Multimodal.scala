@@ -19,16 +19,26 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("checksum", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false)))
+    StructField("height", IntegerType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
 
   /** STUB decode — deterministic fake standing in for an image/audio decoder:
     * checksum = the engine-portable char-fold over bytes; width/height derived
-    * from length. A real implementation replaces ONLY this function. */
-  def stubDecode(bytes: Array[Byte]): (Int, Long, Int, Int) = {
+    * from length; rms = root-mean-square of the byte values (the
+    * feature-extraction shape: a real decoder computes it over samples).
+    * A real implementation replaces ONLY this function. */
+  def stubDecode(bytes: Array[Byte]): (Int, Long, Int, Int, Double) = {
     var acc = 7L
+    var sq = 0.0
     var i = 0
-    while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
-    (bytes.length, acc, bytes.length % 640, bytes.length % 480)
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      acc = (acc * 31 + b) % 1000000007L
+      sq += b.toDouble * b
+      i += 1
+    }
+    val rms = if (bytes.length == 0) 0.0 else math.sqrt(sq / bytes.length)
+    (bytes.length, acc, bytes.length % 640, bytes.length % 480, rms)
   }
 
   /** Decode a binary column batch-wise. Output: input columns + `decoded`
@@ -46,8 +56,8 @@ object Multimodal {
         val row = converter(internal).asInstanceOf[Row]
         val bytes = row.getAs[Array[Byte]](binIdx)
         val dec = if (bytes == null) null else {
-          val (n, ck, w, h) = stubDecode(bytes)
-          Row(n, ck, w, h)
+          val (n, ck, w, h, rms) = stubDecode(bytes)
+          Row(n, ck, w, h, rms)
         }
         Row.fromSeq(row.toSeq :+ dec)
       }

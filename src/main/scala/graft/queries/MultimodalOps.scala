@@ -22,12 +22,15 @@ object MultimodalOps {
       .select(col("doc_id"),
         col("decoded.n_bytes").as("n_bytes"),
         col("decoded.checksum").as("checksum"),
-        col("decoded.width").as("width"))
+        col("decoded.width").as("width"),
+        round(col("decoded.rms"), 4).as("rms"))
   }
-  // ASCII text ⇒ byte-fold == char-fold, so the oracle can reuse it.
+  // ASCII text ⇒ byte-fold == char-fold and byte values == char codes,
+  // so the oracle can recompute both checksum and rms from the text.
   val mmDecodeSql =
     s"""SELECT doc_id, strlen(text) AS n_bytes, ${charFoldHashSql("text")} AS checksum,
-       |  strlen(text) % 640 AS width
+       |  strlen(text) % 640 AS width,
+       |  round(sqrt(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS DOUBLE) * ascii(c))) / strlen(text)), 4) AS rms
        |FROM documents WHERE doc_id < 500""".stripMargin
 
   /** Frame sampling: 4 consecutive 16-byte slices from each payload; verify

@@ -190,34 +190,16 @@ object ReferenceOps {
       |  FROM orders)
       |GROUP BY shard_id""".stripMargin
 
-  /** §1.3: the schema-inference lattice as a distributed aggregate over the
-    * events JSON props column — per-row type votes merged with
-    * MetadataType.merge (all JSON numbers → Float64). */
+  /** §1.3: the schema-inference lattice as a typed distributed Aggregator
+    * over the events JSON props column — per-row type votes merged map-side
+    * with MetadataType.merge (all JSON numbers → Float64). */
   val schemaInferJson: Q = (s, dir) => {
-    import graft.core.MetadataType
-    val mapperBc = s.sparkContext.broadcast(())
-    val votes = table(s, dir, "events").select(col("props")).rdd
-      .map { row =>
-        val m = new com.fasterxml.jackson.databind.ObjectMapper()
-        val node = try m.readTree(row.getString(0)) catch { case _: Throwable => null }
-        if (node == null || !node.isObject) Map.empty[String, graft.core.MetadataType]
-        else {
-          import scala.jdk.CollectionConverters._
-          node.properties().asScala.flatMap { e =>
-            MetadataType.inferJson(e.getValue).map(e.getKey -> _)
-          }.toMap
-        }
-      }
-      .reduce { (a, b) =>
-        (a.keySet ++ b.keySet).map { k =>
-          k -> ((a.get(k), b.get(k)) match {
-            case (Some(x), Some(y)) => x.merge(y)
-            case (x, y)             => x.orElse(y).get
-          })
-        }.toMap
-      }
     import s.implicits._
-    votes.toSeq.sortBy(_._1).map { case (k, t) => (k, t.name) }.toDF("key", "type")
+    val votes: Seq[(String, String)] = table(s, dir, "events")
+      .select(col("props")).as[String]
+      .select(graft.functions.MetadataTypeAgg.toColumn)
+      .head()
+    votes.toDF("key", "type")
   }
   val schemaInferJsonSql = "SELECT 'k' AS key, 'Float64' AS type"
 

@@ -36,6 +36,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming: events parquet dir through tumbling agg matches batch") {
+    val dir = tmpDir("graft-stream-src")
+    // stage the testdata events as a stream source dir (ts normalized to µs)
+    val batch = graft.queries.Util.eventsWithTs(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val streamed = graft.streaming.EventStream.readEvents(spark, dir.getAbsolutePath)
+    val q = graft.streaming.EventStream.tumblingCounts(streamed)
+      .writeStream.format("memory").queryName("file_tumbling").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_tumbling")
+        .orderBy("hour", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+      val expect = graft.streaming.EventStream.tumblingCounts(batch)
+        .orderBy("hour", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got.nonEmpty && got == expect)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and emits exact aggregates") {
     val s = spark
     import s.implicits._
