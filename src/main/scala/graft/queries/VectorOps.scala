@@ -22,11 +22,12 @@ object VectorOps {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd dot product (graft.functions.VectorDot) — identical
+    * summation order to the portable aggregate/zip_with form and the DuckDB
+    * oracle, so values stay bit-comparable. */
+  private def dot(a: Column, b: Column): Column = graft.functions.VectorDot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private val dotSql = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
 

@@ -68,6 +68,23 @@ class OperatorSpec extends SparkSpec {
     assert(r == 304891L) // pinned against the DuckDB list_reduce oracle form
   }
 
+  test("vector dot: native expression matches the portable fold bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 0.5, -1.0))).toDF("a", "b")
+    val native = df.select(graft.functions.VectorDot(col("a"), col("b"))).head().getDouble(0)
+    val portable = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .head().getDouble(0)
+    assert(native == 2.0 && portable == native)
+    // null element contributes 0; null array → null
+    val withNulls = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](5.0, 7.0)))
+      .toDF("a", "b")
+    assert(withNulls.select(graft.functions.VectorDot(col("a"), col("b"))).head().getDouble(0) == 5.0)
+    val nullArr = df.select(graft.functions.VectorDot(lit(null).cast("array<double>"), col("b")))
+    assert(nullArr.head().isNullAt(0))
+  }
+
   test("optimizer rule rewrites the portable char-fold into CharFoldHash") {
     val s = spark
     import s.implicits._
