@@ -142,7 +142,51 @@ object VectorOps {
        |GROUP BY e.label""".stripMargin
   }
 
+  /** The full ANN query path: sign-LSH bucket join (candidates = vectors in
+    * the query's bucket) → exact cosine re-rank → top-3. The approximate
+    * structure is itself deterministic, so even this is oracle-checkable.
+    * At 100 TB: bucket join shuffles (bucket, vec) pairs; re-rank only
+    * touches bucket-local candidates. */
+  val annLshTopk: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val bits = (0 until 8).map { i =>
+      when(element_at(col("v"), 2 * i + 1) - element_at(col("v"), 2 * i + 2) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = emb.withColumn("bucket", bits).withColumn("nrm", norm(col("v")))
+    val q = bucketed.filter(col("vec_id") < 5)
+      .select(col("bucket"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = bucketed
+      .select(col("bucket"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = q.join(cand, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 4).as("cosine"))
+  }
+  val annLshTopkSql = {
+    val bits = (0 until 8).map { i =>
+      s"CASE WHEN CAST(embedding[${2 * i + 1}] AS DOUBLE) - CAST(embedding[${2 * i + 2}] AS DOUBLE) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST($bits AS BIGINT) AS bucket,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) / (q.nrm * c.nrm) AS cos
+       |  FROM emb q JOIN emb c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank, cos
+       |  FROM scored)
+       |SELECT q_id, c_id, rank, round(cos, 4) AS cosine FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "ann_lsh_topk" -> (annLshTopk, Some(annLshTopkSql)),
     "ann_brute_cosine" -> (annBruteCosine, Some(annBruteCosineSql)),
     "dedup_embedding" -> (dedupEmbedding, Some(dedupEmbeddingSql)),
     "ann_lsh_buckets" -> (annLshBuckets, Some(annLshBucketsSql)),
