@@ -71,7 +71,7 @@ object VectorOps {
     val b = emb.select(col("label"), col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
     a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
       .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
-      .filter(col("cos") > 0.9)
+      .filter(col("cos") > 0.3)
       .select(col("label"), col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
   }
   val dedupEmbeddingSql =
@@ -82,7 +82,7 @@ object VectorOps {
       |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
       |  round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cosine
       |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) > 0.9""".stripMargin
+      |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) > 0.3""".stripMargin
 
   /** Sign-LSH bucketing: 8-bit signature from the signs of fixed coordinate
     * contrasts (a deterministic stand-in for random hyperplanes — portable to
