@@ -129,10 +129,13 @@ object Analytics {
     * the streaming variant is graft.streaming.EventStream). */
   val eventsTumbling: Q = (s, dir) =>
     eventsWithTs(s, dir)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      // epoch-seconds output: integer-exact across engines (a raw timestamp
+      // column risks µs-vs-ns representation skew in the comparator)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
   val eventsTumblingSql =
-    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Sessionization in batch: 30-minute inactivity gaps via lag + cumulative
