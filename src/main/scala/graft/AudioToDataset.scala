@@ -101,14 +101,18 @@ object AudioToDataset {
       maxDepth = arg("max-depth-size").map(_.toInt).getOrElse(AudioScan.DefaultMaxDepth),
       checkMimeType = args.contains("--check-mime-type"),
       parquetCompression = arg("parquet-compression").getOrElse("snappy"))
+    // --num-threads mirrors the reference's rayon pool size (src/main.rs:79-81);
+    // in Spark terms it sizes local parallelism + shuffle partitions.
+    val numThreads = arg("num-threads").map(_.toInt)
     val builder = SparkSession.builder()
       .appName("audios-to-dataset-spark")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        numThreads.map(_.toString).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
     // Under spark-submit the master comes from the launcher; standalone runs
     // (sbt runMain, plain java -jar) default to all local cores.
     if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
-      builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      builder.master(numThreads.map(n => s"local[$n]")
+        .getOrElse(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
     val spark = builder.getOrCreate()
     try run(spark, cfg) finally spark.stop()
   }

@@ -270,7 +270,24 @@ object Analytics {
       |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end
       |FROM orders WHERE o_orderkey < 2000""".stripMargin
 
+  /** ntile histogram: quartile buckets of event value per type. */
+  val windowNtile: Q = (s, dir) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    table(s, dir, "events")
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("event_type"), col("quartile"))
+      .agg(count(lit(1)).as("n"), round(min(col("value")), 2).as("lo"),
+        round(max(col("value")), 2).as("hi"))
+  }
+  val windowNtileSql =
+    """SELECT event_type, quartile, count(*) AS n, round(min(value), 2) AS lo, round(max(value), 2) AS hi
+      |FROM (SELECT event_type, value,
+      |        ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+      |      FROM events)
+      |GROUP BY event_type, quartile""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "window_ntile" -> (windowNtile, Some(windowNtileSql)),
     "skew_salted_join" -> (skewSaltedJoin, Some(skewSaltedJoinSql)),
     "agg_percentiles" -> (aggPercentiles, Some(aggPercentilesSql)),
     "join_semi_anti" -> (joinSemiAnti, Some(joinSemiAntiSql)),

@@ -238,7 +238,20 @@ object TextOps {
        |  SELECT doc_id, $ws FROM (SELECT doc_id, $hs AS hs FROM documents))""".stripMargin
   }
 
+  /** Content-hash exact dedup over BINARY payloads (the audio-bytes shape):
+    * sha256 of the bytes as the dedup key — cryptographic, collision-safe at
+    * 100 TB, and shuffle keys are 32-byte digests instead of whole blobs. */
+  val dedupSha256: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .groupBy(sha2(col("payload"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+  val dedupSha256Sql =
+    """SELECT sha256(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "dedup_sha256" -> (dedupSha256, Some(dedupSha256Sql)),
     "text_tokens" -> (textTokens, Some(textTokensSql)),
     "text_quality" -> (textQuality, Some(textQualitySql)),
     "text_langid" -> (textLangid, Some(textLangidSql)),
