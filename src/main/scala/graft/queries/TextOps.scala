@@ -120,7 +120,9 @@ object TextOps {
     * pair enumeration. Restricted to doc_id<400 to bound the oracle's cost;
     * the unbounded variant is the bench path. */
   val dedupNgramJaccard: Q = (s, dir) => {
-    val sh = shingleRows(s, dir, Some(400))
+    // persist: the inverted index feeds BOTH sides of the self-join and the
+    // per-doc counts — without it the shingle window recomputes three times
+    val sh = shingleRows(s, dir, Some(400)).persist()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inv = sh.join(counts, Seq("doc_id"))
     val a = inv.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("shingle"))

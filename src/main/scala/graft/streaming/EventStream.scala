@@ -32,6 +32,15 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact deduplication: drop repeated `event_id`s with state
+    * bounded by the watermark — the streaming form of the pipeline's exact
+    * dedup (late duplicates beyond the horizon age out of state instead of
+    * accumulating forever). */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, value: Double)

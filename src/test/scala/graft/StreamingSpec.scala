@@ -57,6 +57,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = graft.streaming.EventStream.streamingDedup(events)
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts(1), 1L, "click", 1.0, "{}"),
+        (1L, ts(2), 1L, "click", 1.0, "{}"), // duplicate id, same batch
+        (2L, ts(3), 1L, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      mem.addData((1L, ts(4), 1L, "click", 1.0, "{}")) // duplicate id, later batch
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and emits exact aggregates") {
     val s = spark
     import s.implicits._
