@@ -41,6 +41,24 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming → shard-sink bridge: each micro-batch is written as exact-name
+    * shards under `outDir/batch={id}/` via foreachBatch — how the audio
+    * pipeline's sink composes with a continuous ingest at scale (one shard
+    * set per micro-batch; the batch id makes restarts idempotent). */
+  def shardSinkQuery(
+      records: DataFrame,
+      outDir: String,
+      filesPerShard: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    records.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val sharded = graft.operators.Sharding.shardConsecutiveByKey(
+          batch.withColumn("_order", org.apache.spark.sql.functions.col("audio.path")),
+          "_order", filesPerShard).drop("_order")
+        graft.sinks.ParquetShardSink.writeShards(
+          sharded, s"$outDir/batch=$batchId", orderCols = Seq("audio.path"))
+      }
+    }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, value: Double)

@@ -168,6 +168,35 @@ class PipelineSpec extends SparkSpec {
     assert(df.head().getAs[String]("transcription") == "first")
   }
 
+  test("parquet compression options: mapping incl. lzo/lz4 fallbacks; files readable") {
+    import graft.sinks.ParquetShardSink.codec
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName._
+    assert(codec("snappy") == SNAPPY && codec("uncompressed") == UNCOMPRESSED)
+    assert(codec("lzo") == SNAPPY)   // reference fallback src/main.rs:575
+    assert(codec("lz4") == LZ4_RAW)  // reference fallback src/main.rs:577
+    assert(codec("gzip") == GZIP && codec("zstd") == ZSTD && codec("lz4raw") == LZ4_RAW)
+    intercept[IllegalArgumentException](codec("bogus"))
+    for (c <- Seq("gzip", "zstd", "uncompressed")) {
+      val in = tmpDir("graft-in"); val out = tmpDir(s"graft-out-$c")
+      writeFile(in, "a.wav", Wav.synthWav(8000, 8000))
+      AudioToDataset.run(spark, AudioToDataset.Config(
+        in.getAbsolutePath, out.getAbsolutePath, parquetCompression = c))
+      val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+      assert(df.head().getAs[Double]("duration") == 1.0, s"compression $c")
+    }
+  }
+
+  test("max depth filter drops deeply nested files end-to-end") {
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    writeFile(in, "top.wav", Wav.synthWav(8000, 8000))
+    writeFile(in, "a/b/c/deep.wav", Wav.synthWav(8000, 8000))
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      in.getAbsolutePath, out.getAbsolutePath, maxDepth = 2))
+    val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    assert(df.count() == 1)
+    assert(df.head().getAs[Row]("audio").getAs[String]("path") == "top.wav")
+  }
+
   test("duckdb sink SQL generation matches the reference DDL/INSERT shape") {
     val types = Seq(
       "snr" -> MFloat64, "tags" -> MList(MString),

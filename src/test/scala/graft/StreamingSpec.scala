@@ -78,6 +78,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch bridge writes exact-name shards per micro-batch; typed facade reads back") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = tmpDir("graft-stream-sink")
+    val mem = MemoryStream[(String, Int, String, Double, String)]
+    val records = mem.toDF().toDF("bytes_s", "sr", "path", "duration", "transcription")
+      .select(
+        struct(encode(col("bytes_s"), "UTF-8").as("bytes"), col("sr").as("sampling_rate"),
+          col("path")).as("audio"),
+        col("duration"), col("transcription"))
+    val q = graft.streaming.EventStream
+      .shardSinkQuery(records, outDir.getAbsolutePath, filesPerShard = 2)
+      .option("checkpointLocation", tmpDir("graft-ckpt").getAbsolutePath)
+      .start()
+    try {
+      mem.addData(
+        ("aa", 8000, "a.wav", 1.0, "ta"), ("bb", 8000, "b.wav", 2.0, "tb"),
+        ("cc", 8000, "c.wav", 3.0, "tc"))
+      q.processAllAvailable()
+      val batch0 = new java.io.File(outDir, "batch=0")
+      val files = batch0.list().filterNot(_.startsWith(".")).sorted.toSeq
+      assert(files == Seq("0.parquet", "1.parquet"))
+      val typed = graft.core.AudioRecord.fromFrame(
+        spark.read.parquet(batch0.getAbsolutePath))
+      val recs = typed.collect().sortBy(_.audio.path)
+      assert(recs.map(_.audio.path).toSeq == Seq("a.wav", "b.wav", "c.wav"))
+      assert(recs.head.transcription == "ta" && recs.head.duration == 1.0)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and emits exact aggregates") {
     val s = spark
     import s.implicits._
