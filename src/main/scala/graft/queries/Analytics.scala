@@ -286,7 +286,43 @@ object Analytics {
       |      FROM events)
       |GROUP BY event_type, quartile""".stripMargin
 
+  /** TPC-H Q6 shape: pure filter-aggregate; every predicate reaches the
+    * parquet scan as a pushed filter (date range, discount band, quantity). */
+  val q6FilterAgg: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+  val q6FilterAggSql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Correlated scalar subquery: orders priced above their customer's average. */
+  val correlatedSubquery: Q = (s, dir) => {
+    val o = table(s, dir, "orders")
+    val avgPer = o.groupBy(col("o_custkey").as("k"))
+      .agg(avg(col("o_totalprice")).as("cust_avg"))
+    o.join(avgPer, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        round(col("cust_avg"), 2).as("cust_avg"))
+  }
+  val correlatedSubquerySql =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+      |  round(cust_avg, 2) AS cust_avg
+      |FROM (
+      |  SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      |  FROM orders)
+      |WHERE o_totalprice > cust_avg * 1.5""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "q6_filter_agg" -> (q6FilterAgg, Some(q6FilterAggSql)),
+    "correlated_subquery" -> (correlatedSubquery, Some(correlatedSubquerySql)),
     "window_ntile" -> (windowNtile, Some(windowNtileSql)),
     "skew_salted_join" -> (skewSaltedJoin, Some(skewSaltedJoinSql)),
     "agg_percentiles" -> (aggPercentiles, Some(aggPercentilesSql)),
