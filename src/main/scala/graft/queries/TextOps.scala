@@ -252,7 +252,31 @@ object TextOps {
     """SELECT sha256(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Dedup clusters: n-gram-Jaccard candidate pairs (doc_id<400, ≥0.2) fed
+    * through connected components — every doc gets a canonical id (min id of
+    * its duplicate cluster; singletons map to themselves). The oracle
+    * recomputes components with a recursive CTE. */
+  val dedupClusters: Q = (s, dir) => {
+    val edges = dedupNgramJaccard(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = table(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id").as("id"))
+    graft.operators.ConnectedComponents.run(nodes, edges)
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+  }
+  val dedupClustersSql =
+    s"""WITH RECURSIVE pairs AS (${dedupNgramJaccardSql.replace("\n", "\n  ")}),
+       |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |        UNION SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 400),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
+       |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
     "dedup_sha256" -> (dedupSha256, Some(dedupSha256Sql)),
     "text_tokens" -> (textTokens, Some(textTokensSql)),
     "text_quality" -> (textQuality, Some(textQualitySql)),
