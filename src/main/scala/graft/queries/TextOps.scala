@@ -275,7 +275,64 @@ object TextOps {
        |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
        |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin
 
+  /** Deterministic train/val/test split: bucket = content hash mod 100 →
+    * 80/10/10. Content-keyed (not row-keyed) so duplicates land in the same
+    * split — the leakage-safe way to split training corpora; fully
+    * reproducible across engines and runs. */
+  val sampleSplit: Q = (s, dir) => {
+    val bucket = pmod(charFoldHash(col("text")), lit(100))
+    table(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+  }
+  val sampleSplitSql = {
+    val bucket = s"(${charFoldHashSql("text")} % 100 + 100) % 100"
+    s"""SELECT lang,
+       |  CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n, min(doc_id) AS first_doc
+       |FROM documents GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Size-bounded shard packing: consecutive docs (in id order) packed into
+    * shards capped at ~4 KB of text each via cumulative-sum bucketing — the
+    * byte-budget variant of X1's count-based chunking. */
+  val shardBySize: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    table(s, dir, "documents")
+      .withColumn("cum_bytes", sum(col("n_chars")).over(w))
+      .withColumn("shard_id", floor((col("cum_bytes") - 1) / 4096).cast("int"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_bytes"),
+        min(col("doc_id")).as("min_doc"))
+  }
+  val shardBySizeSql =
+    """SELECT shard_id, count(*) AS n_docs, sum(n_chars) AS shard_bytes, min(doc_id) AS min_doc
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    CAST(floor((sum(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 4096) AS INT) AS shard_id
+      |  FROM documents)
+      |GROUP BY shard_id""".stripMargin
+
+  /** Text normalization: lowercase, strip punctuation, collapse whitespace —
+    * the canonical pre-dedup cleanup pass. */
+  val textNormalize: Q = (s, dir) =>
+    table(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(concat(col("text"), lit("  MIXED.case, punct!"))), "[^a-z0-9 ]", ""),
+          " +", " ")).as("normalized"))
+  val textNormalizeSql =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text || '  MIXED.case, punct!'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS normalized
+      |FROM documents WHERE doc_id < 300""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "sample_split" -> (sampleSplit, Some(sampleSplitSql)),
+    "shard_by_size" -> (shardBySize, Some(shardBySizeSql)),
+    "text_normalize" -> (textNormalize, Some(textNormalizeSql)),
     "dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
     "dedup_sha256" -> (dedupSha256, Some(dedupSha256Sql)),
     "text_tokens" -> (textTokens, Some(textTokensSql)),
