@@ -301,24 +301,35 @@ object Analytics {
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
-  /** Correlated scalar subquery: orders priced above their customer's average. */
+  /** Correlated scalar subquery: orders priced above 1.5× their customer's
+    * average. Monetary values aggregate as EXACT integer cents and the
+    * threshold compares in integer arithmetic (price*cnt*2 > sum*3) — a
+    * float average is order-dependent in its last ulp, which flips rounded
+    * outputs between engines on knife-edge rows. */
   val correlatedSubquery: Q = (s, dir) => {
     val o = table(s, dir, "orders")
-    val avgPer = o.groupBy(col("o_custkey").as("k"))
-      .agg(avg(col("o_totalprice")).as("cust_avg"))
-    o.join(avgPer, col("o_custkey") === col("k"))
-      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+    val per = o.groupBy(col("o_custkey").as("k"))
+      .agg(sum(col("cents")).as("sum_c"), count(lit(1)).as("cnt"))
+    o.join(per, col("o_custkey") === col("k"))
+      .filter(col("cents") * col("cnt") * 2 > col("sum_c") * 3)
       .select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice"), 2).as("price"),
-        round(col("cust_avg"), 2).as("cust_avg"))
+        // half-up to whole cents in INTEGER arithmetic: Spark's round()
+        // (decimal-string HALF_UP) and DuckDB's (binary-nearest) disagree on
+        // .xx5 knife edges; floor((2s+n)/2n) is bit-deterministic in both
+        (floor((col("sum_c") * 2 + col("cnt")) / (col("cnt") * 2)) / 100.0).as("cust_avg"))
   }
   val correlatedSubquerySql =
     """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
-      |  round(cust_avg, 2) AS cust_avg
+      |  floor((sum_c * 2 + cnt) / (cnt * 2)) / 100.0 AS cust_avg
       |FROM (
-      |  SELECT *, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      |  SELECT *,
+      |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (PARTITION BY o_custkey) AS sum_c,
+      |    count(*) OVER (PARTITION BY o_custkey) AS cnt,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
       |  FROM orders)
-      |WHERE o_totalprice > cust_avg * 1.5""".stripMargin
+      |WHERE cents * cnt * 2 > sum_c * 3""".stripMargin
 
   def defs: Map[String, (Q, Option[String])] = Map(
     "q6_filter_agg" -> (q6FilterAgg, Some(q6FilterAggSql)),
