@@ -29,8 +29,6 @@ object VectorOps {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private val dotSql = "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))"
-
   /** Brute-force cosine top-k: 5 query vectors (vec_id < 5) against the whole
     * table; rank by cosine desc with vec_id tie-break; k=5. */
   val annBruteCosine: Q = (s, dir) => {

@@ -46,16 +46,12 @@ object Util {
       s"list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
-  /** Word 3-gram shingles of a whitespace-tokenized text column (Spark side):
-    * shingle i = tokens[i] ' ' tokens[i+1] ' ' tokens[i+2], 0-based.
-    * Empty result for texts with <3 tokens. */
-  def shingles3(tokens: Column): Column =
-    when(size(tokens) >= 3,
-      transform(sequence(lit(0), size(tokens) - 3),
-        i => concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2), element_at(tokens, i + 3))))
-      .otherwise(array().cast("array<string>"))
+  // NOTE: the Spark-side shingling lives in TextOps.shingleRows
+  // (posexplode + lead) — an array-lambda formulation with element_at(tokens, i)
+  // re-evaluates the split per element and must not come back.
 
-  /** DuckDB equivalent of [[shingles3]] over `string_split(expr, ' ')`. */
+  /** DuckDB word-3-gram shingles over `string_split(expr, ' ')` — the oracle
+    * twin of TextOps.shingleRows. */
   def shingles3Sql(tokensExpr: String): String =
     s"CASE WHEN len($tokensExpr) >= 3 THEN " +
       s"list_transform(range(1, len($tokensExpr) - 1), " +
