@@ -197,6 +197,20 @@ class PipelineSpec extends SparkSpec {
     assert(df.head().getAs[Row]("audio").getAs[String]("path") == "top.wav")
   }
 
+  test("audio exploder: dataset → files round trip preserves bytes and tree") {
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out"); val back = tmpDir("graft-back")
+    val wavA = Wav.synthWav(16000, 8000)
+    val wavB = Wav.synthWav(8000, 4000)
+    writeFile(in, "a.wav", wavA)
+    writeFile(in, "sub/b.wav", wavB)
+    AudioToDataset.run(spark, AudioToDataset.Config(in.getAbsolutePath, out.getAbsolutePath))
+    val ds = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    graft.sinks.AudioExploder.explode(ds, back.getAbsolutePath)
+    val aBytes = java.nio.file.Files.readAllBytes(new java.io.File(back, "a.wav").toPath)
+    val bBytes = java.nio.file.Files.readAllBytes(new java.io.File(back, "sub/b.wav").toPath)
+    assert(aBytes.sameElements(wavA) && bBytes.sameElements(wavB))
+  }
+
   test("duckdb sink SQL generation matches the reference DDL/INSERT shape") {
     val types = Seq(
       "snr" -> MFloat64, "tags" -> MList(MString),
