@@ -331,7 +331,29 @@ object Analytics {
       |  FROM orders)
       |WHERE cents * cnt * 2 > sum_c * 3""".stripMargin
 
+  /** Column statistics (the ANALYZE shape a planner feeds on): min/max,
+    * null count, exact distinct count per key column — one scan, partial
+    * aggregation map-side. */
+  val tableStats: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("rows"),
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        sum(when(col("l_returnflag").isNull, 1).otherwise(0)).as("rf_nulls"),
+        countDistinct(col("l_orderkey")).as("orderkey_ndv"),
+        countDistinct(col("l_returnflag")).as("rf_ndv"),
+        round(min(col("l_extendedprice")), 2).as("price_min"),
+        round(max(col("l_extendedprice")), 2).as("price_max"))
+  val tableStatsSql =
+    """SELECT count(*) AS rows, min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+      |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS rf_nulls,
+      |  count(DISTINCT l_orderkey) AS orderkey_ndv, count(DISTINCT l_returnflag) AS rf_ndv,
+      |  round(min(l_extendedprice), 2) AS price_min, round(max(l_extendedprice), 2) AS price_max
+      |FROM lineitem""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "table_stats" -> (tableStats, Some(tableStatsSql)),
     "q6_filter_agg" -> (q6FilterAgg, Some(q6FilterAggSql)),
     "correlated_subquery" -> (correlatedSubquery, Some(correlatedSubquerySql)),
     "window_ntile" -> (windowNtile, Some(windowNtileSql)),
