@@ -352,7 +352,50 @@ object Analytics {
       |  round(min(l_extendedprice), 2) AS price_min, round(max(l_extendedprice), 2) AS price_max
       |FROM lineitem""".stripMargin
 
+  /** Full outer join: supplier vs customer per-nation counts, null-safe. */
+  val joinFullOuter: Q = (s, dir) => {
+    val sn = table(s, dir, "supplier").groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    val cn = table(s, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+    sn.join(cn, col("nk_s") === col("nk_c"), "full_outer")
+      .select(coalesce(col("nk_s"), col("nk_c")).as("nationkey"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+  }
+  val joinFullOuterSql =
+    """SELECT COALESCE(nk_s, nk_c) AS nationkey,
+      |  COALESCE(n_supp, 0) AS n_supp, COALESCE(n_cust, 0) AS n_cust
+      |FROM (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      |FULL OUTER JOIN (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |ON nk_s = nk_c""".stripMargin
+
+  /** Sorted collect aggregation: per-customer ordered order-key lists
+    * (collect_list is unordered in a distributed agg — sort_array pins it). */
+  val aggCollect: Q = (s, dir) =>
+    table(s, dir, "orders").filter(col("o_custkey") < 100)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+        count(lit(1)).as("n"))
+  val aggCollectSql =
+    """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys, count(*) AS n
+      |FROM orders WHERE o_custkey < 100 GROUP BY o_custkey""".stripMargin
+
+  /** TPC-H Q18 shape: HAVING over a grouped sum. */
+  val aggHaving: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("total_qty") > 150)
+  val aggHavingSql =
+    """SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
+      |FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "join_full_outer" -> (joinFullOuter, Some(joinFullOuterSql)),
+    "agg_collect" -> (aggCollect, Some(aggCollectSql)),
+    "agg_having" -> (aggHaving, Some(aggHavingSql)),
     "table_stats" -> (tableStats, Some(tableStatsSql)),
     "q6_filter_agg" -> (q6FilterAgg, Some(q6FilterAggSql)),
     "correlated_subquery" -> (correlatedSubquery, Some(correlatedSubquerySql)),
