@@ -392,7 +392,39 @@ object Analytics {
     """SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
       |FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150""".stripMargin
 
+  /** As-of join: each event picks its user's most recent order at or before
+    * the event time (times as exact epoch µs). Right side deduplicated to one
+    * order per (custkey, time) for determinism. Oracle: DuckDB's native
+    * ASOF JOIN — the composed union+window operator must agree with it. */
+  val joinAsof: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val ordW = Window.partitionBy(col("o_custkey"), col("ot_us")).orderBy(col("o_orderkey").desc)
+    val ord = table(s, dir, "orders")
+      .withColumn("ot_us", unix_micros(col("o_orderdate").cast("timestamp"))) // NTZ → UTC instant
+      .withColumn("_rn", row_number().over(ordW)).filter(col("_rn") === 1).drop("_rn")
+      .select(col("o_custkey").as("user_id"), col("ot_us"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("o_price"))
+    graft.operators.AsOfJoin.asOf(
+      ev, ord, key = "user_id", leftTime = "ts_us", rightTime = "ot_us",
+      payload = Seq("o_orderkey", "o_price"))
+  }
+  val joinAsofSql =
+    """WITH ord AS (
+      |  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS ot_us,
+      |    o_orderkey, round(o_totalprice, 2) AS o_price,
+      |    row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+      |                       ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders),
+      |ord1 AS (SELECT user_id, ot_us, o_orderkey, o_price FROM ord WHERE rn = 1),
+      |ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+      |SELECT ev.event_id, ev.user_id, ev.ts_us,
+      |  ord1.o_orderkey AS asof_o_orderkey, ord1.o_price AS asof_o_price
+      |FROM ev ASOF LEFT JOIN ord1
+      |  ON ev.user_id = ord1.user_id AND ev.ts_us >= ord1.ot_us""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "join_asof" -> (joinAsof, Some(joinAsofSql)),
     "join_full_outer" -> (joinFullOuter, Some(joinFullOuterSql)),
     "agg_collect" -> (aggCollect, Some(aggCollectSql)),
     "agg_having" -> (aggHaving, Some(aggHavingSql)),

@@ -25,7 +25,9 @@ object Util {
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts_us", floor(col("ts") / 1000L))
+        // integer division: ns longs exceed double's 53-bit mantissa, so
+        // floor(ts / 1000) would be off by up to 1 µs
+        df.withColumn("ts_us", expr("ts div 1000"))
           .withColumn("ts", timestamp_micros(col("ts_us")))
       case _ =>
         df.withColumn("ts_us", unix_micros(col("ts")))
