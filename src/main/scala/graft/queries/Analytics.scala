@@ -423,7 +423,27 @@ object Analytics {
       |FROM ev ASOF LEFT JOIN ord1
       |  ON ev.user_id = ord1.user_id AND ev.ts_us >= ord1.ot_us""".stripMargin
 
+  /** Range join: events matched to overlapping value bands (bands derived
+    * from nation keys: [7k, 7k+10.5]). The bucketed equi-join composition
+    * must agree exactly with the oracle's naive BETWEEN join. */
+  val joinRange: Q = (s, dir) => {
+    val points = eventsWithTs(s, dir).select(col("event_id"), col("value"))
+    val bands = table(s, dir, "nation")
+      .select(col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 7.0).as("lo"),
+        (col("n_nationkey") * 7.0 + 10.5).as("hi"))
+    graft.operators.RangeJoin.joinRange(points, "value", bands, "lo", "hi", bucketWidth = 7.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+  }
+  val joinRangeSql =
+    """SELECT n_nationkey AS band_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events JOIN nation
+      |  ON value >= n_nationkey * 7.0 AND value <= n_nationkey * 7.0 + 10.5
+      |GROUP BY 1""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "join_range" -> (joinRange, Some(joinRangeSql)),
     "join_asof" -> (joinAsof, Some(joinAsofSql)),
     "join_full_outer" -> (joinFullOuter, Some(joinFullOuterSql)),
     "agg_collect" -> (aggCollect, Some(aggCollectSql)),
