@@ -68,6 +68,33 @@ class OperatorSpec extends SparkSpec {
     assert(r == 304891L) // pinned against the DuckDB list_reduce oracle form
   }
 
+  test("as-of join: latest right row at or before each left time, per key") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (2L, 5L, "e3"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (2L, 7L, "r@7"))
+      .toDF("k", "rt", "payload")
+    val out = graft.operators.AsOfJoin
+      .asOf(left, right, "k", "t", "rt", Seq("payload"))
+      .orderBy("ev").collect().map(r => (r.getAs[String]("ev"), r.getAs[String]("asof_payload")))
+    // e1 at t=10 matches r@10 (inclusive); e2 picks the later r@15;
+    // e3 at t=5 precedes every right row → null
+    assert(out.toSeq == Seq(("e1", "r@10"), ("e2", "r@15"), ("e3", null)))
+  }
+
+  test("range join: bucketed composition equals naive BETWEEN join") {
+    val s = spark
+    import s.implicits._
+    val points = (0 until 100).map(i => (i.toLong, i * 1.37)).toDF("pid", "v")
+    val ranges = Seq((0L, 5.0, 30.0), (1L, 25.0, 26.0), (2L, 90.0, 200.0)).toDF("rid", "lo", "hi")
+    val bucketed = graft.operators.RangeJoin.joinRange(points, "v", ranges, "lo", "hi", 10.0)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(ranges, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive && naive.nonEmpty)
+  }
+
   test("vector dot: native expression matches the portable fold bit-for-bit") {
     val s = spark
     import s.implicits._
