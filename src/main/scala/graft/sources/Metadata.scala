@@ -31,12 +31,16 @@ object Metadata {
   sealed trait Format
   case object Csv extends Format
   case object Jsonl extends Format
+  case object ParquetMeta extends Format
 
   /** reference: metadata_format_from_path, src/main.rs:266-277 —
-    * `.jsonl`/`.json` → JSONL, anything else (incl. no extension) → CSV. */
+    * `.jsonl`/`.json` → JSONL, anything else (incl. no extension) → CSV.
+    * Engine extension: `.parquet` sidecars (large manifests) load natively. */
   def formatFromPath(path: String): Format = {
     val ext = path.split('.').lastOption.map(_.toLowerCase).getOrElse("")
-    if (ext == "jsonl" || ext == "json") Jsonl else Csv
+    if (ext == "jsonl" || ext == "json") Jsonl
+    else if (ext == "parquet") ParquetMeta
+    else Csv
   }
 
   final case class MetaSchema(types: SortedMap[String, MetadataType]) {
@@ -99,18 +103,56 @@ object Metadata {
     */
   def load(spark: SparkSession, path: String, fmt: Format, schema: MetaSchema): DataFrame = {
     fmt match {
-      case Csv   => loadCsv(spark, path, schema)
-      case Jsonl => loadJsonl(spark, path, schema)
+      case Csv         => loadCsv(spark, path, schema)
+      case Jsonl       => loadJsonl(spark, path, schema)
+      case ParquetMeta => loadParquetMeta(spark, path, schema)
     }
   }
 
   def load(spark: SparkSession, path: String): (DataFrame, MetaSchema) = {
     val fmt = formatFromPath(path)
     val schema = fmt match {
-      case Csv   => inferCsvSchema(spark, path)
-      case Jsonl => inferJsonlSchema(spark, path)
+      case Csv         => inferCsvSchema(spark, path)
+      case Jsonl       => inferJsonlSchema(spark, path)
+      case ParquetMeta => inferParquetSchema(spark, path)
     }
     (load(spark, path, fmt, schema), schema)
+  }
+
+  /** Parquet sidecar: types map into the lattice from the file schema itself
+    * (no data pass) — numerics → Float64, booleans → Bool, arrays → List,
+    * everything else → String, reserved keys dropped. */
+  def inferParquetSchema(spark: SparkSession, path: String): MetaSchema = {
+    def toMeta(dt: org.apache.spark.sql.types.DataType): MetadataType = dt match {
+      case org.apache.spark.sql.types.BooleanType => MBool
+      case t if t.isInstanceOf[org.apache.spark.sql.types.NumericType] => MFloat64
+      case org.apache.spark.sql.types.ArrayType(inner, _) => MList(toMeta(inner))
+      case _ => MString
+    }
+    val fields = spark.read.parquet(path).schema
+      .filterNot(f => f.name == "file_name" || f.name == "relative_path")
+      .map(f => f.name -> toMeta(f.dataType)).toMap
+    withTranscription(fields)
+  }
+
+  private def loadParquetMeta(spark: SparkSession, path: String, schema: MetaSchema): DataFrame = {
+    val raw = spark.read.parquet(path)
+      .withColumn("_meta_line", monotonically_increasing_id())
+    val have = raw.columns.toSet
+    val metaCols = schema.keys.map { k =>
+      val base =
+        if (!have(k)) lit(null)
+        else schema.types(k) match {
+          case MFloat64 => col(k).cast(DoubleType)
+          case MBool    => col(k).cast(BooleanType)
+          case MString  => col(k).cast(StringType)
+          case l: MList => col(k).cast(l.toSpark)
+        }
+      val c = if (k == "transcription") coalesce(base.cast(StringType), lit("-")) else base
+      c.as(k)
+    }
+    keyCols(raw).select(
+      col("relative_path") +: col("file_name") +: col("_meta_line") +: metaCols: _*)
   }
 
   private def keyCols(df: DataFrame): DataFrame = {
