@@ -28,22 +28,28 @@ object ConnectedComponents {
       .distinct()
       .persist()
     sym.count() // materialize once; reused every round
-    var labels = nodes.select(col("id")).distinct().withColumn("comp", col("id")).persist()
+    var cached = nodes.select(col("id")).distinct().withColumn("comp", col("id")).persist()
+    var labels = cached
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
+      // Fold the convergence check into the label-update aggregate: each id
+      // occurs exactly once in `labels`, so min(prev) recovers its old label
+      // (neighbor rows vote with prev = null). ONE job per round: the agg
+      // materializes the persisted next-labels AND yields the changed count.
       val neigh = sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("comp"))
-      val next = labels.unionAll(neigh)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .select(col("src").as("id"), col("comp"), lit(null).cast(labels.schema("comp").dataType).as("prev"))
+      val next = labels.select(col("id"), col("comp"), col("comp").as("prev"))
+        .unionAll(neigh)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"), min(col("prev")).as("prev"))
         .persist()
-      val changed = next.withColumnRenamed("comp", "next_comp")
-        .join(labels, Seq("id"))
-        .filter(col("next_comp") =!= col("comp"))
-        .limit(1).count() > 0
-      labels.unpersist()
-      labels = next
+      val changed = next
+        .agg(max(when(col("comp") =!= col("prev"), 1).otherwise(0)))
+        .head.getInt(0) > 0
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("comp"))
       converged = !changed
       i += 1
     }

@@ -34,23 +34,53 @@ object Sharding {
       .withColumn("shard_id", spark_partition_id())
   }
 
-  /** Exact consecutive chunking WITHOUT a single-partition window over the
-    * data: global ranks are computed on a SKINNY (key-only) projection with
-    * range-partition + per-partition zipWithIndex (partition sizes are tiny
-    * metadata; order across range partitions is total), then joined back on
-    * the key. The wide rows — audio content at 100 TB — only ever move
-    * through parallel shuffles, never through one task.
+  /** Scalable global cumulative sum: appends `outCol` = running sum of
+    * `valueCol` (cast to long) in ascending `orderCol` order, WITHOUT a
+    * single-partition window. Range-partition on the order key gives a total
+    * order across partitions; per-partition totals (one long per partition)
+    * are collected, prefix-scanned on the driver, and broadcast back as
+    * offsets — the classic two-pass distributed prefix sum. Data rows only
+    * ever move through the one parallel range shuffle.
     */
-  def shardConsecutiveByKey(df: DataFrame, keyCol: String, filesPerShard: Int): DataFrame = {
+  def cumSum(df: DataFrame, orderCol: String, valueCol: Column, outCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val skinny = df.select(col(keyCol)).repartitionByRange(parts, col(keyCol))
-      .sortWithinPartitions(col(keyCol))
-    val ranked = skinny.rdd.zipWithIndex.map { case (row, rank) =>
-      (row.getString(0), (rank / filesPerShard).toInt)
+    val ranged = df
+      .withColumn("_cs_v", valueCol.cast("long"))
+      .repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val rdd = ranged.rdd
+    // pass 1: one long per partition reaches the driver
+    val totals = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.foldLeft(0L)((a, r) => a + r.getLong(r.length - 1)))
+      }
+      .collect().toMap
+    val n = rdd.getNumPartitions
+    val offsets = (0 until n).scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L)).toArray
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    // pass 2: shuffle output is reused; each partition streams with its offset
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bcOffsets.value(pid)
+      it.map { r => acc += r.getLong(r.length - 1); Row.fromSeq(r.toSeq.dropRight(1) :+ acc) }
     }
-    import spark.implicits._
-    val shardMap = ranked.toDF(keyCol, "shard_id")
+    spark.createDataFrame(out,
+      StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false)))
+  }
+
+  /** Exact consecutive chunking WITHOUT a single-partition window over the
+    * data: global ranks are computed on a SKINNY (distinct-key) projection via
+    * [[cumSum]] of 1s, then joined back on the key. The wide rows — audio
+    * content at 100 TB — only ever move through parallel shuffles, never
+    * through one task. Keys are ranked DISTINCT (generic type), so duplicate
+    * key values share a shard instead of multiplying rows through the join.
+    */
+  def shardConsecutiveByKey(df: DataFrame, keyCol: String, filesPerShard: Int): DataFrame = {
+    val ranked = cumSum(df.select(col(keyCol)).distinct(), keyCol, lit(1L), "_rank")
+    val shardMap = ranked.select(col(keyCol),
+      floor((col("_rank") - 1) / filesPerShard).cast("int").as("shard_id"))
     df.join(shardMap, Seq(keyCol))
   }
 }

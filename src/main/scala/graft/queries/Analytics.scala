@@ -142,7 +142,10 @@ object Analytics {
     * sum — the batch twin of flatMapGroupsWithState sessionization. */
   val eventsSessionize: Q = (s, dir) => {
     // Gap arithmetic on exact µs longs (engine-portable); ordering pinned by
-    // (ts_us, event_id) so ties cannot flip between engines.
+    // (ts_us, event_id) so ties cannot flip between engines. session_value
+    // sums INTEGER cents (floor(value*100) is bit-deterministic on the same
+    // IEEE double in both engines; a float sum is summation-order-dependent
+    // in its last ulp and round(·,2) flips on .xx5 knife edges).
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     eventsWithTs(s, dir)
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
@@ -150,14 +153,16 @@ object Analytics {
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(byUser))
       .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100).cast("long")) / 100.0).as("session_value"))
   }
   val eventsSessionizeSql =
-    """SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS session_value
       |FROM (
       |  SELECT user_id, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT user_id, value, ts_us, event_id,
       |      CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
@@ -263,7 +268,9 @@ object Analytics {
         month(col("o_orderdate")).as("m"),
         dayofmonth(col("o_orderdate")).as("d"),
         date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
-        datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate"))).as("days_to_end"))
+        // long, not int: days_to_end goes negative and the comparator's
+        // pandas hash is width-sensitive for negative ints
+        datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate"))).cast("long").as("days_to_end"))
   val dateFuncsSql =
     """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
       |  dayofmonth(o_orderdate) AS d, strftime(o_orderdate, '%Y-%m') AS ym,
@@ -333,21 +340,23 @@ object Analytics {
 
   /** Column statistics (the ANALYZE shape a planner feeds on): min/max,
     * null count, exact distinct count per key column — one scan, partial
-    * aggregation map-side. */
+    * aggregation map-side. Every output is BIGINT-exact or an explicitly
+    * rounded double on BOTH sides (DuckDB sum(int) is HUGEINT, which its
+    * pandas bridge renders as float64 and flips the driver's hash). */
   val tableStats: Q = (s, dir) =>
     table(s, dir, "lineitem")
       .agg(
         count(lit(1)).as("rows"),
-        min(col("l_quantity")).as("qty_min"),
-        max(col("l_quantity")).as("qty_max"),
-        sum(when(col("l_returnflag").isNull, 1).otherwise(0)).as("rf_nulls"),
+        round(min(col("l_quantity")), 2).as("qty_min"),
+        round(max(col("l_quantity")), 2).as("qty_max"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("rf_nulls"),
         countDistinct(col("l_orderkey")).as("orderkey_ndv"),
         countDistinct(col("l_returnflag")).as("rf_ndv"),
         round(min(col("l_extendedprice")), 2).as("price_min"),
         round(max(col("l_extendedprice")), 2).as("price_max"))
   val tableStatsSql =
-    """SELECT count(*) AS rows, min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
-      |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS rf_nulls,
+    """SELECT count(*) AS rows, round(min(l_quantity), 2) AS qty_min, round(max(l_quantity), 2) AS qty_max,
+      |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rf_nulls,
       |  count(DISTINCT l_orderkey) AS orderkey_ndv, count(DISTINCT l_returnflag) AS rf_ndv,
       |  round(min(l_extendedprice), 2) AS price_min, round(max(l_extendedprice), 2) AS price_max
       |FROM lineitem""".stripMargin
@@ -371,14 +380,16 @@ object Analytics {
       |ON nk_s = nk_c""".stripMargin
 
   /** Sorted collect aggregation: per-customer ordered order-key lists
-    * (collect_list is unordered in a distributed agg — sort_array pins it). */
+    * (collect_list is unordered in a distributed agg — sort_array pins it).
+    * The list is emitted as JSON TEXT: the driver comparator hashes scalar
+    * columns only (array cells crash its pandas sort). */
   val aggCollect: Q = (s, dir) =>
     table(s, dir, "orders").filter(col("o_custkey") < 100)
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+      .agg(to_json(sort_array(collect_list(col("o_orderkey")))).as("orderkeys"),
         count(lit(1)).as("n"))
   val aggCollectSql =
-    """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys, count(*) AS n
+    """SELECT o_custkey, CAST(to_json(list(o_orderkey ORDER BY o_orderkey)) AS VARCHAR) AS orderkeys, count(*) AS n
       |FROM orders WHERE o_custkey < 100 GROUP BY o_custkey""".stripMargin
 
   /** TPC-H Q18 shape: HAVING over a grouped sum. */

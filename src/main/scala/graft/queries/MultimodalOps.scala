@@ -34,20 +34,22 @@ object MultimodalOps {
        |FROM documents WHERE doc_id < 500""".stripMargin
 
   /** Frame sampling: 4 consecutive 16-byte slices from each payload; verify
-    * count and per-frame lengths (slices run off the end → shorter tails). */
+    * count and per-frame lengths (slices run off the end → shorter tails).
+    * Lengths emitted as JSON text: the driver comparator hashes scalar
+    * columns only (array cells crash its pandas sort). */
   val mmFrameSample: Q = (s, dir) =>
     table(s, dir, "documents").filter(col("doc_id") < 500)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("doc_id"),
         Multimodal.frameSlices(col("payload"), 4, 16).as("frames"))
       .select(col("doc_id"), size(col("frames")).as("n_frames"),
-        transform(col("frames"), f => length(f)).as("frame_lens"))
+        to_json(transform(col("frames"), f => length(f))).as("frame_lens"))
   val mmFrameSampleSql =
     """SELECT doc_id, 4 AS n_frames,
-      |  list_transform([0,1,2,3], i -> CASE
+      |  CAST(to_json(list_transform([0,1,2,3], i -> CASE
       |    WHEN strlen(text) - i*16 >= 16 THEN 16
       |    WHEN strlen(text) - i*16 > 0 THEN strlen(text) - i*16
-      |    ELSE 0 END) AS frame_lens
+      |    ELSE 0 END)) AS VARCHAR) AS frame_lens
       |FROM documents WHERE doc_id < 500""".stripMargin
 
   def defs: Map[String, (Q, Option[String])] = Map(

@@ -176,11 +176,14 @@ object ReferenceOps {
       |WHERE rn = 1""".stripMargin
 
   /** X1: deterministic chunking — consecutive shards of 500 in key order;
-    * per-shard row counts and key ranges (reference: src/main.rs:714-718). */
+    * per-shard row counts and key ranges (reference: src/main.rs:714-718).
+    * Ranks come from the scale-safe distributed prefix sum
+    * ([[graft.operators.Sharding.cumSum]]) — no single-partition window. */
   val x1ShardAssign: Q = (s, dir) => {
-    val w = Window.orderBy(col("o_orderkey"))
-    table(s, dir, "orders")
-      .withColumn("shard_id", floor((row_number().over(w) - 1) / 500).cast("int"))
+    val ranked = graft.operators.Sharding.cumSum(
+      table(s, dir, "orders").select(col("o_orderkey")), "o_orderkey", lit(1L), "_rank")
+    ranked
+      .withColumn("shard_id", floor((col("_rank") - 1) / 500).cast("int"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
   }

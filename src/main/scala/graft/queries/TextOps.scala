@@ -217,15 +217,21 @@ object TextOps {
 
   /** SimHash (16-bit) over token multiset: per-bit weighted vote of token
     * hashes, assembled into an integer fingerprint. Near-dups share most bits;
-    * banding on the byte halves gives the LSH variant. */
+    * banding on the byte halves gives the LSH variant.
+    *
+    * Shape: explode tokens → hash ONCE per token row → 16 sum-aggregates
+    * (the minhash shape). The earlier array form projected the hash array
+    * into 16 separate `aggregate()` expressions, which CollapseProject
+    * inlines — recomputing every token hash 16×. The groupBy gets map-side
+    * partial aggregation; one shuffle on doc_id of 16 longs per doc. */
   val dedupSimhash: Q = (s, dir) => {
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id"), transform(tokens, t => charFoldHash(t)).as("hs"))
-    val bitCols = (0 until 16).map { i =>
-      aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L)).as(s"w$i")
+    val tok = table(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .select(col("doc_id"), charFoldHash(col("tok")).as("h"))
+    val bitAggs = (0 until 16).map { i =>
+      sum(when(shiftright(col("h"), i) % 2 === 1, 1L).otherwise(-1L)).as(s"w$i")
     }
-    val weighted = docs.select(col("doc_id") +: bitCols: _*)
+    val weighted = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
     val sim = (0 until 16).map(i =>
       when(col(s"w$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
     weighted.select(col("doc_id"), sim.as("simhash"))
@@ -297,18 +303,22 @@ object TextOps {
 
   /** Size-bounded shard packing: consecutive docs (in id order) packed into
     * shards capped at ~4 KB of text each via cumulative-sum bucketing — the
-    * byte-budget variant of X1's count-based chunking. */
+    * byte-budget variant of X1's count-based chunking. The running byte total
+    * is the scale-safe distributed prefix sum
+    * ([[graft.operators.Sharding.cumSum]]) — no single-partition window.
+    * All outputs BIGINT on both sides (DuckDB sum(INT) is HUGEINT, which the
+    * driver comparator types differently). */
   val shardBySize: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-    table(s, dir, "documents")
-      .withColumn("cum_bytes", sum(col("n_chars")).over(w))
+    graft.operators.Sharding.cumSum(
+        table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), "cum_bytes")
       .withColumn("shard_id", floor((col("cum_bytes") - 1) / 4096).cast("int"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("shard_bytes"),
         min(col("doc_id")).as("min_doc"))
   }
   val shardBySizeSql =
-    """SELECT shard_id, count(*) AS n_docs, sum(n_chars) AS shard_bytes, min(doc_id) AS min_doc
+    """SELECT shard_id, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS shard_bytes, min(doc_id) AS min_doc
       |FROM (
       |  SELECT doc_id, n_chars,
       |    CAST(floor((sum(n_chars) OVER (ORDER BY doc_id
