@@ -9,6 +9,13 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// The DuckDB JDBC driver is loaded reflectively by the K2 sink (prod ships
+// it alongside the app jar). For the sink's e2e spec, pick it up from the
+// local cache if present; the spec self-cancels when it is absent.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").get.map(Attributed.blank(_))
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

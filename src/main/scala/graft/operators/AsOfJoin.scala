@@ -34,26 +34,34 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
+    // The payload travels as ONE struct (non-null for every right row), so
+    // last(_, ignoreNulls) carries the whole most-recent right row
+    // atomically — a NULL payload VALUE in the matched row stays NULL, and
+    // multiple payload columns can never mix values from different right
+    // rows (per-column carry would do both).
+    val payloadType = StructType(payload.map(p =>
+      StructField(p, right.schema(p).dataType, nullable = true)))
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
-        leftCols.map(col) ++ payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_r_$p")): _*)
+        leftCols.map(col) :+ lit(null).cast(payloadType).as("_r"): _*)
     val r = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"_r_$p")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("_r"): _*)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(
-        (Seq(col("_k"), col("_t"), col("_side")) ++ leftCols.map(col) ++
-          payload.map(p => last(col(s"_r_$p"), ignoreNulls = true).over(w).as(s"asof_$p"))): _*)
+        (Seq(col("_k"), col("_t"), col("_side")) ++ leftCols.map(col) :+
+          last(col("_r"), ignoreNulls = true).over(w).as("_rbest")): _*)
     carried.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"asof_$p")): _*)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"_rbest.$p").as(s"asof_$p")): _*)
   }
 }

@@ -81,6 +81,9 @@ object DuckDbShardSink {
 
     arranged.foreachPartition { rows: Iterator[Row] =>
       Class.forName("org.duckdb.DuckDBDriver")
+      // Jackson for list→JSON text: full escaping (control chars included),
+      // matching the reference's serde_json Value::to_string (src/main.rs:835-837)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       var conn: java.sql.Connection = null
       var stmt: java.sql.PreparedStatement = null
       var currentShard = Int.MinValue
@@ -125,11 +128,8 @@ object DuckDbShardSink {
                 case (MBool, b: Boolean)  => stmt.setBoolean(pos, b)
                 case (MFloat64, d: Double) => stmt.setDouble(pos, d)
                 case (MList(_), seq: scala.collection.Seq[_]) =>
-                  stmt.setString(pos, seq.map {
-                    case null => "null"
-                    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-                    case x => x.toString
-                  }.mkString("[", ",", "]"))
+                  import scala.jdk.CollectionConverters._
+                  stmt.setString(pos, mapper.writeValueAsString(seq.asJava))
                 case (_, x)               => stmt.setString(pos, x.toString)
               }
             }

@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   *
   * Filters mirrored:
   *   F1 directories — implicit (binaryFile yields only files);
-  *   F2 symlinks   — Hadoop listing resolves links; divergence documented;
+  *   F2 symlinks   — rows reached through a symlink below the input root are
+  *                   dropped (reference walks with NoSymlink, src/main.rs:664):
+  *                   per-row canonical-path check, executor-side, local-fs
+  *                   only (object stores have no symlinks — the filter is
+  *                   skipped for non-file schemes);
   *   F3 depth      — relative-path component count <= maxDepth (src/main.rs:664-666);
   *   F4 sidecar exclusion — drop the metadata file itself (src/main.rs:650-659);
   *   F5 MIME allow-list (opt-in) — magic-byte sniff (src/main.rs:695-707).
@@ -29,7 +33,8 @@ object AudioScan {
       input: String,
       maxDepth: Int = DefaultMaxDepth,
       metadataFile: Option[String] = None,
-      checkMimeType: Boolean = false): DataFrame = {
+      checkMimeType: Boolean = false,
+      excludeSymlinks: Boolean = true): DataFrame = {
     val inputUri = new java.io.File(input).toURI.toString.stripSuffix("/")
     val raw = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -43,6 +48,24 @@ object AudioScan {
       .withColumn("relative_path",
         when(length(col("relative_path")) === 0, col("file_name")).otherwise(col("relative_path")))
       .filter(PathNorm.depthCol(col("relative_path")) <= lit(maxDepth)) // F3
+    // F2: a row whose canonical path differs from canonical(root)/relpath was
+    // reached through a symlink (file or directory) — drop it. The real copy,
+    // if under the root, is still listed via its real path. Local fs only.
+    if (excludeSymlinks && new java.net.URI(inputUri).getScheme == "file") {
+      val rootAbs = new java.io.File(input).getAbsolutePath
+      val rootCanon = new java.io.File(input).getCanonicalPath
+      // below-root suffix unchanged under canonicalization ⇔ no symlink
+      // between the root and the file (symlinks ABOVE the root are fine)
+      val isRealPath = udf { (path: String) =>
+        try {
+          val f = new java.io.File(new java.net.URI(path))
+          val abs = f.getAbsolutePath
+          !abs.startsWith(rootAbs + "/") ||
+            f.getCanonicalPath == rootCanon + abs.substring(rootAbs.length)
+        } catch { case _: Exception => true }
+      }
+      df = df.filter(isRealPath(col("path")))
+    }
     metadataFile.foreach { mf => // F4: match by normalized relpath AND absolute path
       val abs = new java.io.File(mf).getAbsoluteFile.toURI.toString
       val relToInput = {

@@ -75,7 +75,9 @@ object Metadata {
           }.toMap
         }
       }
-      .reduce { (a, b) =>
+      // fold, not reduce: an EMPTY sidecar must yield the transcription-only
+      // schema (the reference treats it as an empty store), not crash
+      .fold(Map.empty[String, Option[MetadataType]]) { (a, b) =>
         (a.keySet ++ b.keySet).map { k =>
           val merged = (a.get(k).flatten, b.get(k).flatten) match {
             case (Some(x), Some(y)) => Some(x.merge(y))

@@ -83,6 +83,23 @@ class OperatorSpec extends SparkSpec {
     assert(out.toSeq == Seq(("e1", "r@10"), ("e2", "r@15"), ("e3", null)))
   }
 
+  test("as-of join: NULL payload values carry atomically with their row") {
+    val s = spark
+    import s.implicits._
+    // The matched (most recent) right row at t=15 has payload a=NULL, b="B2".
+    // A per-column carry would resurrect a=A1 from the OLDER t=10 row and
+    // emit a mixed (A1, B2) row; the whole-row carry must yield (NULL, B2).
+    val left = Seq((1L, 20L, "e1")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, 10L, Some("A1"), Some("B1")),
+      (1L, 15L, None: Option[String], Some("B2"))
+    ).toDF("k", "rt", "a", "b")
+    val out = graft.operators.AsOfJoin
+      .asOf(left, right, "k", "t", "rt", Seq("a", "b")).collect().head
+    assert(out.getAs[String]("asof_a") == null)
+    assert(out.getAs[String]("asof_b") == "B2")
+  }
+
   test("range join: bucketed composition equals naive BETWEEN join") {
     val s = spark
     import s.implicits._
@@ -140,5 +157,23 @@ class OperatorSpec extends SparkSpec {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == graft.plans.CharFoldRewrite)
     }
+  }
+
+  test("char-fold hash: native == portable (split+ascii) for non-BMP text") {
+    val s = spark
+    import s.implicits._
+    // Emoji are routine in LLM corpora: the fold must iterate CODEPOINTS
+    // (split("") never splits a surrogate pair; ascii() yields the first
+    // code point), not UTF-16 units — or minhash/simhash/fingerprint flip
+    // vs the user's written query once the rewrite rule is enabled.
+    val texts = Seq("emoji 😀 end", "ascii only", "кирилица", "混合 🤖 text")
+    val df = texts.toDF("t").repartition(2) // off the LocalRelation fast path
+    val portable = df.select(aggregate(split(col("t"), ""), lit(7L),
+      (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(1000000007L))).collect().map(_.getLong(0))
+    val native = df.select(graft.functions.CharFoldHash(col("t"))).collect().map(_.getLong(0))
+    val interpreted = df.collect().map(r => graft.functions.CharFoldHash.hash(r.getString(0)))
+    assert(portable.toSeq == native.toSeq)
+    assert(native.toSeq == interpreted.toSeq)
+    assert(graft.functions.CharFoldHash.hash("emoji 😀 end") == 260912962L)
   }
 }

@@ -228,6 +228,41 @@ class PipelineSpec extends SparkSpec {
     assert(aBytes.sameElements(wavA) && bBytes.sameElements(wavB))
   }
 
+  test("e2e: EMPTY jsonl sidecar → transcription-only schema, default '-'") {
+    // reference treats an empty metadata file as an empty store; an
+    // RDD.reduce here used to throw 'empty collection'
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    writeFile(in, "e.wav", Wav.synthWav(16000, 8000))
+    val meta = writeText(in, "metadata.jsonl", "")
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      in.getAbsolutePath, out.getAbsolutePath, Some(meta.getAbsolutePath)))
+    val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    assert(df.columns.toSeq == Seq("audio", "duration", "transcription"))
+    assert(df.head().getAs[String]("transcription") == "-")
+  }
+
+  test("symlink filter: files reached through symlinked dirs/files are dropped (F2)") {
+    // reference walks with NoSymlink (src/main.rs:664): a symlinked directory
+    // must not double-ingest its targets, a symlinked file must not ingest
+    import java.nio.file.{Files, Paths}
+    val in = tmpDir("graft-ln-in")
+    val wav = Wav.synthWav(16000, 8000)
+    writeFile(in, "real/a.wav", wav)
+    writeFile(in, "real/b.wav", wav)
+    Files.createSymbolicLink(
+      Paths.get(in.getAbsolutePath, "alias"), Paths.get(in.getAbsolutePath, "real"))
+    Files.createSymbolicLink(
+      Paths.get(in.getAbsolutePath, "c.wav"), Paths.get(in.getAbsolutePath, "real/a.wav"))
+    val withFilter = graft.sources.AudioScan.scan(spark, in.getAbsolutePath)
+      .select("relative_path").collect().map(_.getString(0)).sorted
+    assert(withFilter.toSeq == Seq("real/a.wav", "real/b.wav"))
+    // the divergent follow-links behavior stays available explicitly
+    val noFilter = graft.sources.AudioScan.scan(spark, in.getAbsolutePath,
+      excludeSymlinks = false)
+      .select("relative_path").collect().map(_.getString(0)).sorted
+    assert(noFilter.length > withFilter.length, s"binaryFile followed no links: ${noFilter.toSeq}")
+  }
+
   test("duckdb sink SQL generation matches the reference DDL/INSERT shape") {
     val types = Seq(
       "snr" -> MFloat64, "tags" -> MList(MString),
