@@ -453,7 +453,121 @@ object Analytics {
       |  ON value >= n_nationkey * 7.0 AND value <= n_nationkey * 7.0 + 10.5
       |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q7 shape: bidirectional nation-pair shipping volume by year.
+    * Two independent dimension chains (supplier-nation, customer-nation) hang
+    * off the same fact join; both nation dims broadcast, one fact shuffle. */
+  val q7NationVolume: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val ord = table(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val sup = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val cust = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val n1 = table(s, dir, "nation")
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = table(s, dir, "nation")
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("volume"),
+        count(lit(1)).as("n"))
+  }
+  val q7NationVolumeSql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume, count(*) AS n
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q10 shape: returned-item revenue, top 20 customers. Date filter
+    * pushes to the orders scan; deterministic tie-break on custkey. */
+  val q10ReturnedRevenue: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = table(s, dir, "customer")
+    val nat = table(s, dir, "nation")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+  val q10ReturnedRevenueSql =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q19 shape: disjunction of brand/size/quantity bands — the
+    * OR-of-ANDs must still push the join key and the shared part filter. */
+  val q19Disjunctive: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    val part = table(s, dir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+  val q19DisjunctiveSql =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** Per-group top-k: 3 highest-value orders per market segment — the
+    * rank-then-filter window shape (partitioned window, no global sort). */
+  val topkPerGroup: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+  }
+  val topkPerGroupSql =
+    """SELECT c_mktsegment, rk, o_orderkey, round(o_totalprice, 2) AS price
+      |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY c_mktsegment
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |      FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rk <= 3""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "q7_nation_volume" -> (q7NationVolume, Some(q7NationVolumeSql)),
+    "q10_returned_revenue" -> (q10ReturnedRevenue, Some(q10ReturnedRevenueSql)),
+    "q19_disjunctive" -> (q19Disjunctive, Some(q19DisjunctiveSql)),
+    "topk_per_group" -> (topkPerGroup, Some(topkPerGroupSql)),
     "join_range" -> (joinRange, Some(joinRangeSql)),
     "join_asof" -> (joinAsof, Some(joinAsofSql)),
     "join_full_outer" -> (joinFullOuter, Some(joinFullOuterSql)),

@@ -326,6 +326,29 @@ object TextOps {
       |  FROM documents)
       |GROUP BY shard_id""".stripMargin
 
+  /** BPE tokenization (apply step, fixed merge table — graft.functions.Bpe):
+    * per-doc token count, chars-per-token compression ratio, and the first
+    * word's segmentation as JSON text. The DuckDB oracle is GENERATED from
+    * the same merge table, so the engines cannot drift. */
+  val textBpe: Q = (s, dir) => {
+    import graft.functions.Bpe
+    val firstWord = element_at(split(col("text"), " "), 1)
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        Bpe.tokenCountCol(col("text")).as("n_bpe"),
+        round(length(col("text")).cast("double") / Bpe.tokenCountCol(col("text")), 4)
+          .as("chars_per_token"),
+        to_json(split(Bpe.encodeCol(firstWord), Bpe.Sep)).as("first_word_tokens"))
+  }
+  val textBpeSql = {
+    import graft.functions.Bpe
+    val firstWord = "(string_split(text, ' '))[1]"
+    s"""SELECT doc_id, ${Bpe.tokenCountSql("text")} AS n_bpe,
+       |  round(CAST(length(text) AS DOUBLE) / ${Bpe.tokenCountSql("text")}, 4) AS chars_per_token,
+       |  CAST(to_json(string_split(${Bpe.encodeSql(firstWord)}, chr(1))) AS VARCHAR) AS first_word_tokens
+       |FROM documents""".stripMargin
+  }
+
   /** Text normalization: lowercase, strip punctuation, collapse whitespace —
     * the canonical pre-dedup cleanup pass. */
   val textNormalize: Q = (s, dir) =>
@@ -346,6 +369,7 @@ object TextOps {
     "dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
     "dedup_sha256" -> (dedupSha256, Some(dedupSha256Sql)),
     "text_tokens" -> (textTokens, Some(textTokensSql)),
+    "text_bpe" -> (textBpe, Some(textBpeSql)),
     "text_quality" -> (textQuality, Some(textQualitySql)),
     "text_langid" -> (textLangid, Some(textLangidSql)),
     "text_fingerprint" -> (textFingerprint, Some(textFingerprintSql)),

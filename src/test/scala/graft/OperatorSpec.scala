@@ -159,6 +159,19 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bpe apply: rank-order merges segment deterministically; counts match") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Bpe
+    val df = Seq("the and ing data xyz").toDF("text")
+    val enc = df.select(Bpe.encodeCol(col("text"))).head().getString(0)
+    val words = enc.split(" ").map(_.split(Bpe.Sep).toSeq).toSeq
+    // th+e→the, an+d→and, in+g→ing fully merge; data → [dat, a]; xyz → chars
+    assert(words == Seq(Seq("the"), Seq("and"), Seq("ing"), Seq("dat", "a"), Seq("x", "y", "z")))
+    val n = df.select(Bpe.tokenCountCol(col("text"))).head().getLong(0)
+    assert(n == words.map(_.size).sum)
+  }
+
   test("char-fold hash: native == portable (split+ascii) for non-BMP text") {
     val s = spark
     import s.implicits._

@@ -4,6 +4,7 @@ import graft.functions.Wav
 import graft.sinks.DuckDbShardSink
 import graft.core.{MBool, MFloat64, MList, MString}
 import org.apache.spark.sql.Row
+import scala.jdk.CollectionConverters._
 
 /** End-to-end pipeline tests, mirroring the reference's CLI tests
   * (reference: tests/end_to_end.rs). Each test synthesizes WAV fixtures plus
@@ -176,13 +177,24 @@ class PipelineSpec extends SparkSpec {
     assert(codec("lz4") == LZ4_RAW)  // reference fallback src/main.rs:577
     assert(codec("gzip") == GZIP && codec("zstd") == ZSTD && codec("lz4raw") == LZ4_RAW)
     intercept[IllegalArgumentException](codec("bogus"))
-    for (c <- Seq("gzip", "zstd", "uncompressed")) {
+    for (c <- Seq("gzip", "zstd", "uncompressed", "lz4", "snappy", "lzo")) {
       val in = tmpDir("graft-in"); val out = tmpDir(s"graft-out-$c")
       writeFile(in, "a.wav", Wav.synthWav(8000, 8000))
       AudioToDataset.run(spark, AudioToDataset.Config(
         in.getAbsolutePath, out.getAbsolutePath, parquetCompression = c))
-      val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+      val shard = new java.io.File(out, "0.parquet")
+      val df = spark.read.parquet(shard.getAbsolutePath)
       assert(df.head().getAs[Double]("duration") == 1.0, s"compression $c")
+      // the requested codec (post-fallback) must actually reach the file
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(shard.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        val codecs = reader.getFooter.getBlocks.get(0).getColumns
+          .asScala.map(_.getCodec).toSet
+        assert(codecs == Set(codec(c)), s"compression $c wrote $codecs")
+      } finally reader.close()
     }
   }
 
