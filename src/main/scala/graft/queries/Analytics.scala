@@ -563,7 +563,61 @@ object Analytics {
       |      FROM orders JOIN customer ON o_custkey = c_custkey)
       |WHERE rk <= 3""".stripMargin
 
+  /** CUBE over two dimensions: all grouping-set combinations (rollup's
+    * sibling — completes the grouping-sets surface). */
+  val aggCube: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  val aggCubeSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Forward-fill (last non-null carry-forward) per user over event time —
+    * the canonical gap-filling cleanup in telemetry/training pipelines.
+    * Nulls synthesized deterministically (every 3rd event). Partitioned
+    * window: scales with users, no global ordering. */
+  val windowFillForward: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsWithTs(s, dir).filter(col("event_id") < 2000)
+      .withColumn("v_sparse",
+        when(col("event_id") % 3 === 0, lit(null)).otherwise(round(col("value"), 2)))
+      .withColumn("v_filled", last(col("v_sparse"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("v_sparse"), col("v_filled"))
+  }
+  val windowFillForwardSql =
+    """SELECT event_id, user_id, v_sparse,
+      |  last_value(v_sparse IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM (SELECT event_id, user_id, ts,
+      |        CASE WHEN event_id % 3 = 0 THEN NULL ELSE round(value, 2) END AS v_sparse
+      |      FROM events WHERE event_id < 2000)""".stripMargin
+
+  /** Unpivot (wide → long): per-lineitem measures melted to (metric, val)
+    * rows — the reshaping inverse of pivot_status. */
+  val unpivotMetrics: Q = (s, dir) =>
+    table(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("quantity"),
+        round(col("l_extendedprice"), 2).as("price"),
+        round(col("l_tax"), 2).as("tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("quantity"), col("price"), col("tax")),
+        variableColumnName = "metric", valueColumnName = "val")
+  val unpivotMetricsSql =
+    """SELECT l_orderkey, l_linenumber, metric, val FROM (
+      |  SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS quantity,
+      |         round(l_extendedprice, 2) AS price, round(l_tax, 2) AS tax
+      |  FROM lineitem WHERE l_orderkey < 300)
+      |UNPIVOT (val FOR metric IN (quantity, price, tax))""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "agg_cube" -> (aggCube, Some(aggCubeSql)),
+    "window_fill_forward" -> (windowFillForward, Some(windowFillForwardSql)),
+    "unpivot_metrics" -> (unpivotMetrics, Some(unpivotMetricsSql)),
     "q7_nation_volume" -> (q7NationVolume, Some(q7NationVolumeSql)),
     "q10_returned_revenue" -> (q10ReturnedRevenue, Some(q10ReturnedRevenueSql)),
     "q19_disjunctive" -> (q19Disjunctive, Some(q19DisjunctiveSql)),
