@@ -59,6 +59,32 @@ object EventStream {
       }
     }
 
+  /** Stream-static enrichment: broadcast-join a small dimension frame onto
+    * the stream — the dim is re-resolved per micro-batch, never shuffled
+    * against the stream (the 100 TB/day shape for slowly-changing lookups). */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Watermarked stream-stream join: each `click` pairs with the same user's
+    * `view` at or before it within [[JoinWindowMs]]. Both sides carry
+    * watermarks and the join condition carries the time bound, so state for
+    * BOTH sides is evicted at the horizon — unbounded-state joins never ship.
+    */
+  val JoinWindowMs: Long = 30 * 60 * 1000
+  def correlate(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("view_ts"))
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL ${JoinWindowMs / 1000} SECONDS"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        col("click_ts"), col("view_ts"), col("click_value"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, value: Double)

@@ -109,6 +109,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrich: broadcast dim joins onto the stream per batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = graft.streaming.EventStream.enrich(events, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(1), 1L, "click", 1.0, "{}"), (2L, ts(2), 3L, "view", 2.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("enriched").orderBy("event_id")
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("tier")))
+      assert(got.toSeq == Seq((1L, "gold"), (2L, null))) // left join keeps unmatched
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs clicks with preceding views in-window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val memV = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = graft.streaming.EventStream.correlate(
+        memC.toDF().toDF(cols: _*), memV.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("correlated").outputMode("append").start()
+    try {
+      memV.addData((10L, ts(0), 1L, "view", 0.0, "{}"),   // in window for click@20
+        (11L, ts(100), 2L, "view", 0.0, "{}"))            // AFTER click@25 → no pair
+      memC.addData((20L, ts(20), 1L, "click", 1.0, "{}"),
+        (21L, ts(25), 2L, "click", 2.0, "{}"),
+        (22L, ts(55), 1L, "click", 3.0, "{}"))            // view@0 is 55min old → outside 30min
+      q.processAllAvailable()
+      val got = spark.table("correlated").select("click_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == Seq((20L, 10L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and emits exact aggregates") {
     val s = spark
     import s.implicits._
