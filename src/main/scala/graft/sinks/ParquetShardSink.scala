@@ -31,6 +31,11 @@ import org.apache.spark.sql.types.StructType
   * Scale: no driver-side loop, no collect — shards stream through executor
   * tasks; at 1000 executors the write is embarrassingly parallel, matching
   * the reference's rayon fan-out (X2) with cluster-wide tasks.
+  *
+  * Deliberate divergence: the reference silently swallows per-row write
+  * errors (`let _ = writer.write(...)`, src/main.rs:849-855), which can drop
+  * rows without a trace. Here a row failure fails the Spark task (and the
+  * job after retries) — at 100 TB silent data loss is worse than a retry.
   */
 object ParquetShardSink {
   val RowGroupRows = 256 // reference: src/main.rs:607
