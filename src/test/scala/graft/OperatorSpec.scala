@@ -49,6 +49,42 @@ class OperatorSpec extends SparkSpec {
     assert(ranged.select("shard_id").distinct().count() == 4)
   }
 
+  test("cumSum: distributed prefix sum equals the window oracle; ranks whole-df") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random values (incl. zeros), keys shuffled across
+    // input partitions, non-string order key — exercises the range
+    // repartition + offset-broadcast path end to end
+    val n = 1000
+    val df = (0 until n).map(i => ((i * 7919) % n, (i % 13).toLong))
+      .toDF("k", "v").repartition(8)
+    val got = Sharding.cumSum(df, "k", col("v"), "cum")
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(2)))
+    val oracle = df.orderBy("k").collect().map(_.getLong(1))
+      .scanLeft(0L)(_ + _).tail
+    assert(got.map(_._2).toSeq == oracle.toSeq)
+    assert(got.map(_._1).toSeq == (0 until n)) // every row kept, ordered
+    // rank = cumSum of ones; duplicate keys in the data each get a rank
+    val ranks = Sharding.cumSum(df, "k", lit(1L), "r")
+      .agg(min(col("r")), max(col("r")), count(lit(1))).head()
+    assert(ranks.getLong(0) == 1L && ranks.getLong(1) == n.toLong && ranks.getLong(2) == n.toLong)
+  }
+
+  test("shardConsecutiveByKey: duplicate keys share a shard, rows never multiply") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 90).map(i => (f"k${i % 30}%03d", i)).toDF("key", "payload") // 3 rows/key
+    val sharded = Sharding.shardConsecutiveByKey(df, "key", filesPerShard = 10)
+    assert(sharded.count() == 90) // join-back must not multiply duplicates
+    val perShard = sharded.groupBy("shard_id")
+      .agg(countDistinct(col("key")).as("nk"), count(lit(1)).as("nr"))
+      .orderBy("shard_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(perShard == Seq((10L, 30L), (10L, 30L), (10L, 30L))) // 30 distinct keys / 10 per shard
+    // a key's rows all land in ONE shard
+    assert(sharded.groupBy("key").agg(countDistinct(col("shard_id")).as("ns"))
+      .filter(col("ns") > 1).count() == 0)
+  }
+
   test("multimodal decode: stub kernel over binary column, null-safe") {
     val s = spark
     import s.implicits._
