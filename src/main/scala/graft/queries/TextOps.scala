@@ -349,6 +349,35 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  /** PII redaction: mask emails and phone-shaped tokens, count what was
+    * masked (the audit trail) — the training-corpus cleaning staple. PII is
+    * synthesized deterministically onto the text so the patterns actually
+    * fire; patterns use the regex subset common to Java and RE2. */
+  val textRedactPii: Q = (s, dir) => {
+    val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+    val phoneRe = "555-[0-9]{4}"
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    table(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id"), withPii.as("raw"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(raw, '$emailRe', 0)")).as("n_emails"),
+        size(expr(s"regexp_extract_all(raw, '$phoneRe', 0)")).as("n_phones"),
+        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("redacted"))
+  }
+  val textRedactPiiSql =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+      |  len(regexp_extract_all(raw, '555-[0-9]{4}')) AS n_phones,
+      |  regexp_replace(regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |    '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |FROM (SELECT doc_id,
+      |        text || ' contact user' || doc_id || '@example.com or 555-' ||
+      |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      |      FROM documents WHERE doc_id < 400)""".stripMargin
+
   /** Text normalization: lowercase, strip punctuation, collapse whitespace —
     * the canonical pre-dedup cleanup pass. */
   val textNormalize: Q = (s, dir) =>
@@ -370,6 +399,7 @@ object TextOps {
     "dedup_sha256" -> (dedupSha256, Some(dedupSha256Sql)),
     "text_tokens" -> (textTokens, Some(textTokensSql)),
     "text_bpe" -> (textBpe, Some(textBpeSql)),
+    "text_redact_pii" -> (textRedactPii, Some(textRedactPiiSql)),
     "text_quality" -> (textQuality, Some(textQualitySql)),
     "text_langid" -> (textLangid, Some(textLangidSql)),
     "text_fingerprint" -> (textFingerprint, Some(textFingerprintSql)),

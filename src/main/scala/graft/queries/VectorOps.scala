@@ -183,7 +183,40 @@ object VectorOps {
        |SELECT q_id, c_id, rank, round(cos, 4) AS cosine FROM ranked WHERE rank <= 3""".stripMargin
   }
 
+  /** Scalar int8 quantization (the ANN compression step: 4× smaller vectors
+    * before indexing): per-vector scale = max |x|, symmetric half-up
+    * quantize to [-127, 127]. Shape: posexplode → per-vector max via a
+    * partitioned window → quantize → re-aggregate — one shuffle on vec_id,
+    * and the scale is a window ATTRIBUTE so it computes once per vector,
+    * not once per element (projection collapse would inline a projected
+    * scale into the per-element lambda). Verified via integer checksum. */
+  val embedQuantize: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("vec_id"))
+    emb.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .withColumn("mx", max(abs(col("x"))).over(w))
+      .withColumn("q",
+        when(col("mx") === 0, 0L)
+          .otherwise(floor(col("x") * 127.0 / col("mx") + 0.5).cast("long")))
+      .groupBy(col("vec_id"))
+      .agg(round(max(col("mx")), 6).as("scale_max"),
+        sum(col("q")).as("q_checksum"),
+        sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_saturated"))
+  }
+  val embedQuantizeSql =
+    """SELECT vec_id, round(mx, 6) AS scale_max,
+      |  CAST(list_sum(list_transform(v, x ->
+      |    CASE WHEN mx = 0 THEN 0 ELSE CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT) END)) AS BIGINT) AS q_checksum,
+      |  CAST(len(list_filter(v, x ->
+      |    mx <> 0 AND abs(floor(x * 127.0 / mx + 0.5)) = 127)) AS BIGINT) AS n_saturated
+      |FROM (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+      |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings))""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "embed_quantize_int8" -> (embedQuantize, Some(embedQuantizeSql)),
     "ann_lsh_topk" -> (annLshTopk, Some(annLshTopkSql)),
     "ann_brute_cosine" -> (annBruteCosine, Some(annBruteCosineSql)),
     "dedup_embedding" -> (dedupEmbedding, Some(dedupEmbeddingSql)),
