@@ -563,6 +563,35 @@ object Analytics {
       |      FROM orders JOIN customer ON o_custkey = c_custkey)
       |WHERE rk <= 3""".stripMargin
 
+  /** Batch twin of the streaming stream-stream interval join
+    * (graft.streaming.EventStream.correlate): each purchase pairs with the
+    * same user's clicks in the preceding 30 minutes. Time bounds in exact µs
+    * longs; the oracle proves the join semantics the watermarked streaming
+    * version implements incrementally. */
+  val eventsCorrelate: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id"), col("ts_us").as("buy_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts_us").as("click_us"))
+    buys.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_us") <= col("buy_us") &&
+          col("click_us") >= col("buy_us") - 1800000000L)
+      .groupBy(col("buy_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
+  }
+  val eventsCorrelateSql =
+    """SELECT b.event_id AS buy_id, b.user_id, count(*) AS n_clicks,
+      |  min(c.event_id) AS first_click
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |      WHERE event_type = 'purchase') b
+      |JOIN (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |      WHERE event_type = 'click') c
+      |  ON b.user_id = c.user_id AND c.ts_us <= b.ts_us
+      | AND c.ts_us >= b.ts_us - 1800000000
+      |GROUP BY 1, 2""".stripMargin
+
   /** CUBE over two dimensions: all grouping-set combinations (rollup's
     * sibling — completes the grouping-sets surface). */
   val aggCube: Q = (s, dir) =>
@@ -615,6 +644,7 @@ object Analytics {
       |UNPIVOT (val FOR metric IN (quantity, price, tax))""".stripMargin
 
   def defs: Map[String, (Q, Option[String])] = Map(
+    "events_correlate" -> (eventsCorrelate, Some(eventsCorrelateSql)),
     "agg_cube" -> (aggCube, Some(aggCubeSql)),
     "window_fill_forward" -> (windowFillForward, Some(windowFillForwardSql)),
     "unpivot_metrics" -> (unpivotMetrics, Some(unpivotMetricsSql)),
