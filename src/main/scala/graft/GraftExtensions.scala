@@ -22,10 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("char_fold_hash"),
-      new ExpressionInfo(classOf[CharFoldHash].getName, "char_fold_hash"),
-      (args: Seq[Expression]) => CharFoldHash(args.head)))
+    Seq(
+      (FunctionIdentifier("char_fold_hash"),
+        new ExpressionInfo(classOf[CharFoldHash].getName, "char_fold_hash"),
+        (args: Seq[Expression]) => CharFoldHash(args.head)),
+      (FunctionIdentifier("vector_dot"),
+        new ExpressionInfo(classOf[graft.functions.VectorDot].getName, "vector_dot"),
+        (args: Seq[Expression]) => graft.functions.VectorDot(args(0), args(1))))
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit =

@@ -102,6 +102,9 @@ class OperatorSpec extends SparkSpec {
     val r = spark.sql("SELECT char_fold_hash('abc') AS h").head().getLong(0)
     assert(r == graft.functions.CharFoldHash.hash("abc"))
     assert(r == 304891L) // pinned against the DuckDB list_reduce oracle form
+    val d = spark.sql("SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 0.5d)) AS d")
+      .head().getDouble(0)
+    assert(d == 4.0)
   }
 
   test("as-of join: latest right row at or before each left time, per key") {
