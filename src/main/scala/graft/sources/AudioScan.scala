@@ -35,7 +35,10 @@ object AudioScan {
       metadataFile: Option[String] = None,
       checkMimeType: Boolean = false,
       excludeSymlinks: Boolean = true): DataFrame = {
-    val inputUri = new java.io.File(input).toURI.toString.stripSuffix("/")
+    // Hadoop Path form (unencoded) — File.toURI percent-encodes spaces and
+    // would never match binaryFile's raw `path` column
+    val inputHPath = new org.apache.hadoop.fs.Path(new java.io.File(input).toURI)
+    val inputUri = inputHPath.toString.stripSuffix("/")
     val raw = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(input)
@@ -51,14 +54,16 @@ object AudioScan {
     // F2: a row whose canonical path differs from canonical(root)/relpath was
     // reached through a symlink (file or directory) — drop it. The real copy,
     // if under the root, is still listed via its real path. Local fs only.
-    if (excludeSymlinks && new java.net.URI(inputUri).getScheme == "file") {
+    if (excludeSymlinks && inputHPath.toUri.getScheme == "file") {
       val rootAbs = new java.io.File(input).getAbsolutePath
       val rootCanon = new java.io.File(input).getCanonicalPath
       // below-root suffix unchanged under canonicalization ⇔ no symlink
-      // between the root and the file (symlinks ABOVE the root are fine)
+      // between the root and the file (symlinks ABOVE the root are fine).
+      // Hadoop Path, not java.net.URI: binaryFile paths are UNencoded, so
+      // URI.create throws on spaces.
       val isRealPath = udf { (path: String) =>
         try {
-          val f = new java.io.File(new java.net.URI(path))
+          val f = new java.io.File(new org.apache.hadoop.fs.Path(path).toUri.getPath)
           val abs = f.getAbsolutePath
           !abs.startsWith(rootAbs + "/") ||
             f.getCanonicalPath == rootCanon + abs.substring(rootAbs.length)
@@ -67,7 +72,10 @@ object AudioScan {
       df = df.filter(isRealPath(col("path")))
     }
     metadataFile.foreach { mf => // F4: match by normalized relpath AND absolute path
-      val abs = new java.io.File(mf).getAbsoluteFile.toURI.toString
+      // Hadoop Path form, not File.toURI: binaryFile's `path` is unencoded,
+      // so a percent-encoding comparison misses paths with spaces
+      val abs = new org.apache.hadoop.fs.Path(
+        new java.io.File(mf).getAbsoluteFile.toURI).toString
       val relToInput = {
         val f = new java.io.File(mf).getAbsolutePath
         val in = new java.io.File(input).getAbsolutePath

@@ -253,6 +253,30 @@ class PipelineSpec extends SparkSpec {
     assert(df.head().getAs[String]("transcription") == "-")
   }
 
+  test("e2e: paths with SPACES scan, join metadata, and exclude correctly") {
+    // binaryFile's `path` column is UNencoded — every path comparison must
+    // use the Hadoop Path form, not File.toURI (percent-encoded)
+    val in = tmpDir("graft-sp in"); val out = tmpDir("graft-sp-out")
+    writeFile(in, "sub dir/my file.wav", Wav.synthWav(16000, 8000))
+    val meta = writeText(in, "metadata.csv",
+      "file_name,transcription,relative_path\nmy file.wav,spaced ok,sub dir/my file.wav\n")
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      in.getAbsolutePath, out.getAbsolutePath, Some(meta.getAbsolutePath)))
+    val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    val rows = df.collect()
+    assert(rows.length == 1) // sidecar excluded despite the spaced root
+    assert(rows.head.getAs[Row]("audio").getAs[String]("path") == "sub dir/my file.wav")
+    assert(rows.head.getAs[String]("transcription") == "spaced ok")
+    // symlink under a spaced root is still excluded
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(in.getAbsolutePath, "link dir"),
+      java.nio.file.Paths.get(in.getAbsolutePath, "sub dir"))
+    val rel = graft.sources.AudioScan.scan(spark, in.getAbsolutePath,
+        metadataFile = Some(meta.getAbsolutePath))
+      .select("relative_path").collect().map(_.getString(0)).toSeq
+    assert(rel == Seq("sub dir/my file.wav"))
+  }
+
   test("symlink filter: files reached through symlinked dirs/files are dropped (F2)") {
     // reference walks with NoSymlink (src/main.rs:664): a symlinked directory
     // must not double-ingest its targets, a symlinked file must not ingest
