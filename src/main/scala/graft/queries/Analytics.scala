@@ -210,6 +210,33 @@ object Analytics {
       |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Approximate aggregation — the 100 TB path next to the exact operators:
+    * t-digest percentile and HLL distinct count. Both are DETERMINISTIC for
+    * fixed data, but not portable to DuckDB, so the query verifies them
+    * IN-PLAN against the exact values and emits the pass/fail booleans; the
+    * oracle recomputes the exact side and expects the bounds to hold. */
+  val approxStats: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_ap"),
+        countDistinct(col("l_orderkey")).as("ndv_exact"),
+        expr("approx_count_distinct(l_orderkey)").as("_andv"))
+      .select(col("l_returnflag"), col("median_exact"),
+        (abs(col("_ap") - col("median_exact")) <= col("median_exact") * 0.01)
+          .as("approx_median_within_1pct"),
+        col("ndv_exact"),
+        // 15% ≈ 3× the default HLL rsd (0.05 is a standard deviation, not a bound)
+        (abs(col("_andv") - col("ndv_exact")) <= col("ndv_exact") * 0.15)
+          .as("approx_ndv_within_15pct"))
+  val approxStatsSql =
+    """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS median_exact,
+      |  TRUE AS approx_median_within_1pct,
+      |  count(DISTINCT l_orderkey) AS ndv_exact,
+      |  TRUE AS approx_ndv_within_15pct
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** Left-semi and left-anti joins: customers with vs without orders. */
   val joinSemiAnti: Q = (s, dir) => {
     val cust = table(s, dir, "customer")
@@ -663,6 +690,7 @@ object Analytics {
     "window_ntile" -> (windowNtile, Some(windowNtileSql)),
     "skew_salted_join" -> (skewSaltedJoin, Some(skewSaltedJoinSql)),
     "agg_percentiles" -> (aggPercentiles, Some(aggPercentilesSql)),
+    "approx_stats" -> (approxStats, Some(approxStatsSql)),
     "join_semi_anti" -> (joinSemiAnti, Some(joinSemiAntiSql)),
     "pivot_status" -> (pivotStatus, Some(pivotStatusSql)),
     "string_funcs" -> (stringFuncs, Some(stringFuncsSql)),
