@@ -570,6 +570,34 @@ object Analytics {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** RANGE-frame window + nth_value: for each order, the count and sum of
+    * the same customer's orders within ±1000.0 of its price (a value-based
+    * frame, not row-based), plus the customer's 2nd-cheapest order price.
+    * Completes the frame surface next to the ROWS frames elsewhere. */
+  val windowRangeFrame: Q = (s, dir) => {
+    val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-1000L, 1000L)
+    val byPriceRows = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(s, dir, "orders").filter(col("o_custkey") < 150)
+      .select(col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(byPrice).as("n_near"),
+        round(sum(col("o_totalprice")).over(byPrice), 2).as("near_total"),
+        round(nth_value(col("o_totalprice"), 2).over(byPriceRows), 2).as("second_cheapest"))
+  }
+  val windowRangeFrameSql =
+    """SELECT o_orderkey, o_custkey,
+      |  count(*) OVER w_range AS n_near,
+      |  round(sum(o_totalprice) OVER w_range, 2) AS near_total,
+      |  round(nth_value(o_totalprice, 2) OVER w_rows, 2) AS second_cheapest
+      |FROM orders WHERE o_custkey < 150
+      |WINDOW
+      |  w_range AS (PARTITION BY o_custkey ORDER BY o_totalprice
+      |              RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING),
+      |  w_rows AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
   /** Per-group top-k: 3 highest-value orders per market segment — the
     * rank-then-filter window shape (partitioned window, no global sort). */
   val topkPerGroup: Q = (s, dir) => {
@@ -679,6 +707,7 @@ object Analytics {
     "q10_returned_revenue" -> (q10ReturnedRevenue, Some(q10ReturnedRevenueSql)),
     "q19_disjunctive" -> (q19Disjunctive, Some(q19DisjunctiveSql)),
     "topk_per_group" -> (topkPerGroup, Some(topkPerGroupSql)),
+    "window_range_frame" -> (windowRangeFrame, Some(windowRangeFrameSql)),
     "join_range" -> (joinRange, Some(joinRangeSql)),
     "join_asof" -> (joinAsof, Some(joinAsofSql)),
     "join_full_outer" -> (joinFullOuter, Some(joinFullOuterSql)),
