@@ -196,6 +196,48 @@ object Analytics {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Salted two-phase aggregation (operators.SkewJoin.saltedCountSum): the
+    * skew-mitigation shape for hot group keys. The oracle is the PLAIN
+    * GROUP BY — proving salting is semantics-preserving. Values aggregate as
+    * integer cents: salting reorders the summation, which is only exact in
+    * integer arithmetic. */
+  val skewSaltedAgg: Q = (s, dir) => {
+    val ev = table(s, dir, "events")
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    graft.operators.SkewJoin.saltedCountSum(ev, "event_type", "cents", factor = 8)
+      .select(col("event_type"), col("n"), (col("sum_value") / 100.0).as("total"))
+  }
+  val skewSaltedAggSql =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS total
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Native session_window sessionization — the Spark-first form of
+    * eventsSessionize (SessionWindow operator handles gap merging inside the
+    * aggregate; one shuffle on user_id). Must agree with the oracle's
+    * lag/cumsum reconstruction of the same 30-minute-gap semantics. */
+  val eventsSessionWindow: Q = (s, dir) =>
+    eventsWithTs(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100).cast("long")) / 100.0).as("session_value"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        col("n_events"), col("session_value"))
+  val eventsSessionWindowSql =
+    """SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
+      |  sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS session_value
+      |FROM (
+      |  SELECT user_id, value, ts_us,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, value, event_id, ts_us,
+      |      CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+      |        OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) >= 1800000000
+      |        THEN 1 ELSE 0 END AS new_session
+      |    FROM (SELECT user_id, value, event_id, epoch_us(ts) AS ts_us FROM events)))
+      |GROUP BY user_id, session_id""".stripMargin
+
   /** Exact interpolated percentiles (median / p90) — Spark `percentile` and
     * DuckDB `quantile_cont` share the linear-interpolation definition. */
   val aggPercentiles: Q = (s, dir) =>
@@ -724,6 +766,8 @@ object Analytics {
     "correlated_subquery" -> (correlatedSubquery, Some(correlatedSubquerySql)),
     "window_ntile" -> (windowNtile, Some(windowNtileSql)),
     "skew_salted_join" -> (skewSaltedJoin, Some(skewSaltedJoinSql)),
+    "skew_salted_agg" -> (skewSaltedAgg, Some(skewSaltedAggSql)),
+    "events_session_window" -> (eventsSessionWindow, Some(eventsSessionWindowSql)),
     "agg_percentiles" -> (aggPercentiles, Some(aggPercentilesSql)),
     "approx_stats" -> (approxStats, Some(approxStatsSql)),
     "join_semi_anti" -> (joinSemiAnti, Some(joinSemiAntiSql)),
