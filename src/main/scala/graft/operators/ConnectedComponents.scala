@@ -28,32 +28,98 @@ object ConnectedComponents {
       .distinct()
       .persist()
     sym.count() // materialize once; reused every round
-    var cached = nodes.select(col("id")).distinct().withColumn("comp", col("id")).persist()
-    var labels = cached
+    var labels = nodes.select(col("id")).distinct().withColumn("comp", col("id"))
+      .localCheckpoint()
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
       // Fold the convergence check into the label-update aggregate: each id
       // occurs exactly once in `labels`, so min(prev) recovers its old label
-      // (neighbor rows vote with prev = null). ONE job per round: the agg
-      // materializes the persisted next-labels AND yields the changed count.
+      // (neighbor rows vote with prev = null). ONE job per round: the lazy
+      // localCheckpoint materializes with the changed-count aggregate, AND
+      // truncates lineage — persist alone keeps the logical plan, which
+      // otherwise doubles per round and blows up plan rendering on
+      // high-diameter graphs.
       val neigh = sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("comp"), lit(null).cast(labels.schema("comp").dataType).as("prev"))
       val next = labels.select(col("id"), col("comp"), col("comp").as("prev"))
         .unionAll(neigh)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"), min(col("prev")).as("prev"))
-        .persist()
+        .localCheckpoint(false)
       val changed = next
         .agg(max(when(col("comp") =!= col("prev"), 1).otherwise(0)))
         .head.getInt(0) > 0
-      cached.unpersist()
-      cached = next
       labels = next.select(col("id"), col("comp"))
       converged = !changed
       i += 1
     }
     sym.unpersist()
+    labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — converges in
+    * O(log n) rounds on ANY graph, vs O(diameter) for min-label
+    * propagation. The alternative for pathological diameters (long chains);
+    * near-dup graphs are clique unions where [[run]]'s 3–5 rounds win.
+    *
+    * Each round is two edge rewrites:
+    *   large-star: for each node u, connect every strictly-greater neighbor
+    *     to m(u) = min(N(u) ∪ {u});
+    *   small-star: connect every not-greater neighbor (and u) to the min of
+    *     that set.
+    * Fixpoint: the edge set is a forest of stars rooted at component minima.
+    */
+  def runStar(nodes: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = nodes.sparkSession
+    import org.apache.spark.sql.DataFrame
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient edges small←large: (u, v) with v <= u
+      val oriented = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val j = oriented.join(m, Seq("u"))
+      j.select(col("v").as("u"), col("m").as("v"))
+        .unionAll(j.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // localCheckpoint (not persist): each round's plan nests the previous
+    // one, so lineage grows exponentially across rounds — checkpointing
+    // truncates it (persist alone caches data but keeps the logical plan)
+    var e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var i = 0
+    var stable = false
+    while (!stable && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // fixpoint when the edge sets coincide (cheap: counts + anti-join probe)
+      val sameCount = next.count() == e.count()
+      stable = sameCount &&
+        next.join(e, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      e = next
+      i += 1
+    }
+    // stars point child → root; roots and isolated nodes map to themselves
+    // (min-agg guards against a not-fully-converged star under maxIter)
+    val labels = nodes.select(col("id")).distinct()
+      .join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+    e.unpersist()
     labels
   }
 }

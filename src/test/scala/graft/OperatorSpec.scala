@@ -198,6 +198,33 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("connected components: large-star/small-star equals min-label on path, cliques, random") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.ConnectedComponents
+    def check(nodes: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 20): Unit = {
+      val n = nodes.toDF("id")
+      val e = edges.toDF("src", "dst")
+      val a = ConnectedComponents.run(n, e, maxIter).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val b = ConnectedComponents.runStar(n, e).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(a == b, s"divergence on ${edges.take(5)}...")
+      assert(a.nonEmpty && a.forall { case (id, comp) => comp <= id })
+    }
+    // long path: the O(diameter) worst case for min-label (59 rounds) vs
+    // O(log n) for the star rounds
+    check(0L until 60L, (0L until 59L).map(i => (i, i + 1)), maxIter = 80)
+    // two cliques + isolated nodes
+    check(0L until 12L,
+      (for (i <- 0 until 4; j <- i + 1 until 4) yield (i.toLong, j.toLong)) ++
+      (for (i <- 5 until 9; j <- i + 1 until 9) yield (i.toLong, j.toLong)))
+    // deterministic pseudo-random graph
+    val rnd = (0 until 40).map(i => (((i * 7919) % 30).toLong, ((i * 104729) % 30).toLong))
+      .filter { case (a, b) => a != b }
+    check(0L until 30L, rnd)
+  }
+
   test("bpe apply: rank-order merges segment deterministically; counts match") {
     val s = spark
     import s.implicits._
