@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a similarity-pair graph — the step that turns
@@ -11,25 +11,60 @@ import org.apache.spark.sql.functions._
   * component id among itself and its neighbors) until fixpoint. Converges in
   * O(graph diameter) rounds; near-dup graphs are unions of small cliques, so
   * 3–5 rounds in practice. Each round is one shuffle (join + min-aggregate);
-  * intermediate labels are persisted and the previous round unpersisted, so
-  * peak storage is 2× the label table — this is the standard scalable
-  * formulation (large-scale variants swap in large-star/small-star for
-  * pathological diameters).
+  * per-round checkpoints are freed through the underlying RDD once the next
+  * round materializes, so peak storage is 2× the label table — this is the
+  * standard scalable formulation (large-scale variants swap in
+  * large-star/small-star for pathological diameters).
+  *
+  * Per-round parallelism is BOUNDED by the edge count (~500k rows/task, at
+  * least 1, at most the session shuffle parallelism): iterative rounds over
+  * kilobyte-sized label tables must not pay `spark.sql.shuffle.partitions`
+  * tasks per round — at 32 cores that scheduling overhead, not the data,
+  * dominated the round time. The edge table is pre-partitioned on the join
+  * key once, so each round shuffles only the (small) label table.
   */
 object ConnectedComponents {
+
+  /** rows/task target for the per-round shuffles; tiny graphs collapse to 1
+    * task while 100 TB-scale graphs still use the full session parallelism. */
+  private val RowsPerTask = 500000L
+
+  private def boundedParts(sessionParts: Int, rows: Long): Int =
+    math.max(1, math.min(sessionParts, (rows / RowsPerTask + 1).toInt))
+
+  /** Free a materialized localCheckpoint's cached blocks (Dataset.unpersist
+    * is a no-op for checkpointed plans — see GraftBridge.checkpointedRdd). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    GraftBridge.checkpointedRdd(df).foreach(_.unpersist(blocking = false))
 
   /** @param nodes single column `id`
     * @param edges columns `src`, `dst` (undirected; direction ignored)
     * @return (id, comp) — comp is the min id in the node's component
     */
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    val spark = nodes.sparkSession
+    val sessionParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val symFull = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
-    sym.count() // materialize once; reused every round
-    var labels = nodes.select(col("id")).distinct().withColumn("comp", col("id"))
+    val nEdges = symFull.count() // materialize once; reused every round
+    val p = boundedParts(sessionParts, nEdges)
+    // pre-partition the (round-invariant) edge table on the join key: the
+    // per-round join then shuffles only the label side, and at p partitions
+    val sym =
+      if (p == sessionParts) symFull
+      else {
+        val s = symFull.repartition(p, col("dst")).persist()
+        s.count()
+        symFull.unpersist()
+        s
+      }
+    var labels = nodes.select(col("id"))
+      .repartition(p, col("id")).dropDuplicates("id")
+      .withColumn("comp", col("id"))
       .localCheckpoint()
+    var prevCkpt = labels
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -45,16 +80,20 @@ object ConnectedComponents {
         .select(col("src").as("id"), col("comp"), lit(null).cast(labels.schema("comp").dataType).as("prev"))
       val next = labels.select(col("id"), col("comp"), col("comp").as("prev"))
         .unionAll(neigh)
+        .repartition(p, col("id")) // bounded agg parallelism, no extra shuffle
         .groupBy(col("id")).agg(min(col("comp")).as("comp"), min(col("prev")).as("prev"))
         .localCheckpoint(false)
+      // coalesce: empty nodes/edges make the global max NULL, not 0
       val changed = next
-        .agg(max(when(col("comp") =!= col("prev"), 1).otherwise(0)))
+        .agg(coalesce(max(when(col("comp") =!= col("prev"), 1).otherwise(0)), lit(0)))
         .head.getInt(0) > 0
+      freeCheckpoint(prevCkpt) // next is materialized; last round's blocks can go
+      prevCkpt = next
       labels = next.select(col("id"), col("comp"))
       converged = !changed
       i += 1
     }
-    sym.unpersist()
+    sym.unpersist() // real persist (not a checkpoint) — safe: labels is materialized
     labels
   }
 
@@ -73,19 +112,20 @@ object ConnectedComponents {
     */
   def runStar(nodes: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val spark = nodes.sparkSession
+    val sessionParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     import org.apache.spark.sql.DataFrame
 
-    def largeStar(e: DataFrame): DataFrame = {
+    def largeStar(e: DataFrame, p: Int): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val m = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
       sym.join(m, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
+        .repartition(p, col("u"), col("v")).dropDuplicates()
     }
 
-    def smallStar(e: DataFrame): DataFrame = {
+    def smallStar(e: DataFrame, p: Int): DataFrame = {
       // orient edges small←large: (u, v) with v <= u
       val oriented = e.select(
         greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -94,7 +134,7 @@ object ConnectedComponents {
       j.select(col("v").as("u"), col("m").as("v"))
         .unionAll(j.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct()
+        .repartition(p, col("u"), col("v")).dropDuplicates()
     }
 
     // localCheckpoint (not persist): each round's plan nests the previous
@@ -102,24 +142,26 @@ object ConnectedComponents {
     // truncates it (persist alone caches data but keeps the logical plan)
     var e = edges.select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val p = boundedParts(sessionParts, e.count())
     var i = 0
     var stable = false
     while (!stable && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e, p), p).localCheckpoint()
       // fixpoint when the edge sets coincide (cheap: counts + anti-join probe)
       val sameCount = next.count() == e.count()
       stable = sameCount &&
         next.join(e, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      freeCheckpoint(e) // the probe above was this round's last read of e
       e = next
       i += 1
     }
     // stars point child → root; roots and isolated nodes map to themselves
-    // (min-agg guards against a not-fully-converged star under maxIter)
-    val labels = nodes.select(col("id")).distinct()
+    // (min-agg guards against a not-fully-converged star under maxIter).
+    // The final checkpoint `e` is NOT freed here: `labels` still reads it
+    // lazily, and a freed localCheckpoint cannot recompute.
+    nodes.select(col("id")).distinct()
       .join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
       .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-    e.unpersist()
-    labels
   }
 }

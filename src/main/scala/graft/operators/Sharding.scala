@@ -47,8 +47,11 @@ object Sharding {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // internal column must be collision-free: withColumn REPLACES an existing
+    // name in place, which would silently corrupt the positional reads below
+    val tmpCol = Iterator.iterate("_cs_v")(_ + "_").dropWhile(df.columns.contains).next()
     val ranged = df
-      .withColumn("_cs_v", valueCol.cast("long"))
+      .withColumn(tmpCol, coalesce(valueCol.cast("long"), lit(0L))) // null-safe: null values count 0
       .repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions(col(orderCol))
     val rdd = ranged.rdd

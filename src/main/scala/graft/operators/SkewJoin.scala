@@ -17,11 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Content-derived salt: deterministic (stable under AQE re-planning and
+    * task retries, unlike `monotonically_increasing_id` whose value depends
+    * on partition layout) and uniform as long as rows vary in ANY column.
+    * Fully identical rows share a salt — they are indistinguishable anyway,
+    * so no correctness impact, only residual skew for pathological
+    * all-duplicate inputs. */
+  private def contentSalt(df: DataFrame, factor: Int): Column =
+    pmod(hash(df.columns.map(col).toSeq: _*), lit(factor))
+
   /** Salted inner equi-join of `big` (skewed) with `small` on `key`.
     * `small` is replicated `factor`× via explode — keep it the smaller side. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, factor: Int): DataFrame = {
-    val salted = big.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(factor)))
+    val salted = big.withColumn("_salt", contentSalt(big, factor))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -31,8 +39,7 @@ object SkewJoin {
     * partial aggregate on (key, salt), then final aggregate on key.
     * `partial` must be decomposable (sum/count/min/max). */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String, factor: Int): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(factor)))
+    val salted = df.withColumn("_salt", contentSalt(df, factor))
     salted.groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))

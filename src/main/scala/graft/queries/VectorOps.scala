@@ -111,11 +111,12 @@ object VectorOps {
   val ivfCentroidResiduals: Q = (s, dir) => {
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    // mean vector per label: element-wise sum via 64 aggregates, then divide
-    val sums = (0 until 64).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
+    // mean vector per label: element-wise sum via 64 aggregates (count rides
+    // in the SAME agg — a second groupBy + join-back would scan twice)
+    val sums = (0 until 64).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i")) :+
+      count(lit(1)).as("n")
     val cents = emb.groupBy(col("label")).agg(sums.head, sums.tail: _*)
-    val centsN = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
-    val centroid = cents.join(centsN, Seq("label"))
+    val centroid = cents
       .select(col("label"), col("n"),
         array((0 until 64).map(i => col(s"s$i") / col("n")): _*).as("centroid"))
     emb.join(broadcast(centroid), Seq("label"))

@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
 object AudioScan {
   val DefaultMaxDepth = 50 // reference: src/main.rs:71-73
 
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // executor-side cache of canonicalized directories (files share parents;
+  // one getCanonicalPath per directory instead of per file)
+  private val canonCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def canonicalParent(dir: java.io.File): String =
+    canonCache.computeIfAbsent(dir.getPath, p => new java.io.File(p).getCanonicalPath)
+
   def scan(
       spark: SparkSession,
       input: String,
@@ -65,9 +73,21 @@ object AudioScan {
         try {
           val f = new java.io.File(new org.apache.hadoop.fs.Path(path).toUri.getPath)
           val abs = f.getAbsolutePath
-          !abs.startsWith(rootAbs + "/") ||
-            f.getCanonicalPath == rootCanon + abs.substring(rootAbs.length)
-        } catch { case _: Exception => true }
+          !abs.startsWith(rootAbs + "/") || {
+            // canonical(file) == canonical(parent)/name unless the leaf itself
+            // is a symlink — caching canonical parents turns N syscalls per
+            // directory into 1 on large listings
+            !java.nio.file.Files.isSymbolicLink(f.toPath) &&
+              canonicalParent(f.getParentFile) + "/" + f.getName ==
+                rootCanon + abs.substring(rootAbs.length)
+          }
+        } catch {
+          case e: Exception =>
+            // fail CLOSED: a row this filter cannot verify must not slip
+            // through the symlink exclusion it exists to enforce
+            log.warn(s"symlink check failed for $path; dropping row", e)
+            false
+        }
       }
       df = df.filter(isRealPath(col("path")))
     }

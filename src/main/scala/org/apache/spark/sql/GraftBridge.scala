@@ -1,5 +1,6 @@
 package org.apache.spark.sql
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Bridge into the `private[sql]` Column↔Expression converters of Spark 4's
@@ -10,4 +11,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The cached RDD behind a `localCheckpoint()`ed Dataset, if any.
+    * `Dataset.unpersist()` is a no-op for checkpointed plans (the CacheManager
+    * never tracked them) — iterative operators must free each round's blocks
+    * through the underlying RDD instead, or they accumulate one copy per
+    * round until the ContextCleaner gets around to it. Only call this on a
+    * MATERIALIZED checkpoint whose data is no longer needed: a localCheckpoint
+    * cannot recompute lost blocks.
+    */
+  def checkpointedRdd(ds: Dataset[_]): Option[RDD[_]] =
+    ds.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
 }
