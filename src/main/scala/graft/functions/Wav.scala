@@ -55,6 +55,57 @@ object Wav {
   val parseUdf = udf((b: Array[Byte]) => parse(b))
   def parseCol(c: Column): Column = parseUdf(c)
 
+  /** REAL sample decode for 16-bit PCM WAV: RMS over the int16 samples, plus
+    * header info — `(rms, sampling_rate, duration)`. `None` for non-WAV,
+    * non-PCM16, or corrupt bytes (callers fall back to a byte-level stat).
+    * Unlike [[parse]] this reads the payload, so it costs O(data bytes) —
+    * exactly what a feature-extraction kernel is expected to do.
+    */
+  def pcm16Rms(bytes: Array[Byte]): Option[(Double, Int, Double)] = {
+    try {
+      if (bytes == null || bytes.length < 44) return None
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(0) != 0x46464952 /* "RIFF" */ ||
+          bb.getInt(8) != 0x45564157 /* "WAVE" */ ) return None
+      var pos = 12
+      var audioFormat = 0
+      var sampleRate = 0
+      var blockAlign = 0
+      var bits = 0
+      var dataOff = -1
+      var dataLen = 0L
+      var haveFmt = false
+      while (pos + 8 <= bytes.length && (dataOff < 0 || !haveFmt)) {
+        val chunkId = bb.getInt(pos)
+        val chunkSize = bb.getInt(pos + 4).toLong & 0xffffffffL
+        if (chunkId == 0x20746d66 /* "fmt " */ && pos + 24 <= bytes.length) {
+          audioFormat = bb.getShort(pos + 8) & 0xffff
+          sampleRate = bb.getInt(pos + 12)
+          blockAlign = bb.getShort(pos + 20) & 0xffff
+          bits = bb.getShort(pos + 22) & 0xffff
+          haveFmt = true
+        } else if (chunkId == 0x61746164 /* "data" */) {
+          dataOff = pos + 8
+          dataLen = math.min(chunkSize, math.max(0L, bytes.length.toLong - (pos + 8)))
+        }
+        if (chunkSize > Int.MaxValue) return None
+        pos += 8 + chunkSize.toInt + (chunkSize.toInt & 1)
+      }
+      if (!haveFmt || dataOff < 0 || audioFormat != 1 || bits != 16 ||
+          sampleRate <= 0 || blockAlign <= 0) return None
+      val nSamples = (dataLen / 2).toInt
+      var sq = 0.0
+      var i = 0
+      while (i < nSamples) {
+        val v = bb.getShort(dataOff + 2 * i).toDouble
+        sq += v * v
+        i += 1
+      }
+      val rms = if (nSamples == 0) 0.0 else math.sqrt(sq / nSamples)
+      Some((rms, sampleRate, (dataLen / blockAlign).toDouble / sampleRate))
+    } catch { case _: Throwable => None }
+  }
+
   /** Deterministic mono 16-bit PCM sine fixture (reference: tests/end_to_end.rs:332-351):
     * `lengthSamples` frames of a 440 Hz sine at `sampleRate`, i16 max amplitude.
     * Used by specs and the verification surface; NOT part of the pipeline.
@@ -77,4 +128,27 @@ object Wav {
   }
 
   val synthUdf = udf((sr: Int, len: Int) => synthWav(sr, len))
+
+  /** Deterministic INTEGER-PCM mono 16-bit fixture: sample i =
+    * ((i * 2654435761) mod 65536) - 32768. Pure integer arithmetic, so an SQL
+    * oracle can recompute the exact samples (the sine fixture's `sin` is not
+    * bit-portable across math libraries). Spec/verification use only.
+    */
+  def synthPcmWav(sampleRate: Int, lengthSamples: Int): Array[Byte] = {
+    val dataSize = lengthSamples * 2
+    val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952); bb.putInt(36 + dataSize); bb.putInt(0x45564157)
+    bb.putInt(0x20746d66); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)            // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16)           // block align, bits
+    bb.putInt(0x61746164); bb.putInt(dataSize)
+    var i = 0
+    while (i < lengthSamples) {
+      bb.putShort(((i * 2654435761L) % 65536L - 32768L).toShort); i += 1
+    }
+    bb.array()
+  }
+
+  val synthPcmUdf = udf((sr: Int, len: Int) => synthPcmWav(sr, len))
 }

@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * with typed metadata, processed batch-wise with `mapPartitions` (the Scala
   * twin of `mapInPandas`: one iterator per partition, vectorizable inside).
   *
-  * The actual media codecs are NOT in this container, so the decode kernel is
-  * a clearly-marked deterministic stub ([[stubDecode]]); everything Spark-side
-  * — schema, partition batching, null handling, the frame-sampling slice — is
-  * real and tested. Swapping in a real decoder is a one-function change.
+  * The decode kernel is REAL for WAV — the reference's whole media domain
+  * (src/main.rs:760-769): RIFF/WAVE PCM16 payloads get true sample RMS,
+  * sampling rate, and duration via [[graft.functions.Wav.pcm16Rms]]. Other
+  * formats' codecs are NOT in this container, so non-WAV bytes fall back to
+  * a clearly-marked deterministic byte-level stub ([[stubDecode]]);
+  * everything Spark-side — schema, partition batching, null handling, the
+  * frame-sampling slice — is real and tested either way.
   */
 object Multimodal {
 
@@ -20,9 +23,11 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("rms", DoubleType, nullable = false)))
+    StructField("rms", DoubleType, nullable = false),
+    StructField("sampling_rate", IntegerType, nullable = false),
+    StructField("duration", DoubleType, nullable = false)))
 
-  /** STUB decode — deterministic fake standing in for an image/audio decoder:
+  /** STUB decode — deterministic fake standing in for a non-WAV decoder:
     * checksum = the engine-portable char-fold over bytes; width/height derived
     * from length; rms = root-mean-square of the byte values (the
     * feature-extraction shape: a real decoder computes it over samples).
@@ -41,6 +46,16 @@ object Multimodal {
     (bytes.length, acc, bytes.length % 640, bytes.length % 480, rms)
   }
 
+  /** Full kernel: WAV payloads decode for real (PCM sample RMS + header
+    * info); anything else takes the byte-level stub with zeroed audio fields. */
+  def decodeKernel(bytes: Array[Byte]): (Int, Long, Int, Int, Double, Int, Double) = {
+    val (n, ck, w, h, byteRms) = stubDecode(bytes)
+    graft.functions.Wav.pcm16Rms(bytes) match {
+      case Some((rms, sr, dur)) => (n, ck, w, h, rms, sr, dur)
+      case None                 => (n, ck, w, h, byteRms, 0, 0.0)
+    }
+  }
+
   /** Decode a binary column batch-wise. Output: input columns + `decoded`
     * struct. Partition-iterator shape mirrors mapInPandas: per-partition
     * setup cost (codec init) is paid once, rows stream through. */
@@ -56,8 +71,8 @@ object Multimodal {
         val row = converter(internal).asInstanceOf[Row]
         val bytes = row.getAs[Array[Byte]](binIdx)
         val dec = if (bytes == null) null else {
-          val (n, ck, w, h, rms) = stubDecode(bytes)
-          Row(n, ck, w, h, rms)
+          val (n, ck, w, h, rms, sr, dur) = decodeKernel(bytes)
+          Row(n, ck, w, h, rms, sr, dur)
         }
         Row.fromSeq(row.toSeq :+ dec)
       }

@@ -33,6 +33,37 @@ object MultimodalOps {
        |  round(sqrt(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS DOUBLE) * ascii(c))) / strlen(text)), 4) AS rms
        |FROM documents WHERE doc_id < 500""".stripMargin
 
+  /** REAL WAV decode through the multimodal kernel: synthesize integer-PCM
+    * WAV payloads in-query (rate and length derived from doc_id, like
+    * p5_wav_parse), decode via mapPartitions, and verify the true PCM sample
+    * RMS, sampling rate, and duration. The samples are pure integer
+    * arithmetic — sample i = ((i*2654435761) mod 65536) - 32768 — so the
+    * oracle recomputes them exactly; squares sum below 2^53, so the double
+    * accumulation is exact in both engines. */
+  val mmDecodeWav: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("sr"),
+        (lit(50) + col("doc_id") % 64).cast("int").as("len"))
+    val wav = docs.select(col("doc_id"),
+      graft.functions.Wav.synthPcmUdf(col("sr"), col("len")).as("payload"))
+    Multimodal.decodeBinary(wav, "payload")
+      .select(col("doc_id"),
+        col("decoded.n_bytes").as("n_bytes"),
+        col("decoded.sampling_rate").as("sampling_rate"),
+        round(col("decoded.duration"), 6).as("duration"),
+        round(col("decoded.rms"), 4).as("rms"))
+  }
+  val mmDecodeWavSql =
+    """SELECT doc_id, 44 + 2*len AS n_bytes, sr AS sampling_rate,
+      |  round(CAST(len AS DOUBLE)/sr, 6) AS duration,
+      |  round(sqrt(list_sum(list_transform(range(len), i ->
+      |    CAST((i*2654435761) % 65536 - 32768 AS DOUBLE)
+      |      * ((i*2654435761) % 65536 - 32768))) / len), 4) AS rms
+      |FROM (SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
+      |             CAST(50 + doc_id % 64 AS INT) AS len
+      |      FROM documents WHERE doc_id < 200)""".stripMargin
+
   /** Frame sampling: 4 consecutive 16-byte slices from each payload; verify
     * count and per-frame lengths (slices run off the end → shorter tails).
     * Lengths emitted as JSON text: the driver comparator hashes scalar
@@ -54,6 +85,7 @@ object MultimodalOps {
 
   def defs: Map[String, (Q, Option[String])] = Map(
     "mm_decode" -> (mmDecode, Some(mmDecodeSql)),
+    "mm_decode_wav" -> (mmDecodeWav, Some(mmDecodeWavSql)),
     "mm_frame_sample" -> (mmFrameSample, Some(mmFrameSampleSql)),
   )
 }

@@ -97,6 +97,23 @@ class OperatorSpec extends SparkSpec {
     assert(out(1).get(2) == null)
   }
 
+  test("multimodal decode: real PCM sample rms for WAV payloads, stub fallback otherwise") {
+    val s = spark
+    import s.implicits._
+    val wav = graft.functions.Wav.synthPcmWav(16000, 100)
+    val sq = (0 until 100).map { i =>
+      val v = ((i * 2654435761L) % 65536L - 32768L).toDouble; v * v
+    }.sum
+    val df = Seq(("t", "hello".getBytes("UTF-8")), ("w", wav)).toDF("id", "payload")
+    val out = Multimodal.decodeBinary(df, "payload").orderBy("id").collect()
+    val txt = out(0).getStruct(2)
+    val dec = out(1).getStruct(2)
+    assert(dec.getDouble(4) == math.sqrt(sq / 100)) // true sample RMS, not byte RMS
+    assert(dec.getInt(5) == 16000)                  // sampling_rate from the header
+    assert(dec.getDouble(6) == 100.0 / 16000)       // duration = frames / rate
+    assert(txt.getInt(5) == 0 && txt.getDouble(6) == 0.0) // non-WAV → stub path
+  }
+
   test("sql extension: char_fold_hash registered and codegen result matches scala") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT char_fold_hash('abc') AS h").head().getLong(0)

@@ -169,4 +169,76 @@ class StreamingSpec extends SparkSpec {
       assert(got == Seq(Session(1, Base, Base + 10 * 60000, 2, 3.0)))
     } finally q.stop()
   }
+
+  /** The streaming↔batch equivalence GATE: the availableNow trigger runs the
+    * streaming transforms over the real sf0.01 events parquet and the result
+    * must equal the oracle-checked batch twins over the same data. A sentinel
+    * event far in the future is appended so the final no-data micro-batch
+    * advances the watermark past all real data, flushing every window /
+    * session; the sentinel's own (never-closed) state is excluded from both
+    * sides. This test goes red if streaming and batch semantics ever drift.
+    */
+  test("availableNow streaming over events parquet equals the batch twins (tumbling + sessions)") {
+    val s = spark
+    import s.implicits._
+    val sfDir = "/root/testdata/sf0.01"
+    val dir = tmpDir("graft_stream_eq")
+    val evDir = new java.io.File(dir, "events.parquet").getAbsolutePath
+    // re-write with a true µs timestamp column (the source parquet is
+    // TIMESTAMP(NANOS), which Spark reads as a long under nanosAsLong)
+    val src = graft.queries.Util.eventsWithTs(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    src.write.mode("overwrite").parquet(evDir)
+    val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
+    val sentinelUser = 10000000L
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000),
+        sentinelUser, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(evDir)
+
+    // ---- tumbling windows ----
+    val tq = EventStream.tumblingCounts(EventStream.readEvents(spark, evDir))
+      .writeStream.format("memory").queryName("eq_tumbling").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(tq.awaitTermination(300000))
+    val streamT = spark.table("eq_tumbling")
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_timestamp(col("hour")).as("hour_epoch"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batchT = graft.queries.Analytics.eventsTumbling(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamT.keySet == batchT.keySet)
+    streamT.foreach { case (k, (n, sum)) =>
+      val (bn, bsum) = batchT(k)
+      assert(n == bn, s"count mismatch at $k")
+      // batch rounds to cents; streaming sums raw doubles
+      assert(math.abs(sum - bsum) <= 0.006, s"sum mismatch at $k: $sum vs $bsum")
+    }
+
+    // ---- sessionization ----
+    val events = EventStream.readEvents(spark, evDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val sq = EventStream.sessionize(events)
+      .writeStream.format("memory").queryName("eq_sessions").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(300000))
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("start_ts"))
+    val streamS = spark.table("eq_sessions")
+      .filter(col("user_id") =!= sentinelUser)
+      .withColumn("session_id", row_number().over(byStart).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"), col("session_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2).toLong, r.getDouble(3))).toMap
+    val streamSessCol = graft.queries.Analytics.eventsSessionize(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamS.keySet == streamSessCol.keySet)
+    streamS.foreach { case (k, (n, v)) =>
+      val (bn, bv) = streamSessCol(k)
+      assert(n == bn, s"session event-count mismatch at $k")
+      // batch sums floor-cents (up to 1 cent truncation per event)
+      assert(math.abs(v - bv) <= 0.01 * n + 1e-9, s"session value mismatch at $k: $v vs $bv")
+    }
+  }
 }
