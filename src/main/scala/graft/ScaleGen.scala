@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes an N× blow-up of a driver testdata directory, for scale-proof
+  * benchmarking (`runMain graft.ScaleGen <srcDir> <outDir> <factor>`).
+  *
+  * Design goal: the scaled data must present the SAME WORKLOAD SHAPE, just
+  * bigger — not a pathological variant of it. Concretely:
+  *   - `region`/`nation` stay fixed (TPC-H dims don't scale with SF);
+  *   - every key column is offset by `copy * (max(key)+1)`, with the SAME
+  *     offset used across tables (orders.o_custkey and customer.c_custkey
+  *     shift together), so referential joins stay within a copy and results
+  *     scale ~linearly — keys never collide across copies;
+  *   - event timestamps are kept, so time windows get N× denser (the
+  *     streaming/sessionize shape at higher throughput) while per-user
+  *     session structure is preserved via offset user ids;
+  *   - document TEXT goes through a per-copy character BIJECTION
+  *     (two rotated translate alphabets → factor²  distinct maps). A
+  *     bijection preserves every within-copy equality/similarity relation —
+  *     each copy mirrors the original's duplicate structure bit-for-bit in
+  *     hash space — while making cross-copy shingles distinct, so near-dup
+  *     candidate counts scale N×, not N² (verbatim-copied text would make
+  *     every doc a near-duplicate of its 9 clones and turn the LSH bench
+  *     into an everything-matches-everything graph that no real corpus has);
+  *   - embeddings are unchanged per copy: vector queries are anchored on
+  *     copy-0 ids (vec_id < k filters), so candidate sets scale N× linearly.
+  */
+object ScaleGen {
+
+  // two disjoint 10-letter alphabets; rotating the first by k%10 and the
+  // second by (k/10)%10 yields 100 distinct compositions of bijections
+  private val Alpha1 = "aeiounrstl"
+  private val Alpha2 = "bcdfghjkmp"
+
+  private def rot(s: String, k: Int): String = {
+    val r = k % s.length
+    s.substring(r) + s.substring(0, r)
+  }
+
+  /** Per-copy text bijection: identity for copy 0. */
+  private def copyText(text: Column, k: Int): Column =
+    if (k == 0) text
+    else translate(translate(text, Alpha1, rot(Alpha1, k % 10)), Alpha2, rot(Alpha2, (k / 10) % 10))
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val factor = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .appName("graft-scalegen")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
+    def out(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scalegen] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+    }
+
+    // fixed dims: verbatim copy
+    Seq("region", "nation").foreach(t => out(tbl(t), t))
+
+    // key offsets = max+1, shared across tables
+    def off(df: DataFrame, key: String): Long = df.agg(max(col(key))).head.getLong(0) + 1L
+
+    val customer = tbl("customer"); val supplier = tbl("supplier")
+    val part = tbl("part"); val orders = tbl("orders"); val lineitem = tbl("lineitem")
+    val events = tbl("events"); val documents = tbl("documents"); val embeddings = tbl("embeddings")
+    val cOff = off(customer, "c_custkey"); val sOff = off(supplier, "s_suppkey")
+    val pOff = off(part, "p_partkey"); val oOff = off(orders, "o_orderkey")
+    val eOff = off(events, "event_id"); val uOff = off(events, "user_id")
+    val dOff = off(documents, "doc_id"); val vOff = off(embeddings, "vec_id")
+
+    /** N disjoint transformed copies, unioned. */
+    def scaled(df: DataFrame)(tx: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => tx(df, k)).reduce(_ unionAll _)
+
+    def shift(c: String, o: Long, k: Int): Column = (col(c) + lit(o * k)).as(c)
+
+    out(scaled(customer)((d, k) => d.withColumn("c_custkey", shift("c_custkey", cOff, k))), "customer")
+    out(scaled(supplier)((d, k) => d.withColumn("s_suppkey", shift("s_suppkey", sOff, k))), "supplier")
+    out(scaled(part)((d, k) => d.withColumn("p_partkey", shift("p_partkey", pOff, k))), "part")
+    out(scaled(orders)((d, k) => d
+      .withColumn("o_orderkey", shift("o_orderkey", oOff, k))
+      .withColumn("o_custkey", shift("o_custkey", cOff, k))), "orders")
+    out(scaled(lineitem)((d, k) => d
+      .withColumn("l_orderkey", shift("l_orderkey", oOff, k))
+      .withColumn("l_partkey", shift("l_partkey", pOff, k))
+      .withColumn("l_suppkey", shift("l_suppkey", sOff, k))), "lineitem")
+    out(scaled(events)((d, k) => d
+      .withColumn("event_id", shift("event_id", eOff, k))
+      .withColumn("user_id", shift("user_id", uOff, k))), "events")
+    out(scaled(documents)((d, k) => d
+      .withColumn("doc_id", shift("doc_id", dOff, k))
+      .withColumn("text", copyText(col("text"), k))), "documents")
+    out(scaled(embeddings)((d, k) => d.withColumn("vec_id", shift("vec_id", vOff, k))), "embeddings")
+
+    spark.stop()
+  }
+}

@@ -618,6 +618,71 @@ object Analytics {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** TPC-H Q2 shape: correlated min subquery over a join — for each
+    * (filtered) part, the supplier(s) charging its minimum price. Expressed
+    * Spark-first as a partitioned window min rather than a self-join: the
+    * filtered lineitem is scanned ONCE, the per-part min rides the same
+    * shuffle as the output rows (Catalyst decorrelates the SQL form into
+    * exactly this agg+rejoin shape, but the window form skips the rejoin).
+    * Equality is on a STORED double (never a computed one), so it is
+    * engine-portable. */
+  val q2MinSupplier: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    val part = table(s, dir, "part").filter(col("p_size") <= 2)
+      .select(col("p_partkey"), col("p_brand"))
+    val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+    val w = Window.partitionBy(col("l_partkey"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .withColumn("min_price", min(col("l_extendedprice")).over(w))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"),
+        round(col("min_price"), 2).as("min_price"))
+  }
+  val q2MinSupplierSql =
+    """SELECT p.p_partkey, p.p_brand, s.s_name, round(l.l_extendedprice, 2) AS min_price
+      |FROM part p
+      |JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |WHERE p.p_size <= 2
+      |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+      |                           WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+
+  /** TPC-H Q21 shape: multi-way EXISTS / NOT EXISTS — suppliers whose
+    * returned ('R') lineitems were the LAST to ship in multi-supplier
+    * orders. Left-semi (another supplier exists in the order) then
+    * left-anti (no other supplier shipped later); both joins are equi on
+    * l_orderkey with a residual condition, so they plan as shuffled joins —
+    * never a nested loop — and the identical `others` scan below both
+    * reuses one Exchange. Deterministic top-10 via (numwait, s_name)
+    * total order. */
+  val q21WaitingSuppliers: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+    val others = li.select(col("l_orderkey").as("o2"),
+      col("l_suppkey").as("s2"), col("l_shipdate").as("d2"))
+    table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2") &&
+        col("d2") > col("l_shipdate"), "left_anti")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+  val q21WaitingSuppliersSql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+      |              AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+      |                  AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
   /** RANGE-frame window + nth_value: for each order, the count and sum of
     * the same customer's orders within ±1000.0 of its price (a value-based
     * frame, not row-based), plus the customer's 2nd-cheapest order price.
@@ -754,6 +819,8 @@ object Analytics {
     "q7_nation_volume" -> (q7NationVolume, Some(q7NationVolumeSql)),
     "q10_returned_revenue" -> (q10ReturnedRevenue, Some(q10ReturnedRevenueSql)),
     "q19_disjunctive" -> (q19Disjunctive, Some(q19DisjunctiveSql)),
+    "q2_min_supplier" -> (q2MinSupplier, Some(q2MinSupplierSql)),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers, Some(q21WaitingSuppliersSql)),
     "topk_per_group" -> (topkPerGroup, Some(topkPerGroupSql)),
     "window_range_frame" -> (windowRangeFrame, Some(windowRangeFrameSql)),
     "join_range" -> (joinRange, Some(joinRangeSql)),
