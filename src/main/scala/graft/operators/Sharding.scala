@@ -42,7 +42,13 @@ object Sharding {
     * offsets — the classic two-pass distributed prefix sum. Data rows only
     * ever move through the one parallel range shuffle.
     */
-  def cumSum(df: DataFrame, orderCol: String, valueCol: Column, outCol: String): DataFrame = {
+  def cumSum(df: DataFrame, orderCol: String, valueCol: Column, outCol: String): DataFrame =
+    cumSumBy(df, Seq(orderCol), valueCol, outCol)
+
+  /** [[cumSum]] with a composite (lexicographic) ordering — e.g. a running
+    * rank over `(group, sort_key, tiebreak)` for distributed per-group
+    * ranking without a per-group window. */
+  def cumSumBy(df: DataFrame, orderCols: Seq[String], valueCol: Column, outCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
@@ -52,8 +58,8 @@ object Sharding {
     val tmpCol = Iterator.iterate("_cs_v")(_ + "_").dropWhile(df.columns.contains).next()
     val ranged = df
       .withColumn(tmpCol, coalesce(valueCol.cast("long"), lit(0L))) // null-safe: null values count 0
-      .repartitionByRange(parts, col(orderCol))
-      .sortWithinPartitions(col(orderCol))
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
     val rdd = ranged.rdd
     // pass 1: one long per partition reaches the driver
     val totals = rdd

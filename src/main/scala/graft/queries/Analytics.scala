@@ -354,9 +354,28 @@ object Analytics {
 
   /** ntile histogram: quartile buckets of event value per type. */
   val windowNtile: Q = (s, dir) => {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    table(s, dir, "events")
-      .withColumn("quartile", ntile(4).over(w))
+    // ntile over LOW-CARDINALITY partitions (a handful of event types) is
+    // the classic scale straggler: each type's millions of rows collapse
+    // into one window task. Computed instead as a distributed composition
+    // with bit-identical semantics — the oracle still uses native SQL
+    // ntile, proving equivalence: global rank via the two-pass prefix
+    // count over (event_type, value, event_id) range partitioning, per-type
+    // row counts and start ranks from a tiny broadcast agg, then the exact
+    // ntile bucket formula (first n%k buckets get one extra row).
+    val ev = table(s, dir, "events").select(col("event_type"), col("value"), col("event_id"))
+    val ranked = graft.operators.Sharding.cumSumBy(
+      ev, Seq("event_type", "value", "event_id"), lit(1L), "_rank")
+    val groups = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_n"), min(col("_rank")).as("_start"))
+    ranked.join(broadcast(groups), Seq("event_type"))
+      .withColumn("_r", col("_rank") - col("_start") + 1) // 1-based rank within type
+      .withColumn("_qs", expr("_n div 4"))
+      .withColumn("_rem", col("_n") % 4)
+      .withColumn("quartile",
+        when(col("_r") <= col("_rem") * (col("_qs") + 1),
+          expr("(_r - 1) div (_qs + 1)") + 1)
+          .otherwise(col("_rem") + expr("(_r - 1 - _rem * (_qs + 1)) div greatest(_qs, 1)") + 1)
+          .cast("int"))
       .groupBy(col("event_type"), col("quartile"))
       .agg(count(lit(1)).as("n"), round(min(col("value")), 2).as("lo"),
         round(max(col("value")), 2).as("hi"))
