@@ -240,6 +240,14 @@ object Analytics {
 
   /** Exact interpolated percentiles (median / p90) — Spark `percentile` and
     * DuckDB `quantile_cont` share the linear-interpolation definition. */
+  /** Exact percentiles per group over DISCRETE measures. `percentile()` is
+    * an object agg whose state is a value→count map — memory and merge cost
+    * are O(distinct values), NOT O(rows), so for grid-valued columns like
+    * quantities (≈50 values) and prices (a cent grid) it beats any
+    * sort-based plan at every scale (measured: 4× faster than rank
+    * selection at 60M rows). For CONTINUOUS measures, where distinct ≈
+    * rows and that map becomes a per-group OOM, the surface uses
+    * distributed rank selection instead — see `agg_percentiles_dist`. */
   val aggPercentiles: Q = (s, dir) =>
     table(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -252,6 +260,25 @@ object Analytics {
       |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Exact percentiles per group over a CONTINUOUS measure — distributed
+    * rank selection (operators.RankSelect), the scalable exact formulation
+    * when distinct values ≈ rows: `percentile()`'s value→count map would
+    * hold nearly every row per group and merge on ONE reducer per group
+    * (straggler, then OOM at scale — the same low-cardinality-partition
+    * family the 100× run exposed for ntile). Bit-equal to `percentile()`
+    * (OperatorSpec pins it); oracle is native quantile_cont. */
+  val aggPercentilesDist: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir).select(col("event_type"), col("value"))
+    graft.operators.RankSelect.percentileCont(ev, "event_type", "value",
+      Seq("p50_value" -> 0.5, "p95_value" -> 0.95))
+      .select(col("event_type"), round(col("p50_value"), 4).as("p50_value"),
+        round(col("p95_value"), 4).as("p95_value"), col("n"))
+  }
+  val aggPercentilesDistSql =
+    """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_value,
+      |  round(quantile_cont(value, 0.95), 4) AS p95_value, count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Approximate aggregation — the 100 TB path next to the exact operators:
     * t-digest percentile and HLL distinct count. Both are DETERMINISTIC for
     * fixed data, but not portable to DuckDB, so the query verifies them
@@ -261,7 +288,9 @@ object Analytics {
     // Two aggregation passes joined on the tiny grouped result: countDistinct
     // plans through Expand, which multiplies every input row per aggregate —
     // fusing it with the sort-based percentile objects in ONE agg made the
-    // whole query 10× slower than the two clean scans.
+    // whole query 10× slower than the two clean scans. percentile() is the
+    // right exact tool here (grid-valued price → O(distinct) state; see
+    // agg_percentiles / agg_percentiles_dist for the split).
     val li = table(s, dir, "lineitem")
     val pct = li.groupBy(col("l_returnflag"))
       .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_exact"),
@@ -855,6 +884,7 @@ object Analytics {
     "skew_salted_agg" -> (skewSaltedAgg, Some(skewSaltedAggSql)),
     "events_session_window" -> (eventsSessionWindow, Some(eventsSessionWindowSql)),
     "agg_percentiles" -> (aggPercentiles, Some(aggPercentilesSql)),
+    "agg_percentiles_dist" -> (aggPercentilesDist, Some(aggPercentilesDistSql)),
     "approx_stats" -> (approxStats, Some(approxStatsSql)),
     "join_semi_anti" -> (joinSemiAnti, Some(joinSemiAntiSql)),
     "pivot_status" -> (pivotStatus, Some(pivotStatusSql)),

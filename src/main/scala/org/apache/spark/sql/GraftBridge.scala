@@ -24,4 +24,14 @@ object GraftBridge {
     ds.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
+
+  /** Build a DataFrame from an InternalRow RDD without the Row round-trip:
+    * `Dataset.rdd` deserializes every row through Scala converters (and
+    * `createDataFrame(Row)` re-encodes them) — a 4-5× tax on row-at-a-time
+    * operators like the distributed prefix sum. */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

@@ -114,6 +114,32 @@ class OperatorSpec extends SparkSpec {
     assert(txt.getInt(5) == 0 && txt.getDouble(6) == 0.0) // non-WAV → stub path
   }
 
+  test("rank-select percentile: bit-equal to Spark's percentile() object agg") {
+    val s = spark
+    import s.implicits._
+    // awkward sizes: n=1, n=2, ties, and a group where p*(n-1) is integral
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 7.5), ("a", 9.25),
+      ("b", 3.0),
+      ("c", 4.0), ("c", 5.0),
+      ("d", 1.1), ("d", 2.2), ("d", 3.3), ("d", 4.4)).toDF("g", "v")
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p25" -> 0.25, "p0" -> 0.0, "p100" -> 1.0)
+    val got = graft.operators.RankSelect.percentileCont(df, "g", "v", ps)
+      .orderBy("g").collect()
+    val exp = df.groupBy(col("g")).agg(
+        expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 0.9)").as("p90"),
+        expr("percentile(v, 0.25)").as("p25"), expr("percentile(v, 0.0)").as("p0"),
+        expr("percentile(v, 1.0)").as("p100"))
+      .orderBy("g").collect()
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0))
+      ps.indices.foreach { i =>
+        assert(g.getDouble(i + 2) == e.getDouble(i + 1), // EXACT double equality
+          s"group ${g.getString(0)} p=${ps(i)._1}: ${g.getDouble(i + 2)} vs ${e.getDouble(i + 1)}")
+      }
+    }
+  }
+
   test("sql extension: char_fold_hash registered and codegen result matches scala") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT char_fold_hash('abc') AS h").head().getLong(0)
