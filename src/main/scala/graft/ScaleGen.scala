@@ -45,9 +45,6 @@ object ScaleGen {
     else translate(translate(text, Alpha1, rot(Alpha1, k % 10)), Alpha2, rot(Alpha2, (k / 10) % 10))
 
   def main(args: Array[String]): Unit = {
-    val srcDir = args(0)
-    val outDir = args(1)
-    val factor = args(2).toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,7 +55,12 @@ object ScaleGen {
       .appName("graft-scalegen")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, args(0), args(1), args(2).toInt)
+    spark.stop()
+  }
 
+  /** The generation itself, against a caller-owned session. */
+  def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def tbl(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
     def out(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -102,7 +104,5 @@ object ScaleGen {
       .withColumn("doc_id", shift("doc_id", dOff, k))
       .withColumn("text", copyText(col("text"), k))), "documents")
     out(scaled(embeddings)((d, k) => d.withColumn("vec_id", shift("vec_id", vOff, k))), "embeddings")
-
-    spark.stop()
   }
 }

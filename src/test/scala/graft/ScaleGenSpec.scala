@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the workload-shape-preserving properties of the ScaleGen blow-up
+  * (SCALING.md): key disjointness across copies, referential integrity
+  * within a copy, and the per-copy text bijection (within-copy structure
+  * mirrored, cross-copy shingles distinct). The properties are what make
+  * the 10×/100× bench runs an honest scaling measurement instead of a
+  * pathological everything-matches-everything variant.
+  */
+class ScaleGenSpec extends SparkSpec {
+
+  private val factor = 3
+  private lazy val outDir = {
+    val d = tmpDir("graft_scalegen").getAbsolutePath
+    ScaleGen.generate(spark, "/root/testdata/sf0.001", d, factor)
+    d
+  }
+
+  test("scaled tables: exact Nx row counts; fixed dims verbatim") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val out = spark.read.parquet(s"$outDir/lineitem.parquet")
+    assert(out.count() == factor * src.count())
+    assert(spark.read.parquet(s"$outDir/nation.parquet").count() ==
+      spark.read.parquet("/root/testdata/sf0.001/nation.parquet").count())
+  }
+
+  test("referential integrity holds within every copy; keys disjoint across copies") {
+    val li = spark.read.parquet(s"$outDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$outDir/orders.parquet")
+    // no dangling foreign keys after re-keying
+    assert(li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti").count() == 0)
+    // offsets keep keys unique (disjoint ranges, no collisions)
+    assert(ord.select("o_orderkey").distinct().count() == ord.count())
+  }
+
+  test("text bijection: per-copy lengths and duplicate structure mirror copy 0; cross-copy text differs") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = src.count()
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    val k1 = docs.filter(col("doc_id") >= n && col("doc_id") < 2 * n)
+      .select((col("doc_id") - n).as("doc_id"), col("text").as("t1"))
+    val joined = src.select(col("doc_id"), col("text").as("t0")).join(k1, "doc_id")
+    assert(joined.count() == n)
+    // bijection preserves length, changes content
+    assert(joined.filter(length(col("t0")) =!= length(col("t1"))).count() == 0)
+    assert(joined.filter(col("t0") === col("t1")).count() == 0)
+    // equality relations inside the copy mirror copy 0 exactly: the number
+    // of distinct texts (duplicate-group structure) is identical
+    assert(docs.filter(col("doc_id") < n).select("text").distinct().count() ==
+      k1.select("t1").distinct().count())
+  }
+}
