@@ -711,6 +711,12 @@ object Analytics {
   val q21WaitingSuppliers: Q = (s, dir) => {
     val li = table(s, dir, "lineitem")
     val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+    // Probe side: raw (order, supplier, shipdate) rows. A pre-aggregation to
+    // per-(order,supplier) max-shipdate is semantically equivalent and the
+    // right call when orders have many lines per supplier — measured here it
+    // LOST (~20%): this data has ~1 line per (order, supplier), so the extra
+    // shuffle shrinks nothing. The identical subplan below both joins is
+    // exchange-reused either way.
     val others = li.select(col("l_orderkey").as("o2"),
       col("l_suppkey").as("s2"), col("l_shipdate").as("d2"))
     table(s, dir, "lineitem").filter(col("l_returnflag") === "R")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Util._
 
@@ -391,7 +392,117 @@ object TextOps {
       |  trim(regexp_replace(regexp_replace(lower(text || '  MIXED.case, punct!'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS normalized
       |FROM documents WHERE doc_id < 300""".stripMargin
 
+  /** Context-window chunking — the step that turns documents into
+    * training-window rows: token chunks of size 32 with stride 24 (8-token
+    * overlap), via sequence+posexplode — a narrow per-row explode, no
+    * shuffle, linear at any corpus size. Chunk count = ⌊(n−1)/stride⌋+1. */
+  val textChunk: Q = (s, dir) => {
+    val C = 32; val S = 24
+    table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), floor((col("n") - 1) / S).cast("int"))).as(Seq("_p", "chunk_id")))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("toks"), col("chunk_id") * S + 1, lit(C))).as("chunk_text"),
+        (least(col("chunk_id") * S + C, col("n")) - col("chunk_id") * S).cast("long").as("n_chunk_tokens"))
+  }
+  val textChunkSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |e AS (SELECT doc_id, toks, n, unnest(range((n - 1) // 24 + 1)) AS chunk_id FROM t WHERE n > 0)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |  array_to_string(list_slice(toks, chunk_id * 24 + 1, least(chunk_id * 24 + 32, n)), ' ') AS chunk_text,
+      |  CAST(least(chunk_id * 24 + 32, n) - chunk_id * 24 AS BIGINT) AS n_chunk_tokens
+      |FROM e""".stripMargin
+
+  /** Stratified deterministic sampling: k=5 docs per language, ranked by the
+    * engine-portable content hash (content-keyed → stable across runs and
+    * engines, no RNG). The rank≤k filter gets WindowGroupLimit: each map
+    * task keeps only its local top-k per stratum before the shuffle, so the
+    * low-cardinality partition never sees the full data. */
+  val sampleStratified: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), charFoldHash(col("text")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+  }
+  val sampleStratifiedSql =
+    s"""SELECT lang, rk, doc_id, h FROM (
+       |  SELECT lang, doc_id, ${charFoldHashSql("text")} AS h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY ${charFoldHashSql("text")}, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= 5""".stripMargin
+
+  /** Gopher-style quality filter battery (Rae et al. 2021, §A1.1, public):
+    * word-count bounds, mean-word-length band, alphabetic-word fraction,
+    * stop-word hits — each emitted as a boolean plus the conjunctive keep
+    * flag. A narrow scan; the real pipeline would filter on `keep`. */
+  val textGopher: Q = (s, dir) => {
+    val toks = split(col("text"), " ")
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), toks.as("toks"), size(toks).as("n_words"))
+      .select(col("doc_id"), col("n_words"),
+        round((length(col("text")) - col("n_words") + 1).cast("double") / col("n_words"), 4).as("mean_word_len"),
+        round(size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") / col("n_words"), 4).as("alpha_frac"),
+        size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "to"))).as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(5, 100000) && col("mean_word_len").between(2.0, 12.0) &&
+          col("alpha_frac") >= 0.8 && col("stop_hits") >= 1)
+  }
+  val textGopherSql =
+    """SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+      |  (n_words BETWEEN 5 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
+      |   AND alpha_frac >= 0.8 AND stop_hits >= 1) AS keep
+      |FROM (
+      |  SELECT doc_id, len(toks) AS n_words,
+      |    round(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 4) AS mean_word_len,
+      |    round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks), 4) AS alpha_frac,
+      |    CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to'], t))) AS INT) AS stop_hits
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+
+  /** Top TF-IDF term per document: explode → tf per (doc, term) → df per
+    * term → score → top-1. The idf is the RATIONAL surrogate
+    * `tf · 1e6 div (df+1)` — integer-exact in both engines; `ln` is not
+    * bit-portable across math libraries (same reason the WAV oracle avoids
+    * `sin`) and a last-ulp flip would reorder knife-edge ties. Shape: one
+    * shuffle on (doc, term), one on term, broadcast-joined df, WindowGroupLimit
+    * top-1 — the standard distributed tf-idf plan. */
+  val textTfidf: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", expr("tf * 1000000 div (df + 1)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+  }
+  val textTfidfSql =
+    """WITH tf AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+      |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+      |scored AS (
+      |  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df, tfc.tf * 1000000 // (dfc.df + 1) AS score,
+      |    row_number() OVER (PARTITION BY tfc.doc_id ORDER BY tfc.tf * 1000000 // (dfc.df + 1) DESC, tfc.term) AS rk
+      |  FROM tfc JOIN dfc USING (term))
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  CAST(score AS BIGINT) AS score
+      |FROM scored WHERE rk = 1""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "text_chunk" -> (textChunk, Some(textChunkSql)),
+    "sample_stratified" -> (sampleStratified, Some(sampleStratifiedSql)),
+    "text_gopher" -> (textGopher, Some(textGopherSql)),
+    "text_tfidf" -> (textTfidf, Some(textTfidfSql)),
     "sample_split" -> (sampleSplit, Some(sampleSplitSql)),
     "shard_by_size" -> (shardBySize, Some(shardBySizeSql)),
     "text_normalize" -> (textNormalize, Some(textNormalizeSql)),
