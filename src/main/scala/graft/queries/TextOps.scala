@@ -498,7 +498,57 @@ object TextOps {
       |  CAST(score AS BIGINT) AS score
       |FROM scored WHERE rk = 1""".stripMargin
 
+  /** Benchmark decontamination — the pre-training hygiene step: flag
+    * training documents sharing ≥2 word-3-gram shingles with a held-out
+    * eval set (here: doc_id < 20 stands in for the benchmark). Shape: the
+    * eval shingle set is TINY and the join is an inverted-index probe — at
+    * 100 TB the eval shingles broadcast and the corpus streams through a
+    * map-side semi-probe; no n² anything. */
+  val textDecontaminate: Q = (s, dir) => {
+    val sh = shingleRows(s, dir, None)
+    val eval = sh.filter(col("doc_id") < 20).select(col("shingle")).distinct()
+    sh.filter(col("doc_id") >= 20)
+      .join(broadcast(eval), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // shingleRows is per-doc distinct
+      .filter(col("n_shared") >= 2)
+  }
+  val textDecontaminateSql = {
+    val sh = shingles3Sql("string_split(text, ' ')")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct($sh)) AS shingle FROM documents),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+       |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM tr JOIN ev USING (shingle)
+       |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin
+  }
+
+  /** Intra-document repetition (the other half of the Gopher battery):
+    * duplicate word-3-gram fraction = 1 − distinct/total shingles. High
+    * values mark boilerplate/spam. One narrow shuffle on doc_id. */
+  val textRepetition: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 2).as("total_sh"))
+      .filter(col("total_sh") >= 1)
+    val distincts = shingleRows(s, dir, None)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("distinct_sh"))
+    docs.join(distincts, Seq("doc_id"))
+      .select(col("doc_id"), col("total_sh").cast("long").as("total_sh"),
+        col("distinct_sh"),
+        round(lit(1.0) - col("distinct_sh") / col("total_sh"), 4).as("rep_frac"))
+  }
+  val textRepetitionSql = {
+    val sh = shingles3Sql("string_split(text, ' ')")
+    s"""SELECT doc_id, CAST(len(string_split(text, ' ')) - 2 AS BIGINT) AS total_sh,
+       |  CAST(len(list_distinct($sh)) AS BIGINT) AS distinct_sh,
+       |  round(1.0 - CAST(len(list_distinct($sh)) AS DOUBLE) / (len(string_split(text, ' ')) - 2), 4) AS rep_frac
+       |FROM documents WHERE len(string_split(text, ' ')) >= 3""".stripMargin
+  }
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "text_decontaminate" -> (textDecontaminate, Some(textDecontaminateSql)),
+    "text_repetition" -> (textRepetition, Some(textRepetitionSql)),
     "text_chunk" -> (textChunk, Some(textChunkSql)),
     "sample_stratified" -> (sampleStratified, Some(sampleStratifiedSql)),
     "text_gopher" -> (textGopher, Some(textGopherSql)),
