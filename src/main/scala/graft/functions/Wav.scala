@@ -61,7 +61,9 @@ object Wav {
     * Unlike [[parse]] this reads the payload, so it costs O(data bytes) —
     * exactly what a feature-extraction kernel is expected to do.
     */
-  def pcm16Rms(bytes: Array[Byte]): Option[(Double, Int, Double)] = {
+  /** PCM16 WAV payload layout: (dataOff, nSamples, sampleRate, blockAlign),
+    * or None for non-WAV / non-PCM16 / corrupt bytes. */
+  private def pcm16Layout(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     try {
       if (bytes == null || bytes.length < 44) return None
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -93,7 +95,13 @@ object Wav {
       }
       if (!haveFmt || dataOff < 0 || audioFormat != 1 || bits != 16 ||
           sampleRate <= 0 || blockAlign <= 0) return None
-      val nSamples = (dataLen / 2).toInt
+      Some((dataOff, (dataLen / 2).toInt, sampleRate, blockAlign))
+    } catch { case _: Throwable => None }
+  }
+
+  def pcm16Rms(bytes: Array[Byte]): Option[(Double, Int, Double)] =
+    pcm16Layout(bytes).map { case (dataOff, nSamples, sampleRate, blockAlign) =>
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       var sq = 0.0
       var i = 0
       while (i < nSamples) {
@@ -102,9 +110,42 @@ object Wav {
         i += 1
       }
       val rms = if (nSamples == 0) 0.0 else math.sqrt(sq / nSamples)
-      Some((rms, sampleRate, (dataLen / blockAlign).toDouble / sampleRate))
-    } catch { case _: Throwable => None }
-  }
+      (rms, sampleRate, (2L * nSamples / blockAlign).toDouble / sampleRate)
+    }
+
+  /** Frame-energy stats over full `frameSize`-sample frames of a PCM16 WAV:
+    * `(n_frames, n_silent, total_abs)` where a frame is silent when its
+    * summed |sample| is below `frameSize · perSampleThreshold`. Integer
+    * arithmetic throughout — exact, so an SQL oracle can recompute it.
+    * The silence/energy segmentation shape of audio feature extraction. */
+  def pcm16FrameStats(
+      bytes: Array[Byte],
+      frameSize: Int = 16,
+      perSampleThreshold: Int = 16384): (Int, Int, Long) =
+    pcm16Layout(bytes) match {
+      case None => (0, 0, 0L)
+      case Some((dataOff, nSamples, _, _)) =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val nFrames = nSamples / frameSize
+        val thresh = frameSize.toLong * perSampleThreshold
+        var silent = 0
+        var total = 0L
+        var f = 0
+        while (f < nFrames) {
+          var sum = 0L
+          var i = 0
+          while (i < frameSize) {
+            sum += math.abs(bb.getShort(dataOff + 2 * (f * frameSize + i)).toInt)
+            i += 1
+          }
+          if (sum < thresh) silent += 1
+          total += sum
+          f += 1
+        }
+        (nFrames, silent, total)
+    }
+
+  val frameStatsUdf = udf((b: Array[Byte]) => pcm16FrameStats(b))
 
   /** Deterministic mono 16-bit PCM sine fixture (reference: tests/end_to_end.rs:332-351):
     * `lengthSamples` frames of a 440 Hz sine at `sampleRate`, i16 max amplitude.

@@ -64,6 +64,33 @@ object MultimodalOps {
       |             CAST(50 + doc_id % 64 AS INT) AS len
       |      FROM documents WHERE doc_id < 200)""".stripMargin
 
+  /** Audio frame-energy segmentation over REAL PCM16 WAV payloads: per-doc
+    * 16-sample frame |amplitude| sums, silent-frame count (sum below
+    * 16·16384), and mean |sample| — the silence-detection / segmentation
+    * shape of audio feature extraction, all integer-exact so the oracle
+    * recomputes the samples (same fixture family as mm_decode_wav). */
+  val audioFrameEnergy: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"), (lit(64) + col("doc_id") % 100).cast("int").as("len"))
+    docs.select(col("doc_id"), col("len"),
+        graft.functions.Wav.frameStatsUdf(
+          graft.functions.Wav.synthPcmUdf(lit(16000), col("len"))).as("fs"))
+      .select(col("doc_id"),
+        col("fs._1").as("n_frames"),
+        col("fs._2").as("n_silent"),
+        round(col("fs._3").cast("double") / (col("fs._1") * 16), 4).as("mean_abs"))
+  }
+  val audioFrameEnergySql =
+    """WITH d AS (SELECT doc_id, 64 + doc_id % 100 AS len FROM documents WHERE doc_id < 300),
+      |f AS (SELECT doc_id, len // 16 AS n_frames FROM d)
+      |SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+      |  CAST(len(list_filter(range(n_frames), fr ->
+      |    list_sum(list_transform(range(fr*16, fr*16 + 16), i ->
+      |      abs((i*2654435761) % 65536 - 32768))) < 262144)) AS INT) AS n_silent,
+      |  round(CAST(list_sum(list_transform(range(n_frames*16), i ->
+      |    abs((i*2654435761) % 65536 - 32768))) AS DOUBLE) / (n_frames*16), 4) AS mean_abs
+      |FROM f""".stripMargin
+
   /** Frame sampling: 4 consecutive 16-byte slices from each payload; verify
     * count and per-frame lengths (slices run off the end → shorter tails).
     * Lengths emitted as JSON text: the driver comparator hashes scalar
@@ -86,6 +113,7 @@ object MultimodalOps {
   def defs: Map[String, (Q, Option[String])] = Map(
     "mm_decode" -> (mmDecode, Some(mmDecodeSql)),
     "mm_decode_wav" -> (mmDecodeWav, Some(mmDecodeWavSql)),
+    "audio_frame_energy" -> (audioFrameEnergy, Some(audioFrameEnergySql)),
     "mm_frame_sample" -> (mmFrameSample, Some(mmFrameSampleSql)),
   )
 }
