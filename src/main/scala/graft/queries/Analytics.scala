@@ -279,6 +279,45 @@ object Analytics {
       |  round(quantile_cont(value, 0.95), 4) AS p95_value, count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Z-score outlier detection per event type — the data-cleaning shape:
+    * per-group mean/stddev, broadcast back, filter |x−μ| > 2σ. Statistics
+    * run on exact integer cents (floor(value·100)) so the sums are
+    * bit-identical across engines regardless of partial-agg order; the
+    * double math that follows starts from identical longs, so even the
+    * σ comparison is deterministic. Two scans: tiny stats agg + filtered
+    * recount — the grouped stats broadcast, the data never re-shuffles. */
+  val eventsOutliers: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("c"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"), sum(col("c") * col("c")).as("s2"))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("sd", sqrt(col("s2").cast("double") / col("n") - col("mean") * col("mean")))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(abs(col("c").cast("double") - col("mean")) > lit(2.0) * col("sd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_outliers"),
+        round(min(col("c")) / 100.0, 2).as("min_outlier"),
+        round(max(col("c")) / 100.0, 2).as("max_outlier"))
+  }
+  val eventsOutliersSql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+      |st AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM ev GROUP BY event_type),
+      |st2 AS (
+      |  SELECT event_type, CAST(s AS DOUBLE) / n AS mean,
+      |    sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+      |  FROM st)
+      |SELECT ev.event_type, count(*) AS n_outliers,
+      |  round(min(c) / 100.0, 2) AS min_outlier,
+      |  round(max(c) / 100.0, 2) AS max_outlier
+      |FROM ev JOIN st2 ON ev.event_type = st2.event_type
+      |WHERE abs(CAST(c AS DOUBLE) - mean) > 2.0 * sd
+      |GROUP BY ev.event_type""".stripMargin
+
   /** Approximate aggregation — the 100 TB path next to the exact operators:
     * t-digest percentile and HLL distinct count. Both are DETERMINISTIC for
     * fixed data, but not portable to DuckDB, so the query verifies them
@@ -895,6 +934,7 @@ object Analytics {
     "events_session_window" -> (eventsSessionWindow, Some(eventsSessionWindowSql)),
     "agg_percentiles" -> (aggPercentiles, Some(aggPercentilesSql)),
     "agg_percentiles_dist" -> (aggPercentilesDist, Some(aggPercentilesDistSql)),
+    "events_outliers" -> (eventsOutliers, Some(eventsOutliersSql)),
     "approx_stats" -> (approxStats, Some(approxStatsSql)),
     "join_semi_anti" -> (joinSemiAnti, Some(joinSemiAntiSql)),
     "pivot_status" -> (pivotStatus, Some(pivotStatusSql)),
