@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *     streaming/sessionize shape at higher throughput) while per-user
   *     session structure is preserved via offset user ids;
   *   - document TEXT goes through a per-copy character BIJECTION
-  *     (two rotated translate alphabets → factor²  distinct maps). A
+  *     (two rotated translate alphabets → up to 100 distinct maps;
+  *     generate() rejects larger factors). A
   *     bijection preserves every within-copy equality/similarity relation —
   *     each copy mirrors the original's duplicate structure bit-for-bit in
   *     hash space — while making cross-copy shingles distinct, so near-dup
@@ -30,7 +31,10 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
 
   // two disjoint 10-letter alphabets; rotating the first by k%10 and the
-  // second by (k/10)%10 yields 100 distinct compositions of bijections
+  // second by (k/10)%10 yields UP TO 100 distinct compositions of
+  // bijections — factor > 100 would silently reuse copy 0's identity map
+  // and reintroduce the verbatim-duplicate pathology, so generate() rejects it
+  val MaxFactor = 100
   private val Alpha1 = "aeiounrstl"
   private val Alpha2 = "bcdfghjkmp"
 
@@ -61,6 +65,8 @@ object ScaleGen {
 
   /** The generation itself, against a caller-owned session. */
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    require(factor >= 1 && factor <= MaxFactor,
+      s"factor must be in [1, $MaxFactor] (only $MaxFactor distinct text bijections exist); got $factor")
     def tbl(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
     def out(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -70,8 +76,12 @@ object ScaleGen {
     // fixed dims: verbatim copy
     Seq("region", "nation").foreach(t => out(tbl(t), t))
 
-    // key offsets = max+1, shared across tables
-    def off(df: DataFrame, key: String): Long = df.agg(max(col(key))).head.getLong(0) + 1L
+    // key offsets = max+1, shared across tables (cast + null-guard: an
+    // int32-typed or empty key column must not NPE/ClassCast mid-generation)
+    def off(df: DataFrame, key: String): Long = {
+      val row = df.agg(max(col(key).cast("long"))).head
+      (if (row.isNullAt(0)) -1L else row.getLong(0)) + 1L
+    }
 
     val customer = tbl("customer"); val supplier = tbl("supplier")
     val part = tbl("part"); val orders = tbl("orders"); val lineitem = tbl("lineitem")

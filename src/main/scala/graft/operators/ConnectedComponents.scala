@@ -50,16 +50,18 @@ object ConnectedComponents {
       .persist()
     val nEdges = symFull.count() // materialize once; reused every round
     val p = boundedParts(sessionParts, nEdges)
-    // pre-partition the (round-invariant) edge table on the join key: the
-    // per-round join then shuffles only the label side, and at p partitions
-    val sym =
-      if (p == sessionParts) symFull
-      else {
-        val s = symFull.repartition(p, col("dst")).persist()
-        s.count()
-        symFull.unpersist()
-        s
-      }
+    // pre-partition the (round-invariant) edge table on the JOIN key — in
+    // every branch: distinct() left it partitioned on (src,dst), which does
+    // NOT satisfy the per-round join's clustering on dst, and re-shuffling
+    // the full edge table each of O(diameter) rounds is the dominant cost
+    // on large graphs. One extra shuffle here buys label-side-only
+    // shuffles in every round.
+    val sym = {
+      val s = symFull.repartition(p, col("dst")).persist()
+      s.count()
+      symFull.unpersist()
+      s
+    }
     var labels = nodes.select(col("id"))
       .repartition(p, col("id")).dropDuplicates("id")
       .withColumn("comp", col("id"))

@@ -274,10 +274,12 @@ object Analytics {
       .select(col("event_type"), round(col("p50_value"), 4).as("p50_value"),
         round(col("p95_value"), 4).as("p95_value"), col("n"))
   }
+  // WHERE value IS NOT NULL mirrors RankSelect's ignore-nulls semantics
+  // exactly (n counts non-null values; an all-null group emits no row)
   val aggPercentilesDistSql =
     """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_value,
       |  round(quantile_cont(value, 0.95), 4) AS p95_value, count(*) AS n
-      |FROM events GROUP BY event_type""".stripMargin
+      |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin
 
   /** Z-score outlier detection per event type — the data-cleaning shape:
     * per-group mean/stddev, broadcast back, filter |x−μ| > 2σ. Statistics
@@ -292,7 +294,11 @@ object Analytics {
     val stats = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"), sum(col("c") * col("c")).as("s2"))
       .withColumn("mean", col("s").cast("double") / col("n"))
-      .withColumn("sd", sqrt(col("s2").cast("double") / col("n") - col("mean") * col("mean")))
+      // greatest(.,0): an (all-equal, huge-n) group can round variance to a
+      // tiny NEGATIVE double — Spark's sqrt yields NaN but DuckDB ERRORS,
+      // so both sides clamp identically
+      .withColumn("sd",
+        sqrt(greatest(col("s2").cast("double") / col("n") - col("mean") * col("mean"), lit(0.0))))
     ev.join(broadcast(stats), Seq("event_type"))
       .filter(abs(col("c").cast("double") - col("mean")) > lit(2.0) * col("sd"))
       .groupBy(col("event_type"))
@@ -309,7 +315,7 @@ object Analytics {
       |  FROM ev GROUP BY event_type),
       |st2 AS (
       |  SELECT event_type, CAST(s AS DOUBLE) / n AS mean,
-      |    sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+      |    sqrt(greatest(CAST(s2 AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS sd
       |  FROM st)
       |SELECT ev.event_type, count(*) AS n_outliers,
       |  round(min(c) / 100.0, 2) AS min_outlier,

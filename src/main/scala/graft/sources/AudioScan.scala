@@ -30,11 +30,18 @@ object AudioScan {
 
   @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  // executor-side cache of canonicalized directories (files share parents;
-  // one getCanonicalPath per directory instead of per file)
+  // Executor-side cache of canonicalized directories (files share parents;
+  // one getCanonicalPath per directory instead of per file). Entries can go
+  // stale if a directory is REPLACED by a symlink mid-JVM — the same race
+  // an uncached getCanonicalPath has within one listing, since the scan
+  // itself snapshots the tree — and the cache is size-bounded so long-lived
+  // executors scanning many trees don't accrete entries forever.
+  private val CanonCacheMax = 100000
   private val canonCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def canonicalParent(dir: java.io.File): String =
+  private def canonicalParent(dir: java.io.File): String = {
+    if (canonCache.size() > CanonCacheMax) canonCache.clear()
     canonCache.computeIfAbsent(dir.getPath, p => new java.io.File(p).getCanonicalPath)
+  }
 
   def scan(
       spark: SparkSession,
