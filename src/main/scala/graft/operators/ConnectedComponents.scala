@@ -62,7 +62,19 @@ object ConnectedComponents {
       symFull.unpersist()
       s
     }
+    // Only nodes that touch an edge can ever change label — isolated nodes
+    // (the vast majority of a near-dup corpus: docs with no candidate pair)
+    // are their own component and bypass the loop entirely. The iterative
+    // label table shrinks from |V| to |V(E)|, so every per-round shuffle
+    // moves only the connected fringe of the graph, not the whole corpus.
+    // `sym` is symmetric, so distinct dst covers every endpoint; it is
+    // already partitioned on dst, so the dedup below adds no exchange.
+    val touched = sym.select(col("dst").as("id")).dropDuplicates("id").persist()
+    val isolated = nodes.select(col("id")).dropDuplicates("id")
+      .join(touched, Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
     var labels = nodes.select(col("id"))
+      .join(touched, Seq("id"), "left_semi")
       .repartition(p, col("id")).dropDuplicates("id")
       .withColumn("comp", col("id"))
       .localCheckpoint()
@@ -95,8 +107,15 @@ object ConnectedComponents {
       converged = !changed
       i += 1
     }
-    sym.unpersist() // real persist (not a checkpoint) — safe: labels is materialized
-    labels
+    // Materialize the loop result ∪ isolated self-labels BEFORE dropping the
+    // caches they read from (isolated is a lazy anti-join over sym-derived
+    // `touched`); the previous contract — run() returns a materialized
+    // frame with truncated lineage — is preserved.
+    val result = labels.unionAll(isolated).localCheckpoint()
+    sym.unpersist()
+    touched.unpersist()
+    freeCheckpoint(prevCkpt)
+    result
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et al.,
