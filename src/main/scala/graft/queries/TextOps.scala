@@ -546,7 +546,195 @@ object TextOps {
        |FROM documents WHERE len(string_split(text, ' ')) >= 3""".stripMargin
   }
 
+  /** Corpus-wide boilerplate removal (the line-level dedup of CCNet /
+    * RefinedWeb, expressed over fixed 8-token blocks — the synthetic corpus
+    * is single-line, so token blocks stand in for lines). A block occurring
+    * in ≥2 distinct documents is boilerplate; each document reports its
+    * block counts and its text re-assembled WITHOUT the boilerplate blocks,
+    * in original order.
+    *
+    * Scale shape: explode → per-(doc,block) assembly (one shuffle on
+    * doc_id), block-frequency agg with map-side combine (shuffle on block
+    * text), and the boilerplate set — rare by construction — broadcasts
+    * back. Order-preserving reassembly is sort_array over (blk, text)
+    * structs, never a single-partition window. */
+  val textBlockDedup: Q = (s, dir) => {
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val blocks = toks
+      .withColumn("blk", expr("pos div 8"))
+      .groupBy(col("doc_id"), col("blk"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("block_text"))
+    val bp = blocks.groupBy(col("block_text"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("block_text"), lit(1).as("is_bp"))
+    val cleaned = blocks.join(broadcast(bp), Seq("block_text"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("is_bp").isNotNull, 1L).otherwise(0L)).as("n_boilerplate"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_bp").isNull, struct(col("blk"), col("block_text"))))),
+            x => x.getField("block_text")), " ").as("joined"))
+    cleaned.select(col("doc_id"), col("n_blocks"), col("n_boilerplate"),
+      when(length(col("joined")) === 0, lit(null).cast("string"))
+        .otherwise(col("joined")).as("cleaned_text"))
+  }
+  val textBlockDedupSql =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |blocks AS (
+      |  SELECT doc_id, (s).blk AS blk, (s).block_text AS block_text FROM (
+      |    SELECT doc_id, unnest(list_transform(range(0, (len(toks) + 7) // 8),
+      |      b -> struct_pack(blk := b,
+      |             block_text := array_to_string(list_slice(toks, b*8 + 1, b*8 + 8), ' ')))) AS s
+      |    FROM docs)),
+      |bp AS (SELECT block_text FROM blocks GROUP BY block_text
+      |       HAVING count(DISTINCT doc_id) >= 2),
+      |flagged AS (SELECT b.doc_id, b.blk, b.block_text,
+      |              (bp.block_text IS NOT NULL) AS is_bp
+      |            FROM blocks b LEFT JOIN bp ON b.block_text = bp.block_text)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+      |  string_agg(CASE WHEN NOT is_bp THEN block_text END, ' ' ORDER BY blk) AS cleaned_text
+      |FROM flagged GROUP BY doc_id""".stripMargin
+
+  /** BM25 retrieval for a fixed 3-term query, top-10 by score. The idf is
+    * the raw BM25 odds (N−df+0.5)/(df+0.5) WITHOUT the log — ln is not
+    * bit-portable across engines, the odds are monotone in it, and every
+    * remaining operation is IEEE +,−,×,÷ (deterministic cross-engine given
+    * identical expression shape, which both sides pin explicitly).
+    *
+    * Scale shape: term-filtered explode (the IN-list prunes before the
+    * shuffle), per-(doc,term) tf agg, tiny df/corpus aggregates broadcast
+    * back, per-doc score via a FIXED-ORDER per-term sum (no
+    * order-nondeterministic double aggregation), global top-10 via
+    * TakeOrdered — not a single-partition window. */
+  val textBm25: Q = (s, dir) => {
+    val qTerms = Seq("data", "table", "scan")
+    val docs = table(s, dir, "documents")
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+    val tf = base.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val scored = tf.join(broadcast(dfc), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("tfd", col("tf").cast("double"))
+      .withColumn("idf", (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("denom",
+        col("tfd") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      .withColumn("score", (col("idf") * (col("tfd") * lit(2.2))) / col("denom"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(when(col("term") === "data", col("score"))).as("s0"),
+        sum(when(col("term") === "table", col("score"))).as("s1"),
+        sum(when(col("term") === "scan", col("score"))).as("s2"))
+      .withColumn("total",
+        coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0))
+          + coalesce(col("s2"), lit(0.0)))
+      .orderBy(col("total").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("n_terms_hit"), round(col("total"), 4).as("bm25"))
+  }
+  val textBm25Sql =
+    """WITH base AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |tfc AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+      |        FROM base WHERE term IN ('data', 'table', 'scan') GROUP BY doc_id, term),
+      |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+      |corpus AS (
+      |  SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM (
+      |    SELECT count(*) AS n_docs, sum(len(string_split(text, ' '))) AS sum_dl
+      |    FROM documents)),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+      |      * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS score
+      |  FROM tfc JOIN dfc USING (term), corpus),
+      |perdoc AS (
+      |  SELECT doc_id, count(*) AS n_terms_hit,
+      |    (coalesce(sum(CASE WHEN term = 'data' THEN score END), CAST(0 AS DOUBLE))
+      |     + coalesce(sum(CASE WHEN term = 'table' THEN score END), CAST(0 AS DOUBLE)))
+      |     + coalesce(sum(CASE WHEN term = 'scan' THEN score END), CAST(0 AS DOUBLE)) AS total
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+      |  round(total, 4) AS bm25
+      |FROM perdoc ORDER BY total DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Unigram LM surprise score — the shape of LM-based quality filtering:
+    * corpus term frequencies, then per-document mean "surprise" where a
+    * token's surprise is the integer-scaled reciprocal frequency
+    * floor(1e9 / count). Integer arithmetic throughout, so the per-doc sum
+    * is order-free and bit-exact cross-engine (a real LM's −log p is not).
+    *
+    * Scale shape: one explode + term-count agg (map-side combine), one
+    * shuffle join tokens⋈vocab on term, one per-doc agg. The vocabulary is
+    * Zipf-small relative to the corpus but unbounded, so the join stays a
+    * shuffle join (AQE may broadcast it when stats allow). */
+  val textLmScore: Q = (s, dir) => {
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    toks.join(vocab, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(expr("1000000000 div c")).as("surprise_sum"))
+      .withColumn("avg_surprise", expr("surprise_sum div n_tokens"))
+  }
+  val textLmScoreSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(1000000000 // c) AS BIGINT) AS surprise_sum,
+      |  CAST(sum(1000000000 // c) // count(*) AS BIGINT) AS avg_surprise
+      |FROM toks JOIN vocab USING (term) GROUP BY doc_id""".stripMargin
+
+  /** URL canonicalization — the web-pipeline staple: parse scheme/host/path/
+    * params out of a URL and normalize it (drop tracking params). The corpus
+    * is synthetic prose, so the URL column is CONSTRUCTED deterministically
+    * per doc (like p5's synthesized WAVs), then parsed back with the same
+    * regexes in both engines. Pure narrow scan — no shuffle at any scale. */
+  val textUrls: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .withColumn("url", concat(
+        lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id").cast("string"), lit("?lang="), col("lang"),
+        lit("&sig="), pmod(charFoldHash(col("text")), lit(1000)).cast("string")))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "^https://([^/]+)/", 1).as("host"),
+        regexp_extract(col("url"), "^https://[^/]+(/[^?]*)", 1).as("path"),
+        regexp_extract(col("url"), "[?&]lang=([^&]+)", 1).as("lang_param"))
+      .withColumn("url_normalized",
+        concat(lit("https://"), col("host"), col("path")))
+  val textUrlsSql = {
+    val url = "'https://' || source || '.example.com/docs/' || doc_id || " +
+      s"'?lang=' || lang || '&sig=' || ((${charFoldHashSql("text")}) % 1000 + 1000) % 1000"
+    s"""SELECT doc_id, url,
+       |  regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       |  regexp_extract(url, '[?&]lang=([^&]+)', 1) AS lang_param,
+       |  'https://' || regexp_extract(url, '^https://([^/]+)/', 1)
+       |    || regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS url_normalized
+       |FROM (SELECT doc_id, $url AS url FROM documents)""".stripMargin
+  }
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "text_block_dedup" -> (textBlockDedup, Some(textBlockDedupSql)),
+    "text_bm25" -> (textBm25, Some(textBm25Sql)),
+    "text_lm_score" -> (textLmScore, Some(textLmScoreSql)),
+    "text_urls" -> (textUrls, Some(textUrlsSql)),
     "text_decontaminate" -> (textDecontaminate, Some(textDecontaminateSql)),
     "text_repetition" -> (textRepetition, Some(textRepetitionSql)),
     "text_chunk" -> (textChunk, Some(textChunkSql)),

@@ -216,7 +216,61 @@ object VectorOps {
       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |        FROM embeddings))""".stripMargin
 
+  /** Product quantization (the IVF-PQ compression step): 64-dim vectors →
+    * 8 subvectors of 8 dims, each assigned to its nearest of 16 deterministic
+    * codebook centroids (the first 16 vectors' subvectors — a stand-in for
+    * k-means trained centroids, which keeps the op oracle-checkable). Output:
+    * the 8-byte PQ code per vector (as JSON, array outputs crash the
+    * comparator) plus the integer-floored total quantization error.
+    *
+    * Scale shape: the codebook is 128 tiny rows → broadcast; assignment is a
+    * narrow ×16 expansion per subvector with argmin via a (vec,m)-partitioned
+    * window (high cardinality — no stragglers); distances are IEEE-exact
+    * zip_with sums, errors integer-floored so the per-vector sum is
+    * order-free. */
+  val embedPq: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val ms = explode(array((0 until 8).map(lit(_)): _*)).as("m")
+    val sub = emb.select(col("vec_id"), ms, col("v"))
+      .select(col("vec_id"), col("m"), slice(col("v"), col("m") * 8 + 1, lit(8)).as("sv"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), ms, col("v"))
+      .select(col("cid"), col("m"), slice(col("v"), col("m") * 8 + 1, lit(8)).as("cv"))
+    val d = sub.join(broadcast(cents), Seq("m"))
+      .withColumn("dist2",
+        aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist2"), col("cid"))
+    d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        to_json(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
+          x => x.getField("cid"))).as("codes"),
+        sum(floor(col("dist2") * lit(1000000.0))).as("err_micro"))
+  }
+  val embedPqSql =
+    """WITH emb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |ms AS (SELECT unnest(range(0, 8)) AS m),
+      |sub AS (SELECT vec_id, m, list_slice(v, m*8 + 1, m*8 + 8) AS sv FROM emb, ms),
+      |cents AS (SELECT vec_id AS cid, m, list_slice(v, m*8 + 1, m*8 + 8) AS cv
+      |          FROM emb, ms WHERE vec_id < 16),
+      |d AS (SELECT s.vec_id, s.m, c.cid,
+      |        list_sum(list_transform(list_zip(s.sv, c.cv),
+      |          p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+      |      FROM sub s JOIN cents c USING (m)),
+      |r AS (SELECT vec_id, m, cid, dist2,
+      |        row_number() OVER (PARTITION BY vec_id, m ORDER BY dist2, cid) AS rk
+      |      FROM d)
+      |SELECT vec_id, to_json(list(cid ORDER BY m)) AS codes,
+      |  CAST(sum(CAST(floor(dist2 * 1000000) AS BIGINT)) AS BIGINT) AS err_micro
+      |FROM r WHERE rk = 1 GROUP BY vec_id""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "embed_pq" -> (embedPq, Some(embedPqSql)),
     "embed_quantize_int8" -> (embedQuantize, Some(embedQuantizeSql)),
     "ann_lsh_topk" -> (annLshTopk, Some(annLshTopkSql)),
     "ann_brute_cosine" -> (annBruteCosine, Some(annBruteCosineSql)),

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{TextOps, VectorOps}
+
+/** Semantics pins for the round-4 LLM-pipeline operators (block-level
+  * boilerplate dedup, BM25, LM surprise, URL canonicalization, PQ codes).
+  * Cross-engine value equality is the oracle gate's job; these tests pin the
+  * operator INVARIANTS that the oracle can't express. */
+class PipelineOps4Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("block dedup: reassembly is the identity for boilerplate-free docs") {
+    val out = TextOps.textBlockDedup(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val joined = out.join(docs, Seq("doc_id")).cache()
+    // counts are consistent
+    assert(joined.filter(col("n_boilerplate") > col("n_blocks")).count() == 0)
+    // no boilerplate removed -> text survives byte-for-byte
+    val clean = joined.filter(col("n_boilerplate") === 0)
+    assert(clean.count() > 0)
+    assert(clean.filter(col("cleaned_text") =!= col("text")).count() == 0)
+    // everything removed -> null, never empty string
+    assert(joined.filter(col("n_boilerplate") === col("n_blocks"))
+      .filter(col("cleaned_text").isNotNull).count() == 0)
+    // exact duplicate docs exist in the corpus, so SOME boilerplate is found
+    assert(joined.filter(col("n_boilerplate") > 0).count() > 0)
+    joined.unpersist()
+  }
+
+  test("bm25: top-10, scores ordered, hits contain a query term") {
+    val rows = TextOps.textBm25(spark, dir).collect()
+    assert(rows.length == 10)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id").isin(rows.map(_.getLong(0)): _*))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ").toSet
+      assert(Seq("data", "table", "scan").exists(toks.contains))
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 3) // n_terms_hit
+    }
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("lm score: bounds and token-count consistency") {
+    val out = TextOps.textLmScore(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+    val j = out.join(docs, Seq("doc_id")).cache()
+    assert(j.filter(col("n_tokens") =!= col("nt")).count() == 0)
+    // every token occurs at least once, so surprise in [1, 1e9] per token
+    assert(j.filter(col("avg_surprise") < 1 || col("avg_surprise") > 1000000000L).count() == 0)
+    assert(j.count() == spark.read.parquet(s"$dir/documents.parquet").count())
+    j.unpersist()
+  }
+
+  test("url canonicalization: normalization strips params, keeps host+path") {
+    val out = TextOps.textUrls(spark, dir)
+    val bad = out.filter(
+      col("url_normalized") =!= concat(lit("https://"), col("host"), col("path")) ||
+        not(col("url").startsWith(col("url_normalized"))) ||
+        col("url_normalized").contains("?"))
+    assert(bad.count() == 0)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(out.join(docs, Seq("doc_id"))
+      .filter(col("lang_param") =!= col("lang")).count() == 0)
+  }
+
+  test("pq: codebook vectors quantize to zero error; codes are length 8") {
+    val out = VectorOps.embedPq(spark, dir).cache()
+    assert(out.filter(col("vec_id") < 16).filter(col("err_micro") =!= 0).count() == 0)
+    assert(out.filter(col("err_micro") < 0).count() == 0)
+    val codes = out.select(col("vec_id"),
+      from_json(col("codes"),
+        org.apache.spark.sql.types.DataTypes.createArrayType(
+          org.apache.spark.sql.types.DataTypes.LongType)).as("cs"))
+    assert(codes.filter(size(col("cs")) =!= 8).count() == 0)
+    assert(codes.filter(exists(col("cs"), c => c < 0 || c > 15)).count() == 0)
+    assert(out.count() == spark.read.parquet(s"$dir/embeddings.parquet").count())
+    out.unpersist()
+  }
+}
