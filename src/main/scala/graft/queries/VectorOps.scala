@@ -241,9 +241,14 @@ object VectorOps {
       .withColumn("dist2",
         aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x))
-    val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist2"), col("cid"))
-    d.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    // argmin per (vec,m) as a lexicographic struct-min: partial-aggregates
+    // map-side (the ×16 candidate expansion never crosses the shuffle, only
+    // one best-so-far row per (vec,m) does) and needs no per-group sort —
+    // ties break on the smaller cid, same as the oracle's windowed rank.
+    d.groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        col("best.cid").as("cid"), col("best.dist2").as("dist2"))
       .groupBy(col("vec_id"))
       .agg(
         to_json(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
