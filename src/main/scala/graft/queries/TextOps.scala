@@ -730,7 +730,148 @@ object TextOps {
        |FROM (SELECT doc_id, $url AS url FROM documents)""".stripMargin
   }
 
+  /** Bloom-filter decontamination — the constant-memory form of
+    * [[textDecontaminate]]: the eval set's shingles are folded into a
+    * 256-bit Bloom bitmap (4 longs, 2 probes/shingle), and every training
+    * shingle tests against it. At 100 TB the eval side no longer needs a
+    * broadcast SET — the filter is O(1) bytes regardless of eval size, the
+    * classic trade (false positives possible, negatives exact). Everything
+    * is integer hashing, so even the false-positive pattern is deterministic
+    * and the op stays fully oracle-checkable; `bloom_hits` is a provable
+    * superset count of the exact op's `n_shared`.
+    *
+    * Scale shape: build = one tiny agg over eval shingles (4 result rows);
+    * probe = narrow scan + two broadcast lookups + per-doc count. */
+  val decontaminateBloom: Q = (s, dir) => {
+    val sh = shingleRows(s, dir, None)
+      .withColumn("h", charFoldHash(col("shingle")))
+      .withColumn("b1", pmod(col("h"), lit(252)))
+      .withColumn("b2", pmod(expr("h div 252"), lit(252)))
+    val bloom = sh.filter(col("doc_id") < 20)
+      .select(explode(array(col("b1"), col("b2"))).as("bit"))
+      .select(expr("bit div 63").as("w"), expr("bit % 63").as("b"))
+      .groupBy(col("w"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).as("word"))
+    val probe = sh.filter(col("doc_id") >= 20)
+      .join(broadcast(bloom.select(expr("w").as("w1"), col("word").as("word1"))),
+        expr("b1 div 63") === col("w1"), "left")
+      .join(broadcast(bloom.select(expr("w").as("w2"), col("word").as("word2"))),
+        expr("b2 div 63") === col("w2"), "left")
+      .withColumn("hit", // & 1, NOT % 2: >> is arithmetic, so a sign-bit word
+        // shifted right is negative and odd values yield −1 under %
+        (expr("shiftright(coalesce(word1, CAST(0 AS BIGINT)), CAST(b1 % 63 AS INT)) & 1") === 1) &&
+          (expr("shiftright(coalesce(word2, CAST(0 AS BIGINT)), CAST(b2 % 63 AS INT)) & 1") === 1))
+    probe.groupBy(col("doc_id"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("bloom_hits"))
+      .filter(col("bloom_hits") >= 2)
+  }
+  val decontaminateBloomSql = {
+    val sh = shingles3Sql("string_split(text, ' ')")
+    s"""WITH sh AS (
+       |  SELECT doc_id, h, h % 252 AS b1, (h // 252) % 252 AS b2 FROM (
+       |    SELECT doc_id, ${charFoldHashSql("shingle")} AS h FROM (
+       |      SELECT doc_id, unnest(list_distinct($sh)) AS shingle FROM documents))),
+       |bloom AS (
+       |  SELECT bit // 63 AS w, bit_or(CAST(1 AS BIGINT) << CAST(bit % 63 AS INT)) AS word
+       |  FROM (SELECT unnest([b1, b2]) AS bit FROM sh WHERE doc_id < 20)
+       |  GROUP BY bit // 63),
+       |probe AS (
+       |  SELECT s.doc_id,
+       |    (((coalesce(w1.word, 0) >> CAST(s.b1 % 63 AS INT)) & 1) = 1
+       |     AND ((coalesce(w2.word, 0) >> CAST(s.b2 % 63 AS INT)) & 1) = 1) AS hit
+       |  FROM sh s
+       |  LEFT JOIN bloom w1 ON s.b1 // 63 = w1.w
+       |  LEFT JOIN bloom w2 ON s.b2 // 63 = w2.w
+       |  WHERE s.doc_id >= 20)
+       |SELECT doc_id, CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits
+       |FROM probe GROUP BY doc_id HAVING sum(CASE WHEN hit THEN 1 ELSE 0 END) >= 2""".stripMargin
+  }
+
+  /** BPE TRAINING statistics (the other side of [[textBpe]]'s apply): count
+    * adjacent-token pairs corpus-wide and return the top-20 merge candidates
+    * — iteration 1 of the BPE training loop. One windowed pair build + one
+    * map-side-combining count agg + TakeOrdered top-k (never a
+    * single-partition window). */
+  val bpePairCounts: Q = (s, dir) => {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(concat_ws(" ", col("tok"), col("nxt")).as("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+  val bpePairCountsSql =
+    """WITH pairs AS (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i+1])) AS pair
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents))
+      |SELECT pair, count(*) AS n FROM pairs
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
+  /** Deterministic quality-weighted subsampling (the data-mixing shape:
+    * longer/higher-quality docs keep a higher acceptance rate). Acceptance
+    * is content-hashed against a per-doc weight — reproducible across runs,
+    * engines, and partitionings, unlike rand()-based sampling. Pure narrow
+    * scan + small agg. */
+  val sampleQualityWeighted: Q = (s, dir) => {
+    val weight = least(lit(100L), greatest(lit(1L), expr("n_chars div 10")))
+    val accept = pmod(charFoldHash(col("text")), lit(100)) < weight
+    table(s, dir, "documents")
+      .select(col("lang"), col("source"), weight.as("w"), accept.as("keep"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("w")).as("weight_sum"))
+  }
+  val sampleQualityWeightedSql = {
+    val w = "least(100, greatest(1, n_chars // 10))"
+    s"""SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN (${charFoldHashSql("text")}) % 100 < $w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum($w) AS BIGINT) AS weight_sum
+       |FROM documents GROUP BY lang, source""".stripMargin
+  }
+
+  /** Prefix-duplicate detection: docs whose text is a strict-or-equal prefix
+    * of another doc (truncated/extended near-copies — a dedup family LSH
+    * misses when the suffix dominates the shingle set). Blocking key = hash
+    * of the first 8 tokens, so candidates are an inverted-index join, never
+    * n²; within a block the prefix test is substring equality. */
+  val dedupPrefix: Q = (s, dir) => {
+    val keyed = table(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        charFoldHash(array_join(slice(split(col("text"), " "), 1, 8), " ")).as("pk"))
+    val a = keyed.select(col("pk"), col("doc_id").as("a_id"), col("text").as("a_text"))
+    val b = keyed.select(col("pk"), col("doc_id").as("b_id"), col("text").as("b_text"))
+    a.join(b, Seq("pk")).filter(col("a_id") < col("b_id"))
+      .withColumn("a_prefix_of_b",
+        expr("substring(b_text, 1, length(a_text))") === col("a_text"))
+      .withColumn("b_prefix_of_a",
+        expr("substring(a_text, 1, length(b_text))") === col("b_text"))
+      .filter(col("a_prefix_of_b") || col("b_prefix_of_a"))
+      .select(col("a_id"), col("b_id"),
+        length(col("a_text")).as("len_a"), length(col("b_text")).as("len_b"),
+        (col("a_prefix_of_b") && col("b_prefix_of_a")).as("exact_equal"))
+  }
+  val dedupPrefixSql = {
+    val pk = charFoldHashSql("array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')")
+    s"""WITH keyed AS (SELECT doc_id, text, $pk AS pk FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  length(a.text) AS len_a, length(b.text) AS len_b,
+       |  (substr(b.text, 1, length(a.text)) = a.text
+       |   AND substr(a.text, 1, length(b.text)) = b.text) AS exact_equal
+       |FROM keyed a JOIN keyed b ON a.pk = b.pk AND a.doc_id < b.doc_id
+       |WHERE substr(b.text, 1, length(a.text)) = a.text
+       |   OR substr(a.text, 1, length(b.text)) = b.text""".stripMargin
+  }
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "decontaminate_bloom" -> (decontaminateBloom, Some(decontaminateBloomSql)),
+    "bpe_pair_counts" -> (bpePairCounts, Some(bpePairCountsSql)),
+    "sample_quality_weighted" -> (sampleQualityWeighted, Some(sampleQualityWeightedSql)),
+    "dedup_prefix" -> (dedupPrefix, Some(dedupPrefixSql)),
     "text_block_dedup" -> (textBlockDedup, Some(textBlockDedupSql)),
     "text_bm25" -> (textBm25, Some(textBm25Sql)),
     "text_lm_score" -> (textLmScore, Some(textLmScoreSql)),

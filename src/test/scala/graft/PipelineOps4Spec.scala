@@ -68,6 +68,60 @@ class PipelineOps4Spec extends SparkSpec {
       .filter(col("lang_param") =!= col("lang")).count() == 0)
   }
 
+  test("bloom decontamination: superset of the exact n-gram overlap op") {
+    val exact = TextOps.textDecontaminate(spark, dir)
+      .withColumnRenamed("n_shared", "exact_hits")
+    val bloom = TextOps.decontaminateBloom(spark, dir)
+    // negatives are exact: every exact-flagged doc is bloom-flagged, and
+    // per doc the bloom count can only exceed the true overlap count
+    val j = exact.join(bloom, Seq("doc_id"), "left").cache()
+    assert(j.filter(col("bloom_hits").isNull).count() == 0)
+    assert(j.filter(col("bloom_hits") < col("exact_hits")).count() == 0)
+    j.unpersist()
+  }
+
+  test("bpe pair counts: top-20, ordered, counts match a direct recount") {
+    val rows = TextOps.bpePairCounts(spark, dir).collect()
+    assert(rows.length == 20)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // recount the top pair directly from the corpus
+    val top = rows.head.getString(0).split(" ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val n = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("tok") === top(0) && col("nxt") === top(1)).count()
+    assert(n == rows.head.getLong(1))
+  }
+
+  test("quality-weighted sampling: kept counts bounded by weights") {
+    val out = sampleQW.cache()
+    assert(out.filter(col("n_kept") > col("n_docs")).count() == 0)
+    // weights in [1,100] -> weight_sum within [n_docs, 100*n_docs]
+    assert(out.filter(col("weight_sum") < col("n_docs")
+      || col("weight_sum") > col("n_docs") * 100).count() == 0)
+    out.unpersist()
+  }
+  private def sampleQW = TextOps.sampleQualityWeighted(spark, dir)
+
+  test("prefix dedup: exact duplicates appear, prefix relation is real") {
+    val pairs = TextOps.dedupPrefix(spark, dir).cache()
+    // the synthetic corpus has strict prefix-extension pairs (28 at sf0.001)
+    assert(pairs.count() > 0)
+    // mutual prefixes are exactly the equal-length (identical) pairs
+    assert(pairs.filter(col("exact_equal") && col("len_a") =!= col("len_b")).count() == 0)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val checked = pairs
+      .join(docs.select(col("doc_id").as("a_id"), col("text").as("ta")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("tb")), Seq("b_id"))
+      .filter(not(expr("substring(tb, 1, length(ta)) = ta")
+        || expr("substring(ta, 1, length(tb)) = tb")))
+    assert(checked.count() == 0)
+    pairs.unpersist()
+  }
+
   test("pq: codebook vectors quantize to zero error; codes are length 8") {
     val out = VectorOps.embedPq(spark, dir).cache()
     assert(out.filter(col("vec_id") < 16).filter(col("err_micro") =!= 0).count() == 0)
