@@ -914,7 +914,110 @@ object Analytics {
       |  FROM lineitem WHERE l_orderkey < 300)
       |UNPIVOT (val FOR metric IN (quantity, price, tax))""".stripMargin
 
+  /** Ordered 3-step funnel (view → click → purchase): per user, the first
+    * view, the first click AFTER it, the first purchase after that; one row
+    * of per-stage user counts. Shape: three chained per-user min-aggregates
+    * — each stage's survivor set only shrinks, every shuffle is on user_id
+    * (exchange-reusable), and stage outputs are one row per user, so at
+    * 100 TB the heavy table is scanned once per stage and reduced
+    * immediately. Timestamps are exact integer µs. */
+  val eventsFunnel: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val a = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_a"))
+    val b = ev.filter(col("event_type") === "click").join(a, Seq("user_id"))
+      .filter(col("ts_us") > col("t_a"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_b"))
+    val c = ev.filter(col("event_type") === "purchase").join(b, Seq("user_id"))
+      .filter(col("ts_us") > col("t_b"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_c"))
+    a.agg(count(lit(1)).as("n_view"))
+      .crossJoin(b.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(c.agg(count(lit(1)).as("n_full_funnel")))
+  }
+  val eventsFunnelSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |a AS (SELECT user_id, min(ts_us) AS t_a FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |b AS (SELECT e.user_id, min(e.ts_us) AS t_b FROM ev e JOIN a USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts_us > a.t_a GROUP BY e.user_id),
+      |c AS (SELECT e.user_id, min(e.ts_us) AS t_c FROM ev e JOIN b USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts_us > b.t_b GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM a) AS n_view,
+      |       (SELECT count(*) FROM b) AS n_view_click,
+      |       (SELECT count(*) FROM c) AS n_full_funnel""".stripMargin
+
+  /** Cohort retention: users grouped by first-activity day, distinct active
+    * users per (cohort day, day offset). Day arithmetic on integer epoch
+    * days (µs div 86 400 000 000) — exact cross-engine. Two shuffles: the
+    * per-user first-day agg and the (cohort, offset) count-distinct. */
+  val eventsRetention: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+    val coh = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(coh, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+  val eventsRetentionSql =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |coh AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+      |FROM ev JOIN coh USING (user_id)
+      |GROUP BY cohort_day, day - cohort_day""".stripMargin
+
+  /** Distribution window functions (percent_rank, cume_dist) over a
+    * HIGH-cardinality partition key — the straggler-safe way to use them
+    * (the window_ntile lesson: a low-cardinality partition collapses to one
+    * task; these partitions are per-customer and tiny). */
+  val windowDistribution: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+    table(s, dir, "orders").filter(col("o_custkey") < 150)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+  }
+  val windowDistributionSql =
+    """SELECT o_orderkey, o_custkey,
+      |  round(percent_rank() OVER w, 4) AS pr,
+      |  round(cume_dist() OVER w, 4) AS cd
+      |FROM orders WHERE o_custkey < 150
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)""".stripMargin
+
+  /** SCD-2 merge (upsert with history): a deterministic update batch (every
+    * 10th customer changes segment) merged into the dimension; each key's
+    * versions close over the next version's start (lead over a per-key
+    * window — 1-2 rows per key, never a straggler). The MERGE pattern for
+    * slowly-changing dimensions, expressed as union + keyed window. */
+  val mergeScd2: Q = (s, dir) => {
+    val base = table(s, dir, "customer").filter(col("c_custkey") < 300)
+      .select(col("c_custkey"), col("c_mktsegment"), lit(0L).as("version"))
+    val updates = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), lit("UPDATED").as("c_mktsegment"), lit(1L).as("version"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("version"))
+    base.unionAll(updates)
+      .withColumn("valid_to", lead(col("version"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+  val mergeScd2Sql =
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS version
+      |  FROM customer WHERE c_custkey < 300),
+      |merged AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT c_custkey, 'UPDATED', CAST(1 AS BIGINT) FROM base WHERE c_custkey % 10 = 0)
+      |SELECT c_custkey, c_mktsegment, version,
+      |  lead(version) OVER (PARTITION BY c_custkey ORDER BY version) AS valid_to,
+      |  lead(version) OVER (PARTITION BY c_custkey ORDER BY version) IS NULL AS is_current
+      |FROM merged""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "events_funnel" -> (eventsFunnel, Some(eventsFunnelSql)),
+    "events_retention" -> (eventsRetention, Some(eventsRetentionSql)),
+    "window_distribution" -> (windowDistribution, Some(windowDistributionSql)),
+    "merge_scd2" -> (mergeScd2, Some(mergeScd2Sql)),
     "events_correlate" -> (eventsCorrelate, Some(eventsCorrelateSql)),
     "agg_cube" -> (aggCube, Some(aggCubeSql)),
     "window_fill_forward" -> (windowFillForward, Some(windowFillForwardSql)),

@@ -122,6 +122,40 @@ class PipelineOps4Spec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("funnel: stage counts are monotone non-increasing") {
+    val r = graft.queries.Analytics.eventsFunnel(spark, dir).collect()
+    assert(r.length == 1)
+    val (a, b, c) = (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2))
+    assert(a >= b && b >= c && c >= 0)
+  }
+
+  test("retention: offset-0 count equals cohort size and dominates") {
+    val out = graft.queries.Analytics.eventsRetention(spark, dir).cache()
+    val perCohort = out.groupBy(col("cohort_day"))
+      .agg(max(col("n_users")).as("mx"),
+        max(when(col("day_offset") === 0, col("n_users"))).as("d0"))
+    assert(perCohort.filter(col("d0").isNull || col("d0") =!= col("mx")).count() == 0)
+    assert(out.filter(col("day_offset") < 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("scd2 merge: exactly one current version per key; updates doubled") {
+    val out = graft.queries.Analytics.mergeScd2(spark, dir).cache()
+    val perKey = out.groupBy(col("c_custkey"))
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("cur"),
+        count(lit(1)).as("n"))
+    assert(perKey.filter(col("cur") =!= 1).count() == 0)
+    assert(perKey.filter(col("c_custkey") % 10 === 0 && col("n") =!= 2).count() == 0)
+    assert(perKey.filter(col("c_custkey") % 10 =!= 0 && col("n") =!= 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("distribution windows: pr and cd bounded, cd never below pr") {
+    val out = graft.queries.Analytics.windowDistribution(spark, dir)
+    assert(out.filter(col("pr") < 0 || col("pr") > 1
+      || col("cd") <= 0 || col("cd") > 1 || col("cd") < col("pr")).count() == 0)
+  }
+
   test("pq: codebook vectors quantize to zero error; codes are length 8") {
     val out = VectorOps.embedPq(spark, dir).cache()
     assert(out.filter(col("vec_id") < 16).filter(col("err_micro") =!= 0).count() == 0)
