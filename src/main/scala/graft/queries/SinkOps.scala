@@ -58,7 +58,90 @@ object SinkOps {
        |  CAST(floor((row_number() OVER (ORDER BY 'docs/doc' || doc_id || '.wav') - 1) / $FilesPerShard) AS INT) AS shard_id
        |FROM (SELECT doc_id FROM documents WHERE doc_id < $NDocs)""".stripMargin
 
+  /** Structured Streaming INSIDE the oracle gate: availableNow tumbling-window
+    * counts over the events parquet must hash-match the batch SQL oracle.
+    * Mechanics (same as the StreamingSpec equivalence test): the events are
+    * staged with a far-future sentinel so the final no-data micro-batch
+    * advances the watermark past every real window and the append-mode sink
+    * flushes them all; the sentinel's own window is excluded. Counts only —
+    * integer-exact regardless of micro-batch partial-agg order. */
+  val eventsTumblingStream: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-oracle")
+    val evDir = new java.io.File(tmp.toFile, "events").getAbsolutePath
+    val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
+    val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
+    val src = Util.eventsWithTs(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    src.write.mode("overwrite").parquet(evDir)
+    val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
+    val sentinel = s.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)).as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+    sentinel.write.mode("append").parquet(evDir)
+    val q = graft.streaming.EventStream
+      .tumblingCounts(graft.streaming.EventStream.readEvents(s, evDir))
+      .select(col("hour"), col("event_type"), col("n"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_timestamp(col("hour")).as("hour_epoch"), col("event_type"), col("n"))
+  }
+  val eventsTumblingStreamSql =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |  event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Source/sink format breadth: the same projection round-trips through
+    * ORC, CSV, and JSON files, and each read-back must reproduce the exact
+    * row count and integer checksum the oracle computes straight from the
+    * parquet table — proving the writes AND reads are lossless. Values are
+    * projected to integers BEFORE writing so text formats carry no float
+    * representation risk. */
+  val formatRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-format-rt")
+    val li = table(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity") * 100).cast("long").as("qty_cents"),
+        col("l_returnflag"))
+    val schema = "l_orderkey LONG, l_linenumber LONG, qty_cents LONG, l_returnflag STRING"
+    val frames = Seq("orc", "csv", "json").map { fmt =>
+      val path = new java.io.File(tmp.toFile, fmt).getAbsolutePath
+      fmt match {
+        case "csv" => li.write.option("header", "true").csv(path)
+        case _     => li.write.format(fmt).save(path)
+      }
+      val back = fmt match {
+        case "orc" => s.read.orc(path)
+        case "csv" => s.read.option("header", "true").schema(schema).csv(path)
+        case "json" => s.read.schema(schema).json(path)
+      }
+      back.agg(
+        lit(fmt).as("fmt"),
+        count(lit(1)).as("n_rows"),
+        sum(col("qty_cents")).as("qty_cents_sum"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+    }
+    frames.reduce(_ unionAll _)
+  }
+  val formatRoundtripSql =
+    """SELECT fmt, count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents_sum,
+      |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+      |FROM lineitem, (SELECT unnest(['orc', 'csv', 'json']) AS fmt)
+      |WHERE l_orderkey < 1000
+      |GROUP BY fmt""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "k1_sink_roundtrip" -> (k1SinkRoundtrip, Some(k1SinkRoundtripSql)),
+    "events_tumbling_stream" -> (eventsTumblingStream, Some(eventsTumblingStreamSql)),
+    "format_roundtrip" -> (formatRoundtrip, Some(formatRoundtripSql)),
   )
 }
