@@ -1013,7 +1013,42 @@ object Analytics {
       |  lead(version) OVER (PARTITION BY c_custkey ORDER BY version) IS NULL AS is_current
       |FROM merged""".stripMargin
 
+  /** Rate-spike detection: hourly event counts per type vs the trailing-24h
+    * average, flagged when rate > 1.5× trailing. The comparison is the
+    * cross-multiplied integer form 2·n·hours > 3·sum — no division, exact at
+    * any scale. The RANGE window runs over HOURLY AGGREGATES (rows grow with
+    * time, not data volume), so the low-cardinality type partition is never
+    * a straggler over raw events. */
+  val eventsRateAnomaly: Q = (s, dir) => {
+    val hourly = eventsWithTs(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rangeBetween(-24, -1)
+    hourly
+      .withColumn("trail_sum", sum(col("n")).over(w))
+      .withColumn("trail_hours", count(col("n")).over(w))
+      .filter(col("trail_hours") >= 12 &&
+        col("n") * col("trail_hours") * 2 > col("trail_sum") * 3)
+      .select(col("event_type"), col("h"), col("n"),
+        col("trail_sum"), col("trail_hours"))
+  }
+  val eventsRateAnomalySql =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT event_type, h, n,
+      |    sum(n) OVER w AS trail_sum, count(n) OVER w AS trail_hours
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, h, n, CAST(trail_sum AS BIGINT) AS trail_sum,
+      |  CAST(trail_hours AS BIGINT) AS trail_hours
+      |FROM tr WHERE trail_hours >= 12 AND n * trail_hours * 2 > trail_sum * 3""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "events_rate_anomaly" -> (eventsRateAnomaly, Some(eventsRateAnomalySql)),
     "events_funnel" -> (eventsFunnel, Some(eventsFunnelSql)),
     "events_retention" -> (eventsRetention, Some(eventsRetentionSql)),
     "window_distribution" -> (windowDistribution, Some(windowDistributionSql)),

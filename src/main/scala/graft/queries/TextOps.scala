@@ -867,7 +867,54 @@ object TextOps {
        |   OR substr(a.text, 1, length(b.text)) = b.text""".stripMargin
   }
 
+  /** PMI collocation mining (phrase discovery for tokenizer vocabularies):
+    * score adjacent-token pairs by pointwise mutual information. The log is
+    * dropped (not bit-portable) in favor of the monotone integer ratio
+    * pmi_micro = ((c_xy·1e6 div c_x)·N) div c_y — divisions before the N
+    * multiply keep every intermediate under 2^63 at any corpus size. One
+    * windowed pair build + three count aggs + two term joins; top-15 via
+    * TakeOrdered. */
+  val textPmi: Q = (s, dir) => {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val bi = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("tok").as("x"), col("nxt").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // Σ(len−1) straight off documents — NOT count−countDistinct over the
+    // exploded tokens (mixing countDistinct into an agg plans through
+    // Expand, doubling the exploded row count)
+    val n = table(s, dir, "documents")
+      .agg(sum(size(split(col("text"), " ")) - 1).as("n_bigrams"))
+    bi.join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_micro",
+        expr("((c_xy * 1000000 div c_x) * n_bigrams) div c_y"))
+      .orderBy(col("pmi_micro").desc, col("x"), col("y"))
+      .limit(15)
+      .select(col("x"), col("y"), col("c_xy"), col("pmi_micro"))
+  }
+  val textPmiSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |bi AS (
+      |  SELECT pr[1] AS x, pr[2] AS y, count(*) AS c_xy FROM (
+      |    SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS pr
+      |    FROM (SELECT string_split(text, ' ') AS t FROM documents))
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |n AS (SELECT CAST(sum(len(string_split(text, ' ')) - 1) AS BIGINT) AS n_bigrams
+      |      FROM documents)
+      |SELECT x, y, c_xy, ((c_xy * 1000000 // ux.c) * n_bigrams) // uy.c AS pmi_micro
+      |FROM bi JOIN uni ux ON bi.x = ux.tok JOIN uni uy ON bi.y = uy.tok, n
+      |ORDER BY pmi_micro DESC, x, y LIMIT 15""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "text_pmi" -> (textPmi, Some(textPmiSql)),
     "decontaminate_bloom" -> (decontaminateBloom, Some(decontaminateBloomSql)),
     "bpe_pair_counts" -> (bpePairCounts, Some(bpePairCountsSql)),
     "sample_quality_weighted" -> (sampleQualityWeighted, Some(sampleQualityWeightedSql)),

@@ -274,7 +274,98 @@ object VectorOps {
       |  CAST(sum(CAST(floor(dist2 * 1000000) AS BIGINT)) AS BIGINT) AS err_micro
       |FROM r WHERE rk = 1 GROUP BY vec_id""".stripMargin
 
+  /** The full IVF-PQ SEARCH path composed end-to-end: PQ-encode the corpus
+    * (as [[embedPq]]), build the query-side ADC lookup table (query subvector
+    * × codebook distances — tiny, broadcast), score every candidate by
+    * asymmetric-distance-computation (sum of 8 table lookups — the whole
+    * point of PQ: no full-vector math per candidate), keep the approximate
+    * top-8 per query, then re-rank those few with exact cosine for the final
+    * top-3. ADC sums are 8 FIXED-ORDER adds (m-pivoted), so doubles stay
+    * bit-portable; top-k goes through row_number ≤ k, which Spark plans with
+    * WindowGroupLimit (map-side partial top-k — no single-task sort of the
+    * corpus). */
+  val annPqRerank: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val ms = explode(array((0 until 8).map(lit(_)): _*)).as("m")
+    def subvecs(idName: String, vName: String) =
+      emb.select(col("vec_id").as(idName), ms, col("v"))
+        .select(col(idName), col("m"), slice(col("v"), col("m") * 8 + 1, lit(8)).as(vName))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), ms, col("v"))
+      .select(col("cid"), col("m"), slice(col("v"), col("m") * 8 + 1, lit(8)).as("cv"))
+    // corpus codes: nearest centroid per (vector, subspace)
+    val codes = subvecs("c_id", "sv").join(broadcast(cents), Seq("m"))
+      .withColumn("dist2", d2(col("sv"), col("cv")))
+      .groupBy(col("c_id"), col("m"))
+      .agg(min(struct(col("dist2"), col("cid"))).as("best"))
+      .select(col("c_id"), col("m"), col("best.cid").as("code"))
+    // ADC table: 3 queries × 8 subspaces × 16 centroids
+    val adc = subvecs("q_id", "qv").filter(col("q_id") < 3)
+      .join(broadcast(cents), Seq("m"))
+      .select(col("q_id"), col("m"), col("cid").as("code"), d2(col("qv"), col("cv")).as("qd2"))
+    // m-pivoted fixed-order ADC sum per (query, candidate)
+    val mCols = (0 until 8).map(i => sum(when(col("m") === i, col("qd2"))).as(s"d$i"))
+    val approx = codes.join(broadcast(adc), Seq("m", "code"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(mCols.head, mCols.tail: _*)
+      .withColumn("adist", (0 until 8).map(i => col(s"d$i")).reduce(_ + _))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("c_id"))
+    val top8 = approx.withColumn("ark", row_number().over(wa)).filter(col("ark") <= 8)
+      .select(col("q_id"), col("c_id"))
+    // exact cosine re-rank of the surviving 8 per query
+    val full = emb.withColumn("nrm", norm(col("v")))
+    val scored = top8
+      .join(full.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), Seq("q_id"))
+      .join(full.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), Seq("c_id"))
+    val we = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 4).as("cosine"))
+  }
+  val annPqRerankSql = {
+    val adcSum = "((((((((d0 + d1) + d2) + d3) + d4) + d5) + d6) + d7))"
+    val mPiv = (0 until 8).map(i => s"sum(CASE WHEN m = $i THEN qd2 END) AS d$i").mkString(", ")
+    """WITH emb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |ms AS (SELECT unnest(range(0, 8)) AS m),
+      |sub AS (SELECT vec_id, m, list_slice(v, m*8 + 1, m*8 + 8) AS sv FROM emb, ms),
+      |cents AS (SELECT vec_id AS cid, m, list_slice(v, m*8 + 1, m*8 + 8) AS cv
+      |          FROM emb, ms WHERE vec_id < 16),
+      |cd AS (SELECT s.vec_id AS c_id, s.m, c.cid,
+      |         list_sum(list_transform(list_zip(s.sv, c.cv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+      |       FROM sub s JOIN cents c USING (m)),
+      |codes AS (SELECT c_id, m, cid AS code FROM (
+      |  SELECT c_id, m, cid, row_number() OVER (PARTITION BY c_id, m ORDER BY dist2, cid) AS rk
+      |  FROM cd) WHERE rk = 1),
+      |adc AS (SELECT s.vec_id AS q_id, s.m, c.cid AS code,
+      |          list_sum(list_transform(list_zip(s.sv, c.cv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS qd2
+      |        FROM sub s JOIN cents c USING (m) WHERE s.vec_id < 3),
+      |approx AS (
+      |  SELECT q_id, c_id, MPIV
+      |  FROM codes JOIN adc USING (m, code) WHERE q_id <> c_id GROUP BY q_id, c_id),
+      |top8 AS (SELECT q_id, c_id FROM (
+      |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY ADCSUM, c_id) AS ark
+      |  FROM approx) WHERE ark <= 8),
+      |rer AS (
+      |  SELECT t.q_id, t.c_id,
+      |    list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) / (q.nrm * c.nrm) AS cos
+      |  FROM top8 t JOIN emb q ON q.vec_id = t.q_id JOIN emb c ON c.vec_id = t.c_id)
+      |SELECT q_id, c_id, rank, round(cos, 4) AS cosine FROM (
+      |  SELECT q_id, c_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      |  FROM rer) WHERE rank <= 3""".stripMargin
+      .replace("MPIV", mPiv).replace("ADCSUM", adcSum)
+  }
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "ann_pq_rerank" -> (annPqRerank, Some(annPqRerankSql)),
     "embed_pq" -> (embedPq, Some(embedPqSql)),
     "embed_quantize_int8" -> (embedQuantize, Some(embedQuantizeSql)),
     "ann_lsh_topk" -> (annLshTopk, Some(annLshTopkSql)),

@@ -156,6 +156,32 @@ class PipelineOps4Spec extends SparkSpec {
       || col("cd") <= 0 || col("cd") > 1 || col("cd") < col("pr")).count() == 0)
   }
 
+  test("pq re-rank: 3 ranked hits per query, cosines ordered and bounded") {
+    val rows = VectorOps.annPqRerank(spark, dir)
+      .orderBy(col("q_id"), col("rank")).collect()
+    assert(rows.length == 9)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+      val cs = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("pmi: top-15 collocations, frequency floor respected, ordered") {
+    val rows = TextOps.textPmi(spark, dir).collect()
+    assert(rows.length == 15)
+    assert(rows.forall(_.getLong(2) >= 5))
+    val ps = rows.map(_.getLong(3))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("rate anomaly: flagged rows actually exceed 1.5x trailing average") {
+    val out = graft.queries.Analytics.eventsRateAnomaly(spark, dir)
+    assert(out.filter(col("trail_hours") < 12
+      || col("n") * col("trail_hours") * 2 <= col("trail_sum") * 3).count() == 0)
+  }
+
   test("pq: codebook vectors quantize to zero error; codes are length 8") {
     val out = VectorOps.embedPq(spark, dir).cache()
     assert(out.filter(col("vec_id") < 16).filter(col("err_micro") =!= 0).count() == 0)
