@@ -364,7 +364,78 @@ object VectorOps {
       .replace("MPIV", mPiv).replace("ADCSUM", adcSum)
   }
 
+  /** K-means codebook TRAINING (what a real IVF/PQ index runs before
+    * [[embedPq]] can encode): K=8 centroids over the full 64-dim vectors,
+    * deterministic init (vectors 0..7), two unrolled Lloyd iterations.
+    * Vectors are fixed-point quantized (floor(x·1e6) as long) FIRST, so
+    * assignment distances and centroid sums are pure integer arithmetic —
+    * order-free, overflow-safe (|x|≤~1 → 1e12 per square · 64 dims · n),
+    * and bit-identical in the oracle, which unrolls the same two iterations
+    * as chained CTEs. Centroid means use integer division (sum div n).
+    *
+    * Scale shape per iteration: broadcast the K×64 centroid table, one
+    * narrow argmin scan, one groupBy(cid) with 64 map-side-combining sums.
+    * Output: per-centroid member count + coordinate checksum. */
+  val kmeansQuantized: Q = (s, dir) => {
+    // +1e7 offset keeps every coordinate (and so every centroid SUM)
+    // non-negative: Spark's `div` truncates toward zero but DuckDB's `//`
+    // floors, and they only agree on non-negatives. Distances are invariant
+    // under the common offset.
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000.0)).cast("long") + lit(10000000L)).as("q"))
+    val dims = 0 until 64
+    def centroidsOf(assigned: DataFrame): DataFrame = assigned
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        dims.map(i => sum(element_at(col("q"), i + 1)).as(s"s$i")): _*)
+      .select(col("cid"), col("n"),
+        array(dims.map(i => expr(s"s$i div n")): _*).as("c"))
+    def assign(cents: DataFrame): DataFrame = emb
+      .join(broadcast(cents.select(col("cid"), col("c"))), lit(true))
+      .withColumn("d2", aggregate(zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"), first(col("q")).as("q"))
+      .select(col("vec_id"), col("q"), col("best.cid").as("cid"))
+    val init = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("c"))
+    val round1 = centroidsOf(assign(init))
+    val round2 = centroidsOf(assign(round1))
+    round2.select(col("cid"), col("n"),
+      aggregate(col("c"), lit(0L), (acc, x) => acc + abs(x)).as("coord_checksum"))
+  }
+  val kmeansQuantizedSql = {
+    val sums = (0 until 64).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")
+    val means = (0 until 64).map(i => s"s$i // n").mkString(", ")
+    """WITH emb AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 10000000) AS q
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, q AS c FROM emb WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, q, cid FROM (
+      |  SELECT e.vec_id, e.q, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(e.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rk
+      |  FROM emb e, c0 c) WHERE rk = 1),
+      |s1 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n, SUMS FROM a1 GROUP BY cid),
+      |c1 AS (SELECT cid, n, [MEANS] AS c FROM s1),
+      |a2 AS (SELECT vec_id, q, cid FROM (
+      |  SELECT e.vec_id, e.q, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(e.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rk
+      |  FROM emb e, c1 c) WHERE rk = 1),
+      |s2 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n, SUMS FROM a2 GROUP BY cid),
+      |c2 AS (SELECT cid, n, [MEANS] AS c FROM s2)
+      |SELECT cid, n, CAST(list_sum(list_transform(c, x -> abs(x))) AS BIGINT) AS coord_checksum
+      |FROM c2""".stripMargin
+      .replace("SUMS", sums).replace("[MEANS]", "[" + means + "]")
+  }
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "kmeans_quantized" -> (kmeansQuantized, Some(kmeansQuantizedSql)),
     "ann_pq_rerank" -> (annPqRerank, Some(annPqRerankSql)),
     "embed_pq" -> (embedPq, Some(embedPqSql)),
     "embed_quantize_int8" -> (embedQuantize, Some(embedQuantizeSql)),

@@ -182,6 +182,15 @@ class PipelineOps4Spec extends SparkSpec {
       || col("n") * col("trail_hours") * 2 <= col("trail_sum") * 3).count() == 0)
   }
 
+  test("kmeans: 8 centroids partition the full corpus after two rounds") {
+    val out = VectorOps.kmeansQuantized(spark, dir).cache()
+    assert(out.count() == 8)
+    val total = out.agg(sum(col("n"))).head.getLong(0)
+    assert(total == spark.read.parquet(s"$dir/embeddings.parquet").count())
+    assert(out.filter(col("n") <= 0 || col("coord_checksum") <= 0).count() == 0)
+    out.unpersist()
+  }
+
   test("pq: codebook vectors quantize to zero error; codes are length 8") {
     val out = VectorOps.embedPq(spark, dir).cache()
     assert(out.filter(col("vec_id") < 16).filter(col("err_micro") =!= 0).count() == 0)
