@@ -580,8 +580,11 @@ object TextOps {
             array_sort(collect_list(
               when(col("is_bp").isNull, struct(col("blk"), col("block_text"))))),
             x => x.getField("block_text")), " ").as("joined"))
+    // NULL exactly when NO block survived (string_agg-over-zero-rows
+    // semantics) — a length()==0 test would also null out a legitimately
+    // empty surviving block and diverge from the oracle
     cleaned.select(col("doc_id"), col("n_blocks"), col("n_boilerplate"),
-      when(length(col("joined")) === 0, lit(null).cast("string"))
+      when(col("n_boilerplate") === col("n_blocks"), lit(null).cast("string"))
         .otherwise(col("joined")).as("cleaned_text"))
   }
   val textBlockDedupSql =
@@ -732,7 +735,8 @@ object TextOps {
 
   /** Bloom-filter decontamination — the constant-memory form of
     * [[textDecontaminate]]: the eval set's shingles are folded into a
-    * 256-bit Bloom bitmap (4 longs, 2 probes/shingle), and every training
+    * 252-bit Bloom bitmap (4 longs × 63 usable bits — bit 63 stays clear
+    * because DuckDB errors on 1<<63 — 2 probes/shingle), and every training
     * shingle tests against it. At 100 TB the eval side no longer needs a
     * broadcast SET — the filter is O(1) bytes regardless of eval size, the
     * classic trade (false positives possible, negatives exact). Everything
@@ -838,7 +842,10 @@ object TextOps {
     * of another doc (truncated/extended near-copies — a dedup family LSH
     * misses when the suffix dominates the shingle set). Blocking key = hash
     * of the first 8 tokens, so candidates are an inverted-index join, never
-    * n²; within a block the prefix test is substring equality. */
+    * n²; within a block the prefix test is substring equality. RECALL
+    * CONTRACT: pairs are found when the two docs share ≥8 leading tokens
+    * (equivalently: the shorter side has ≥8 tokens) — the standard blocking
+    * trade; shorter-prefix pairs would need multi-length keys. */
   val dedupPrefix: Q = (s, dir) => {
     val keyed = table(s, dir, "documents")
       .select(col("doc_id"), col("text"),
@@ -870,10 +877,12 @@ object TextOps {
   /** PMI collocation mining (phrase discovery for tokenizer vocabularies):
     * score adjacent-token pairs by pointwise mutual information. The log is
     * dropped (not bit-portable) in favor of the monotone integer ratio
-    * pmi_micro = ((c_xy·1e6 div c_x)·N) div c_y — divisions before the N
-    * multiply keep every intermediate under 2^63 at any corpus size. One
-    * windowed pair build + three count aggs + two term joins; top-15 via
-    * TakeOrdered. */
+    * pmi_micro = floor((c_xy·1e6/c_x)·(N/c_y)) computed in DOUBLE — IEEE
+    * ×/÷ is bit-portable, counts stay exact below 2^53 (≈9e15 bigrams, past
+    * the 100 TB point), and unlike an all-integer form no intermediate can
+    * overflow (the true PMI ratio itself approaches N for perfectly
+    * correlated rare pairs). One windowed pair build + three count aggs +
+    * two term joins; top-15 via TakeOrdered. */
   val textPmi: Q = (s, dir) => {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val toks = table(s, dir, "documents")
@@ -893,7 +902,8 @@ object TextOps {
       .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
       .crossJoin(broadcast(n))
       .withColumn("pmi_micro",
-        expr("((c_xy * 1000000 div c_x) * n_bigrams) div c_y"))
+        floor((col("c_xy").cast("double") * lit(1000000.0) / col("c_x"))
+          * (col("n_bigrams").cast("double") / col("c_y"))).cast("long"))
       .orderBy(col("pmi_micro").desc, col("x"), col("y"))
       .limit(15)
       .select(col("x"), col("y"), col("c_xy"), col("pmi_micro"))
@@ -909,7 +919,8 @@ object TextOps {
       |uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
       |n AS (SELECT CAST(sum(len(string_split(text, ' ')) - 1) AS BIGINT) AS n_bigrams
       |      FROM documents)
-      |SELECT x, y, c_xy, ((c_xy * 1000000 // ux.c) * n_bigrams) // uy.c AS pmi_micro
+      |SELECT x, y, c_xy, CAST(floor((CAST(c_xy AS DOUBLE) * CAST(1000000 AS DOUBLE) / ux.c)
+      |  * (CAST(n_bigrams AS DOUBLE) / uy.c)) AS BIGINT) AS pmi_micro
       |FROM bi JOIN uni ux ON bi.x = ux.tok JOIN uni uy ON bi.y = uy.tok, n
       |ORDER BY pmi_micro DESC, x, y LIMIT 15""".stripMargin
 

@@ -228,27 +228,38 @@ object VectorOps {
     * window (high cardinality — no stragglers); distances are IEEE-exact
     * zip_with sums, errors integer-floored so the per-vector sum is
     * order-free. */
+  /** (id, m, subvector) rows: the 8 × 8-dim slices of each 64-dim vector. */
+  private def pqSubvectors(emb: DataFrame, idName: String, vName: String): DataFrame = {
+    val ms = explode(array((0 until 8).map(lit(_)): _*)).as("m")
+    emb.select(col("vec_id").as(idName), ms, col("v"))
+      .select(col(idName), col("m"), slice(col("v"), col("m") * 8 + 1, lit(8)).as(vName))
+  }
+
+  private def pqD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic 16-entry codebook per subspace: the first 16 vectors'
+    * subvectors (the oracle-checkable stand-in for k-means output). */
+  private def pqCentroids(emb: DataFrame): DataFrame =
+    pqSubvectors(emb.filter(col("vec_id") < 16), "cid", "cv")
+
+  /** Nearest-centroid assignment per (id, subspace). Argmin is a
+    * lexicographic struct-min: partial-aggregates map-side (the ×16
+    * candidate expansion never crosses the shuffle, only one best-so-far
+    * row per (id,m) does) and needs no per-group sort — ties break on the
+    * smaller cid, same as the oracle's windowed rank. */
+  private def pqAssign(emb: DataFrame, idName: String): DataFrame =
+    pqSubvectors(emb, idName, "sv").join(broadcast(pqCentroids(emb)), Seq("m"))
+      .withColumn("dist2", pqD2(col("sv"), col("cv")))
+      .groupBy(col(idName), col("m"))
+      .agg(min(struct(col("dist2"), col("cid"))).as("best"))
+      .select(col(idName), col("m"),
+        col("best.cid").as("cid"), col("best.dist2").as("dist2"))
+
   val embedPq: Q = (s, dir) => {
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val ms = explode(array((0 until 8).map(lit(_)): _*)).as("m")
-    val sub = emb.select(col("vec_id"), ms, col("v"))
-      .select(col("vec_id"), col("m"), slice(col("v"), col("m") * 8 + 1, lit(8)).as("sv"))
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), ms, col("v"))
-      .select(col("cid"), col("m"), slice(col("v"), col("m") * 8 + 1, lit(8)).as("cv"))
-    val d = sub.join(broadcast(cents), Seq("m"))
-      .withColumn("dist2",
-        aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-    // argmin per (vec,m) as a lexicographic struct-min: partial-aggregates
-    // map-side (the ×16 candidate expansion never crosses the shuffle, only
-    // one best-so-far row per (vec,m) does) and needs no per-group sort —
-    // ties break on the smaller cid, same as the oracle's windowed rank.
-    d.groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("dist2"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("m"),
-        col("best.cid").as("cid"), col("best.dist2").as("dist2"))
+    pqAssign(emb, "vec_id")
       .groupBy(col("vec_id"))
       .agg(
         to_json(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
@@ -287,25 +298,14 @@ object VectorOps {
   val annPqRerank: Q = (s, dir) => {
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val ms = explode(array((0 until 8).map(lit(_)): _*)).as("m")
-    def subvecs(idName: String, vName: String) =
-      emb.select(col("vec_id").as(idName), ms, col("v"))
-        .select(col(idName), col("m"), slice(col("v"), col("m") * 8 + 1, lit(8)).as(vName))
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), ms, col("v"))
-      .select(col("cid"), col("m"), slice(col("v"), col("m") * 8 + 1, lit(8)).as("cv"))
-    // corpus codes: nearest centroid per (vector, subspace)
-    val codes = subvecs("c_id", "sv").join(broadcast(cents), Seq("m"))
-      .withColumn("dist2", d2(col("sv"), col("cv")))
-      .groupBy(col("c_id"), col("m"))
-      .agg(min(struct(col("dist2"), col("cid"))).as("best"))
-      .select(col("c_id"), col("m"), col("best.cid").as("code"))
+    // corpus codes: the SAME encode pipeline embedPq runs (shared helper —
+    // codebook rule and tie-break can never drift between the two ops)
+    val codes = pqAssign(emb, "c_id")
+      .select(col("c_id"), col("m"), col("cid").as("code"))
     // ADC table: 3 queries × 8 subspaces × 16 centroids
-    val adc = subvecs("q_id", "qv").filter(col("q_id") < 3)
-      .join(broadcast(cents), Seq("m"))
-      .select(col("q_id"), col("m"), col("cid").as("code"), d2(col("qv"), col("cv")).as("qd2"))
+    val adc = pqSubvectors(emb, "q_id", "qv").filter(col("q_id") < 3)
+      .join(broadcast(pqCentroids(emb)), Seq("m"))
+      .select(col("q_id"), col("m"), col("cid").as("code"), pqD2(col("qv"), col("cv")).as("qd2"))
     // m-pivoted fixed-order ADC sum per (query, candidate)
     val mCols = (0 until 8).map(i => sum(when(col("m") === i, col("qd2"))).as(s"d$i"))
     val approx = codes.join(broadcast(adc), Seq("m", "code"))
