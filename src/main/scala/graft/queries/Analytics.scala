@@ -1047,7 +1047,37 @@ object Analytics {
       |  CAST(trail_hours AS BIGINT) AS trail_hours
       |FROM tr WHERE trail_hours >= 12 AND n * trail_hours * 2 > trail_sum * 3""".stripMargin
 
+  /** First-order behavioral transition matrix: consecutive event-type pairs
+    * per user (ordered by timestamp, event_id tie-break) with integer
+    * transition probabilities (count·1e6 div from-total). One user-keyed
+    * window + one count agg — the Markov-chain estimation shape. */
+  val eventsMarkov: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val trans = eventsWithTs(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("total"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div total").as("p_micro"))
+  }
+  val eventsMarkovSql =
+    """WITH tr AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      AS to_type
+      |  FROM events),
+      |cnt AS (SELECT from_type, to_type, count(*) AS n FROM tr
+      |        WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total FROM cnt GROUP BY 1)
+      |SELECT from_type, to_type, n, n * 1000000 // total AS p_micro
+      |FROM cnt JOIN tot USING (from_type)""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "events_markov" -> (eventsMarkov, Some(eventsMarkovSql)),
     "events_rate_anomaly" -> (eventsRateAnomaly, Some(eventsRateAnomalySql)),
     "events_funnel" -> (eventsFunnel, Some(eventsFunnelSql)),
     "events_retention" -> (eventsRetention, Some(eventsRetentionSql)),

@@ -924,7 +924,81 @@ object TextOps {
       |FROM bi JOIN uni ux ON bi.x = ux.tok JOIN uni uy ON bi.y = uy.tok, n
       |ORDER BY pmi_micro DESC, x, y LIMIT 15""".stripMargin
 
+  /** Token-diversity score per document via the Gini/Simpson concentration
+    * index 1 − Σ(cᵢ/n)² — low diversity marks keyword-stuffed or repetitive
+    * docs. Computed as the exact integer (n²−Σcᵢ²)·1e6 div n² (entropy needs
+    * a log; this is the standard log-free diversity measure and it is
+    * bit-exact cross-engine). One explode + two narrow aggs. */
+  val textDiversity: Q = (s, dir) => {
+    val tf = table(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("c")).as("c2"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("(n_tokens * n_tokens - c2) * 1000000 div (n_tokens * n_tokens)")
+          .as("diversity_micro"))
+  }
+  val textDiversitySql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(sum(c * c) AS BIGINT) AS c2, CAST(count(*) AS BIGINT) AS n_distinct
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  (n_tokens * n_tokens - c2) * 1000000 // (n_tokens * n_tokens) AS diversity_micro
+      |FROM agg""".stripMargin
+
+  /** Cross-document duplicated SPANS (the Lee et al. "Deduplicating Training
+    * Data" granularity): 10-token sliding windows hashed corpus-wide; a span
+    * occurring in ≥2 distinct docs is duplicated text, and each doc reports
+    * its duplicated-span fraction. Shape: shingle window → span-hash count
+    * agg (map-side combine) → join back on span hash — shuffle ∝ spans,
+    * never n² docs. */
+  val dedupSpans: Q = (s, dir) => {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val spans = toks
+      .withColumn("span", concat_ws(" ",
+        col("tok") +: (1 until 10).map(i => lead(col("tok"), i).over(w)): _*))
+      .withColumn("t9", lead(col("tok"), 9).over(w))
+      .filter(col("t9").isNotNull)
+      .select(col("doc_id"), charFoldHash(col("span")).as("h"))
+      .distinct()
+    val shared = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1).as("dup"))
+    spans.join(shared, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_micro", expr("n_dup_spans * 1000000 div n_spans"))
+  }
+  val dedupSpansSql = {
+    val spans = "list_transform(range(1, len(t) - 8), i -> array_to_string(list_slice(t, i, i + 9), ' '))"
+    s"""WITH sp AS (
+       |  SELECT DISTINCT doc_id, ${charFoldHashSql("span")} AS h FROM (
+       |    SELECT doc_id, unnest($spans) AS span
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |    WHERE len(t) >= 10)),
+       |shared AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  CAST(sum(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS dup_micro
+       |FROM sp LEFT JOIN shared ON sp.h = shared.h
+       |GROUP BY doc_id""".stripMargin
+  }
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "text_diversity" -> (textDiversity, Some(textDiversitySql)),
+    "dedup_spans" -> (dedupSpans, Some(dedupSpansSql)),
     "text_pmi" -> (textPmi, Some(textPmiSql)),
     "decontaminate_bloom" -> (decontaminateBloom, Some(decontaminateBloomSql)),
     "bpe_pair_counts" -> (bpePairCounts, Some(bpePairCountsSql)),

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.queries.{Analytics, TextOps, VectorOps}
+
+/** Degenerate-input battery: every pipeline operator must survive EMPTY
+  * source tables (0-row parquet with the production schema) — at 100 TB a
+  * partition-pruned read or a fresh tenant is routinely empty, and an
+  * operator that NPEs or divides by zero there fails the whole job. */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val d = tmpDir("graft_empty_sf").getAbsolutePath
+    val s = spark
+    def write(name: String, schema: StructType): Unit =
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite").parquet(s"$d/$name.parquet")
+    write("documents", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+    write("events", StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))))
+    write("embeddings", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+    d
+  }
+
+  test("document operators return cleanly on an empty corpus") {
+    val ops: Seq[(String, TextOps.Q)] = Seq(
+      "text_block_dedup" -> TextOps.textBlockDedup,
+      "text_bm25" -> TextOps.textBm25,
+      "text_lm_score" -> TextOps.textLmScore,
+      "text_pmi" -> TextOps.textPmi,
+      "text_diversity" -> TextOps.textDiversity,
+      "dedup_spans" -> TextOps.dedupSpans,
+      "dedup_prefix" -> TextOps.dedupPrefix,
+      "decontaminate_bloom" -> TextOps.decontaminateBloom,
+      "bpe_pair_counts" -> TextOps.bpePairCounts,
+      "sample_quality_weighted" -> TextOps.sampleQualityWeighted)
+    ops.foreach { case (name, q) =>
+      assert(q(spark, emptyDir).count() == 0, s"$name not empty-safe")
+    }
+  }
+
+  test("event operators return cleanly on an empty event log") {
+    assert(Analytics.eventsRetention(spark, emptyDir).count() == 0)
+    assert(Analytics.eventsMarkov(spark, emptyDir).count() == 0)
+    assert(Analytics.eventsRateAnomaly(spark, emptyDir).count() == 0)
+    // the funnel emits its single stage-count row with all-zero stages
+    val f = Analytics.eventsFunnel(spark, emptyDir).collect()
+    assert(f.length == 1 && (0 to 2).forall(i => f.head.getLong(i) == 0))
+  }
+
+  test("vector operators return cleanly on an empty embedding table") {
+    assert(VectorOps.embedPq(spark, emptyDir).count() == 0)
+    assert(VectorOps.annPqRerank(spark, emptyDir).count() == 0)
+    assert(VectorOps.kmeansQuantized(spark, emptyDir).count() == 0)
+    assert(graft.operators.ConnectedComponents.run(
+      spark.range(0).select(col("id")),
+      spark.range(0).select(col("id").as("src"), col("id").as("dst"))).count() == 0)
+  }
+}

@@ -191,6 +191,39 @@ class PipelineOps4Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("diversity: bounded in [0, 1e6) and maximal iff all tokens distinct") {
+    val out = TextOps.textDiversity(spark, dir).cache()
+    assert(out.filter(col("diversity_micro") < 0
+      || col("diversity_micro") >= 1000000).count() == 0)
+    // all-distinct docs hit exactly (n²−n)/n² — check the closed form
+    val allDistinct = out.filter(col("n_distinct") === col("n_tokens"))
+    assert(allDistinct.filter(col("diversity_micro") =!=
+      expr("(n_tokens * n_tokens - n_tokens) * 1000000 div (n_tokens * n_tokens)"))
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("spans: duplicated fraction bounded; exact text reuse is detected") {
+    val out = TextOps.dedupSpans(spark, dir).cache()
+    assert(out.filter(col("n_dup_spans") > col("n_spans")).count() == 0)
+    assert(out.filter(col("dup_micro") < 0 || col("dup_micro") > 1000000).count() == 0)
+    // the corpus has prefix-extension pairs (>=8 shared leading tokens),
+    // which share 10-token spans whenever the overlap reaches 10 — some
+    // duplication must surface at sf0.001
+    assert(out.agg(sum(col("n_dup_spans"))).head.getLong(0) > 0)
+    out.unpersist()
+  }
+
+  test("markov: per-from probabilities sum to ~1e6 and counts are consistent") {
+    val out = graft.queries.Analytics.eventsMarkov(spark, dir).cache()
+    val sums = out.groupBy(col("from_type"))
+      .agg(sum(col("p_micro")).as("p"), count(lit(1)).as("k"))
+    // integer division loses < 1 micro per row
+    assert(sums.filter(col("p") > 1000000 || col("p") < lit(1000000) - col("k")).count() == 0)
+    assert(out.filter(col("n") <= 0).count() == 0)
+    out.unpersist()
+  }
+
   test("pq: codebook vectors quantize to zero error; codes are length 8") {
     val out = VectorOps.embedPq(spark, dir).cache()
     assert(out.filter(col("vec_id") < 16).filter(col("err_micro") =!= 0).count() == 0)
