@@ -961,17 +961,25 @@ object TextOps {
     * never n² docs. */
   val dedupSpans: Q = (s, dir) => {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // hash each token BEFORE the window: the lead() buffer then carries one
+    // long per position instead of 10 full token strings, and the span
+    // signature is the same polynomial fold over the 10 token hashes in
+    // both engines (hash-of-hashes — bit-portable like the string hash)
     val toks = table(s, dir, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), charFoldHash(col("tok")).as("th"))
+    val leads = (1 until 10).map(i => lead(col("th"), i).over(w))
+    val sig = leads.foldLeft(col("th")) { (acc, h) => (acc * 31 + h) % 1000000007L }
     val spans = toks
-      .withColumn("span", concat_ws(" ",
-        col("tok") +: (1 until 10).map(i => lead(col("tok"), i).over(w)): _*))
-      .withColumn("t9", lead(col("tok"), 9).over(w))
+      .withColumn("h", sig)
+      .withColumn("t9", leads.last)
       .filter(col("t9").isNotNull)
-      .select(col("doc_id"), charFoldHash(col("span")).as("h"))
+      .select(col("doc_id"), col("h"))
       .distinct()
+    // spans is already DISTINCT per (doc,h), so plain count == distinct-doc
+    // count — a map-side-combining count agg, not a two-phase distinct
     val shared = spans.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("h"), lit(1).as("dup"))
     spans.join(shared, Seq("h"), "left")
@@ -981,13 +989,14 @@ object TextOps {
       .withColumn("dup_micro", expr("n_dup_spans * 1000000 div n_spans"))
   }
   val dedupSpansSql = {
-    val spans = "list_transform(range(1, len(t) - 8), i -> array_to_string(list_slice(t, i, i + 9), ' '))"
+    val tokHashes = s"list_transform(string_split(text, ' '), tok -> ${charFoldHashSql("tok")})"
+    val spans = "list_transform(range(1, len(th) - 8), " +
+      "i -> list_reduce(list_slice(th, i, i + 9), (a, b) -> (a * 31 + b) % 1000000007))"
     s"""WITH sp AS (
-       |  SELECT DISTINCT doc_id, ${charFoldHashSql("span")} AS h FROM (
-       |    SELECT doc_id, unnest($spans) AS span
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-       |    WHERE len(t) >= 10)),
-       |shared AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+       |  SELECT DISTINCT doc_id, unnest($spans) AS h
+       |  FROM (SELECT doc_id, $tokHashes AS th FROM documents)
+       |  WHERE len(th) >= 10),
+       |shared AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        |  CAST(sum(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
        |  CAST(sum(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END) * 1000000
