@@ -1076,7 +1076,33 @@ object Analytics {
       |SELECT from_type, to_type, n, n * 1000000 // total AS p_micro
       |FROM cnt JOIN tot USING (from_type)""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form next to rollup/cube): order
+    * counts and exact cent totals at four grouping levels, with the
+    * grouping-flag bitmask distinguishing them. DataFrame API has only
+    * rollup/cube, so this runs through spark.sql over a temp view — same
+    * Catalyst Expand-based plan either way. */
+  val aggGroupingSets: Q = (s, dir) => {
+    table(s, dir, "orders").createOrReplaceTempView("gs_orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        count(*) AS n,
+        sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS price_cents
+      FROM gs_orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority), ())""")
+  }
+  val aggGroupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority), ())""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "agg_grouping_sets" -> (aggGroupingSets, Some(aggGroupingSetsSql)),
     "events_markov" -> (eventsMarkov, Some(eventsMarkovSql)),
     "events_rate_anomaly" -> (eventsRateAnomaly, Some(eventsRateAnomalySql)),
     "events_funnel" -> (eventsFunnel, Some(eventsFunnelSql)),

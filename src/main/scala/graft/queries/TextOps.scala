@@ -567,11 +567,15 @@ object TextOps {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")), " ").as("block_text"))
-    val bp = blocks.groupBy(col("block_text"))
+    // frequency + flagging run on the block HASH (longs through the
+    // shuffle/broadcast, not multi-KB block strings); reassembly below is
+    // the only consumer that needs the actual text
+    val hashed = blocks.withColumn("bh", charFoldHash(col("block_text")))
+    val bp = hashed.groupBy(col("bh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("block_text"), lit(1).as("is_bp"))
-    val cleaned = blocks.join(broadcast(bp), Seq("block_text"), "left")
+      .select(col("bh"), lit(1).as("is_bp"))
+    val cleaned = hashed.join(broadcast(bp), Seq("bh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("is_bp").isNotNull, 1L).otherwise(0L)).as("n_boilerplate"),
@@ -588,18 +592,19 @@ object TextOps {
         .otherwise(col("joined")).as("cleaned_text"))
   }
   val textBlockDedupSql =
-    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |blocks AS (
       |  SELECT doc_id, (s).blk AS blk, (s).block_text AS block_text FROM (
       |    SELECT doc_id, unnest(list_transform(range(0, (len(toks) + 7) // 8),
       |      b -> struct_pack(blk := b,
       |             block_text := array_to_string(list_slice(toks, b*8 + 1, b*8 + 8), ' ')))) AS s
       |    FROM docs)),
-      |bp AS (SELECT block_text FROM blocks GROUP BY block_text
+      |hashed AS (SELECT doc_id, blk, block_text, ${charFoldHashSql("block_text")} AS bh FROM blocks),
+      |bp AS (SELECT bh FROM hashed GROUP BY bh
       |       HAVING count(DISTINCT doc_id) >= 2),
-      |flagged AS (SELECT b.doc_id, b.blk, b.block_text,
-      |              (bp.block_text IS NOT NULL) AS is_bp
-      |            FROM blocks b LEFT JOIN bp ON b.block_text = bp.block_text)
+      |flagged AS (SELECT h.doc_id, h.blk, h.block_text,
+      |              (bp.bh IS NOT NULL) AS is_bp
+      |            FROM hashed h LEFT JOIN bp ON h.bh = bp.bh)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
       |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
       |  string_agg(CASE WHEN NOT is_bp THEN block_text END, ' ' ORDER BY blk) AS cleaned_text
