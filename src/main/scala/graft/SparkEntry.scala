@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
-    ReferenceOps.defs ++ MetadataOps.defs ++ SinkOps.defs ++ Analytics.defs ++
+    ReferenceOps.defs ++ MetadataOps.defs ++ SinkOps.defs ++ Analytics.defs ++ TpchOps.defs ++
       TextOps.defs ++ VectorOps.defs ++ MultimodalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
