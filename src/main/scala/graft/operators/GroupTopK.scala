@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group top-k without a hot-partition window.
+  *
+  * A plain `row_number() OVER (PARTITION BY group)` collapses each group
+  * into ONE window task — with few, large groups (the common "top-5 per
+  * event type over billions of rows" shape) that is the same
+  * low-cardinality-partition straggler family as ntile (see
+  * `Analytics.windowNtile`). This operator ranks in two phases:
+  *
+  *   1. within (group, salt) — `saltBuckets`× finer partitions, so no task
+  *      sees more than ~|group|/saltBuckets rows — keep each bucket's
+  *      local top-k;
+  *   2. a final rank over the survivors — at most `saltBuckets · k` rows
+  *      per group, kilobytes at any scale.
+  *
+  * The result is EXACTLY the plain window's top-k (each group's true
+  * top-k survives phase 1 in whichever buckets its rows hashed to), and
+  * the salt is content-derived (`hash(saltFrom)`), so the plan is
+  * deterministic under AQE re-planning — same rule as
+  * [[SkewJoin]]'s content salts. `order` must be a TOTAL order (include a
+  * unique tiebreak column) or ranks are nondeterministic in any
+  * formulation.
+  */
+object GroupTopK {
+  def topK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      order: Seq[Column],
+      k: Int,
+      saltFrom: Column,
+      saltBuckets: Int = 32,
+      rankCol: String = "rank"): DataFrame = {
+    val salt = "_gtk_salt"
+    val local = "_gtk_r"
+    val w1 = Window.partitionBy(groupCols.map(col) :+ col(salt): _*).orderBy(order: _*)
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(salt, pmod(hash(saltFrom), lit(saltBuckets)))
+      .withColumn(local, row_number().over(w1)).filter(col(local) <= k)
+      .withColumn(rankCol, row_number().over(w2)).filter(col(rankCol) <= k)
+      .drop(salt, local)
+  }
+}

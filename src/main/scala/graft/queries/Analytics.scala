@@ -1101,7 +1101,55 @@ object Analytics {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
       |                        (o_orderstatus, o_orderpriority), ())""".stripMargin
 
+  /** Hopping (sliding) windows — the missing member of the time-window
+    * family next to tumbling and session: 60-minute windows every 30
+    * minutes, so each event lands in exactly two windows. Spark's `window()`
+    * generates both assignments BEFORE the shuffle (map-side expand ×2,
+    * partial agg absorbs it); the oracle reconstructs the same two
+    * epoch-grid-aligned starts via integer µs division. Value sums in
+    * exact integer cents (house rule for order-independent float sums). */
+  val eventsHopping: Q = (s, dir) =>
+    eventsWithTs(s, dir)
+      .groupBy(window(col("ts"), "60 minutes", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  val eventsHoppingSql =
+    """SELECT w_start, event_type, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+      |FROM (
+      |  SELECT (epoch_us(ts) // 1800000000) * 1800 AS w_start, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT (epoch_us(ts) // 1800000000) * 1800 - 1800, event_type, value FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Exact top-5 events per type via the salted two-phase rank
+    * ([[graft.operators.GroupTopK]]) — the scale-safe form of
+    * `topk_per_group`'s plain window when groups are few and huge. The
+    * oracle is the PLAIN SQL row_number, proving the salted decomposition
+    * is result-identical. NULLS LAST pinned explicitly: Spark's desc
+    * defaults nulls-last, DuckDB's DESC defaults nulls-FIRST. */
+  val topkEventsSalted: Q = (s, dir) =>
+    graft.operators.GroupTopK.topK(
+      table(s, dir, "events").select("event_id", "event_type", "value"),
+      groupCols = Seq("event_type"),
+      order = Seq(col("value").desc_nulls_last, col("event_id")),
+      k = 5,
+      saltFrom = col("event_id"))
+      .select(col("event_type"), col("rank").cast("long").as("rank"),
+        col("event_id"), col("value"))
+  val topkEventsSaltedSql =
+    """SELECT event_type, rank, event_id, value
+      |FROM (SELECT event_type, event_id, value,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY value DESC NULLS LAST, event_id) AS rank
+      |      FROM events)
+      |WHERE rank <= 5""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "events_hopping" -> (eventsHopping, Some(eventsHoppingSql)),
+    "topk_events_salted" -> (topkEventsSalted, Some(topkEventsSaltedSql)),
     "agg_grouping_sets" -> (aggGroupingSets, Some(aggGroupingSetsSql)),
     "events_markov" -> (eventsMarkov, Some(eventsMarkovSql)),
     "events_rate_anomaly" -> (eventsRateAnomaly, Some(eventsRateAnomalySql)),

@@ -118,6 +118,59 @@ object SinkOps {
       |  event_type, count(*) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Second Structured Streaming entry in the oracle gate: watermark-bounded
+    * streaming dedup ([[graft.streaming.EventStream.streamingDedup]],
+    * `dropDuplicatesWithinWatermark`). The staged source holds every event
+    * TWICE (two parquet copies) plus the watermark sentinel; the stream must
+    * emit each event exactly ONCE, and the oracle is simply the events
+    * table. Duplicates are full-row identical, so whichever copy survives,
+    * the output is byte-identical — no ordering sensitivity. */
+  val eventsDedupStream: Q = (s, dir) => {
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft-stream-dup-" + sourceSignature(s"$dir/events.parquet"))
+    val evDir = new java.io.File(stage, "events").getAbsolutePath
+    val doneMark = new java.io.File(stage, "_staged")
+    if (!doneMark.exists()) {
+      val src = Util.eventsWithTs(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+      src.write.mode("overwrite").parquet(evDir)
+      // duplicate copy: read back the staged data (not the source twice —
+      // one scan) and append it verbatim
+      val staged = s.read.parquet(evDir)
+      staged.write.mode("append").parquet(evDir)
+      val maxTsRow = s.read.parquet(evDir).agg(max(col("ts"))).head
+      if (!maxTsRow.isNullAt(0)) {
+        val maxTs = maxTsRow.getTimestamp(0)
+        val sentinel = s.range(1).select(
+          lit(-1L).as("event_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        sentinel.write.mode("append").parquet(evDir)
+      }
+      doneMark.createNewFile()
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    cleanupAtExit(tmp)
+    val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
+    val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
+    val q = graft.streaming.EventStream
+      .streamingDedup(graft.streaming.EventStream.readEvents(s, evDir))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+  val eventsDedupStreamSql =
+    "SELECT event_id, user_id, event_type, value FROM events"
+
   /** Source/sink format breadth: the same projection round-trips through
     * ORC, CSV, and JSON files, and each read-back must reproduce the exact
     * row count and integer checksum the oracle computes straight from the
@@ -187,6 +240,7 @@ object SinkOps {
   def defs: Map[String, (Q, Option[String])] = Map(
     "k1_sink_roundtrip" -> (k1SinkRoundtrip, Some(k1SinkRoundtripSql)),
     "events_tumbling_stream" -> (eventsTumblingStream, Some(eventsTumblingStreamSql)),
+    "events_dedup_stream" -> (eventsDedupStream, Some(eventsDedupStreamSql)),
     "format_roundtrip" -> (formatRoundtrip, Some(formatRoundtripSql)),
   )
 }

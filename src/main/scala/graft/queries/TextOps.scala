@@ -1010,7 +1010,35 @@ object TextOps {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** LM-training sequence packing: concatenate the corpus in doc_id order
+    * and cut every 512 tokens (the GPT-style pack-and-cut — documents
+    * straddle sequence boundaries by design). Emits the per-document
+    * placement map (start sequence / offset / end sequence). The global
+    * running token count is [[graft.operators.Sharding.cumSumBy]]'s
+    * two-pass distributed prefix sum — no single-partition window at any
+    * scale; the oracle reconstructs it with a plain windowed cumsum. */
+  val packSequences: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    graft.operators.Sharding.cumSumBy(docs, Seq("doc_id"), col("n_tok"), "cum_tok")
+      .select(col("doc_id"), col("n_tok"),
+        expr("(cum_tok - n_tok) div 512").as("start_seq"),
+        expr("(cum_tok - n_tok) % 512").as("start_off"),
+        expr("(cum_tok - 1) div 512").as("end_seq"))
+  }
+  val packSequencesSql =
+    """SELECT doc_id, n_tok,
+      |  (cum_tok - n_tok) // 512 AS start_seq,
+      |  (cum_tok - n_tok) % 512 AS start_off,
+      |  (cum_tok - 1) // 512 AS end_seq
+      |FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |        CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |          OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS cum_tok
+      |      FROM documents)""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "pack_sequences" -> (packSequences, Some(packSequencesSql)),
     "text_diversity" -> (textDiversity, Some(textDiversitySql)),
     "dedup_spans" -> (dedupSpans, Some(dedupSpansSql)),
     "text_pmi" -> (textPmi, Some(textPmiSql)),

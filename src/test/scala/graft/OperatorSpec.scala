@@ -298,4 +298,27 @@ class OperatorSpec extends SparkSpec {
     assert(native.toSeq == interpreted.toSeq)
     assert(graft.functions.CharFoldHash.hash("emoji 😀 end") == 260912962L)
   }
+
+  test("group top-k: salted two-phase rank equals the plain window, incl. skew and ties") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    // skewed: group "hot" has 5000 rows, others a handful; duplicate values force tiebreaks
+    val rows = (0 until 5000).map(i => ("hot", i.toLong, (rnd.nextInt(50)).toDouble)) ++
+      (0 until 7).map(i => ("cold", (10000 + i).toLong, 1.0)) ++
+      Seq(("tiny", 20000L, 3.0))
+    val df = rows.toDF("grp", "id", "v")
+    val order = Seq(col("v").desc_nulls_last, col("id"))
+    val salted = graft.operators.GroupTopK.topK(
+      df, Seq("grp"), order, k = 5, saltFrom = col("id"), saltBuckets = 8)
+    val w = Window.partitionBy(col("grp")).orderBy(order: _*)
+    val plain = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    assert(salted.select("grp", "rank", "id", "v").exceptAll(
+      plain.select("grp", "rank", "id", "v")).isEmpty)
+    assert(plain.select("grp", "rank", "id", "v").exceptAll(
+      salted.select("grp", "rank", "id", "v")).isEmpty)
+    // groups smaller than k keep all rows
+    assert(salted.filter(col("grp") === "tiny").count() == 1)
+  }
 }
