@@ -33,5 +33,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 129-query bench/verify surface in ONE local[32] JVM
+  // (streaming state, broadcasts, staged sources) GC-thrashes at 8g —
+  // measured as 10-20x spikes on late-run queries (embed_pq 1.8s solo vs
+  // 26s at the tail of a full run).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

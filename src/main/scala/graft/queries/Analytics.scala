@@ -1147,7 +1147,64 @@ object Analytics {
       |      FROM events)
       |WHERE rank <= 5""".stripMargin
 
+  /** Weighted PageRank over the customer-nation → supplier-nation purchase
+    * graph, 3 iterations of [[graft.operators.PageRank]] in integer
+    * fixed-point — bit-exact, so the oracle UNROLLS the same three
+    * iterations as CTEs and must match the distributed loop to the last
+    * unit. Edge construction is the q7-style broadcast-dim join with one
+    * fact shuffle; the iterative loop then runs on the tiny nation graph
+    * (but the operator's per-round plan — pre-partitioned edges, one
+    * shuffle per iteration, checkpoint-truncated lineage — is the 100 TB
+    * shape). */
+  val pagerankNations: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = table(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val supp = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n1 = table(s, dir, "nation").select(col("n_nationkey").as("cnk"), col("n_name").as("src"))
+    val n2 = table(s, dir, "nation").select(col("n_nationkey").as("snk"), col("n_name").as("dst"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("cnk"))
+      .join(broadcast(n2), col("s_nationkey") === col("snk"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    graft.operators.PageRank.run(edges, iterations = 3)
+      .select(col("node").as("nation"), col("rank_fp"))
+  }
+  val pagerankNationsSql =
+    """WITH e AS (
+      |  SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src),
+      |r0 AS (SELECT node, 1000000 // (SELECT n FROM nn) AS r FROM nodes),
+      |c1 AS (SELECT dst, CAST(sum((r * w) // ow) AS BIGINT) AS c
+      |       FROM e JOIN outw USING (src) JOIN r0 ON e.src = r0.node GROUP BY dst),
+      |r1 AS (SELECT node, (15 * 1000000) // (100 * (SELECT n FROM nn))
+      |         + (85 * coalesce(c, 0)) // 100 AS r
+      |       FROM nodes LEFT JOIN c1 ON node = dst),
+      |c2 AS (SELECT dst, CAST(sum((r * w) // ow) AS BIGINT) AS c
+      |       FROM e JOIN outw USING (src) JOIN r1 ON e.src = r1.node GROUP BY dst),
+      |r2 AS (SELECT node, (15 * 1000000) // (100 * (SELECT n FROM nn))
+      |         + (85 * coalesce(c, 0)) // 100 AS r
+      |       FROM nodes LEFT JOIN c2 ON node = dst),
+      |c3 AS (SELECT dst, CAST(sum((r * w) // ow) AS BIGINT) AS c
+      |       FROM e JOIN outw USING (src) JOIN r2 ON e.src = r2.node GROUP BY dst),
+      |r3 AS (SELECT node, (15 * 1000000) // (100 * (SELECT n FROM nn))
+      |         + (85 * coalesce(c, 0)) // 100 AS r
+      |       FROM nodes LEFT JOIN c3 ON node = dst)
+      |SELECT node AS nation, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "pagerank_nations" -> (pagerankNations, Some(pagerankNationsSql)),
     "events_hopping" -> (eventsHopping, Some(eventsHoppingSql)),
     "topk_events_salted" -> (topkEventsSalted, Some(topkEventsSaltedSql)),
     "agg_grouping_sets" -> (aggGroupingSets, Some(aggGroupingSetsSql)),
