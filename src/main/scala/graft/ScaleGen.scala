@@ -79,7 +79,7 @@ object ScaleGen {
     // key offsets = max+1, shared across tables (cast + null-guard: an
     // int32-typed or empty key column must not NPE/ClassCast mid-generation)
     def off(df: DataFrame, key: String): Long = {
-      val row = df.agg(max(col(key).cast("long"))).head
+      val row = df.agg(max(col(key).cast("long"))).head()
       (if (row.isNullAt(0)) -1L else row.getLong(0)) + 1L
     }
 

@@ -100,7 +100,7 @@ object ConnectedComponents {
       // coalesce: empty nodes/edges make the global max NULL, not 0
       val changed = next
         .agg(coalesce(max(when(col("comp") =!= col("prev"), 1).otherwise(0)), lit(0)))
-        .head.getInt(0) > 0
+        .head().getInt(0) > 0
       freeCheckpoint(prevCkpt) // next is materialized; last round's blocks can go
       prevCkpt = next
       labels = next.select(col("id"), col("comp"))

@@ -84,7 +84,7 @@ object SinkOps {
       src.write.mode("overwrite").parquet(evDir)
       // read the max back from the just-written staged copy — no second
       // scan of the source, and the staged data is what the stream consumes
-      val maxTsRow = s.read.parquet(evDir).agg(max(col("ts"))).head
+      val maxTsRow = s.read.parquet(evDir).agg(max(col("ts"))).head()
       if (!maxTsRow.isNullAt(0)) { // empty events → no windows, no sentinel needed
         val maxTs = maxTsRow.getTimestamp(0)
         val sentinel = s.range(1).select(
@@ -140,7 +140,7 @@ object SinkOps {
       // one scan) and append it verbatim
       val staged = s.read.parquet(evDir)
       staged.write.mode("append").parquet(evDir)
-      val maxTsRow = s.read.parquet(evDir).agg(max(col("ts"))).head
+      val maxTsRow = s.read.parquet(evDir).agg(max(col("ts"))).head()
       if (!maxTsRow.isNullAt(0)) {
         val maxTs = maxTsRow.getTimestamp(0)
         val sentinel = s.range(1).select(

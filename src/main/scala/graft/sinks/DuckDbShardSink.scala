@@ -72,7 +72,7 @@ object DuckDbShardSink {
     val metaNames = metaTypes.map(_._1)
     val metaKinds = metaTypes.map(_._2)
     val nShards = numShards.getOrElse(
-      math.max(1, df.agg(max(col("shard_id"))).head.getInt(0) + 1))
+      math.max(1, df.agg(max(col("shard_id"))).head().getInt(0) + 1))
     val sortCols = (Seq("shard_id") ++ (if (orderCols.isEmpty) Seq("audio.path") else orderCols)).map(col)
     val arranged = df
       .select((Seq(col("audio"), col("duration")) ++ metaNames.map(col) :+ col("shard_id")): _*)
