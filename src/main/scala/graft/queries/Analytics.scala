@@ -1203,7 +1203,101 @@ object Analytics {
       |       FROM nodes LEFT JOIN c3 ON node = dst)
       |SELECT node AS nation, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin
 
+  /** First-touch attribution: for each purchasing user, which channel
+    * (event type) started the path to their FIRST purchase? Composite
+    * (ts, event_id) ordering everywhere — same-timestamp events cannot
+    * flip the answer. Shape: two user-keyed min-STRUCT aggregates (struct
+    * min is lexicographic in both engines — a map-side-combinable agg, not
+    * a per-user window) + one broadcast-sized channel count. */
+  val eventsAttribution: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("p"))
+    val pre = ev.join(fp, Seq("user_id"))
+      .filter(col("ts_us") < col("p.ts_us") ||
+        (col("ts_us") === col("p.ts_us") && col("event_id") < col("p.event_id")))
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("f"))
+    fp.join(pre, Seq("user_id"), "left")
+      .groupBy(coalesce(col("f.event_type"), lit("direct")).as("first_touch"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+  val eventsAttributionSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+      |fp AS (SELECT user_id, min(struct_pack(ts_us := ts_us, event_id := event_id)) AS p
+      |       FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+      |pre AS (SELECT e.user_id,
+      |          min(struct_pack(ts_us := e.ts_us, event_id := e.event_id,
+      |                          et := e.event_type)) AS f
+      |        FROM ev e JOIN fp USING (user_id)
+      |        WHERE e.ts_us < fp.p.ts_us
+      |           OR (e.ts_us = fp.p.ts_us AND e.event_id < fp.p.event_id)
+      |        GROUP BY e.user_id)
+      |SELECT coalesce(pre.f.et, 'direct') AS first_touch,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM fp LEFT JOIN pre USING (user_id) GROUP BY 1""".stripMargin
+
+  /** Triangle counting on the user co-occurrence graph (edge = two users
+    * active in the same (event_type, hour) cell at least twice, hub cells
+    * capped — the standard stopword-drop that bounds the per-cell pair
+    * expansion). The count itself uses the degree-ordered orientation
+    * [Suri & Vassilvitskii, WWW'11]: orient each edge from its
+    * lower-(degree, id) endpoint, so every out-neighborhood is O(√m) and
+    * the wedge join never explodes on hubs — the 100 TB shape. The oracle
+    * is the plain id-ordered triple join; orientation cannot change the
+    * triangle count, so the two must agree exactly. */
+  val graphTriangles: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts_us div 3600000000").as("hr"))
+      .distinct()
+    // cap 25: C(25,2) pairs max per cell — the pair expansion stays bounded
+    // by #cells × 300 at ANY data scale (denser cells are hubs and drop).
+    // Order matters for scale: the cells are COUNT-filtered first (count
+    // state is O(1) even on a 100M-user hub hour), and only then collected
+    // into per-cell arrays — now provably ≤ 25 elements — from which pairs
+    // expand locally. collect_list before the cap filter would buffer a
+    // whole hub cell in one aggregator state.
+    val okCells = ev.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n")).filter(col("n").between(2, 25))
+      .select(col("event_type"), col("hr"))
+    val edges = ev.join(okCells, Seq("event_type", "hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(collect_list(col("user_id")).as("us")) // bounded: cells pre-capped
+      .select(explode(expr(
+        """flatten(transform(us, (x, i) ->
+          |  transform(slice(us, i + 2, size(us)), y ->
+          |    struct(least(x, y) as u, greatest(x, y) as v))))""".stripMargin)).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select(col("u"), col("v"))
+      // eager checkpoint: 4 consumers below (n_edges + degrees/orientation/
+      // wedge close) would otherwise race a lazy cache and each recompute
+      // the whole expansion — the ConnectedComponents materialization rule
+      .localCheckpoint(true)
+    // boundedGraph: the cell cap bounds |E| ≤ #cells × C(25,2) at any data
+    // scale, so the degree/orientation tables are broadcast-safe here
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(graft.operators.Triangles.countDf(edges, boundedGraph = true))
+  }
+  val graphTrianglesSql =
+    """WITH ev AS (SELECT DISTINCT user_id, event_type,
+      |              epoch_us(ts) // 3600000000 AS hr FROM events),
+      |ok AS (SELECT event_type, hr FROM ev
+      |       GROUP BY event_type, hr HAVING count(*) BETWEEN 2 AND 25),
+      |cev AS (SELECT ev.* FROM ev JOIN ok USING (event_type, hr)),
+      |edges AS (SELECT a.user_id AS u, b.user_id AS v
+      |          FROM cev a JOIN cev b USING (event_type, hr)
+      |          WHERE a.user_id < b.user_id
+      |          GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM edges e1
+      |          JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+      |          JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "events_attribution" -> (eventsAttribution, Some(eventsAttributionSql)),
+    "graph_triangles" -> (graphTriangles, Some(graphTrianglesSql)),
     "pagerank_nations" -> (pagerankNations, Some(pagerankNationsSql)),
     "events_hopping" -> (eventsHopping, Some(eventsHoppingSql)),
     "topk_events_salted" -> (topkEventsSalted, Some(topkEventsSaltedSql)),

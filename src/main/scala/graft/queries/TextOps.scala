@@ -1037,7 +1037,40 @@ object TextOps {
       |          AS BIGINT) AS cum_tok
       |      FROM documents)""".stripMargin
 
+  /** Fuzzy record linkage: document pairs whose 6-token prefixes are within
+    * edit distance 12, candidates blocked by (lang, first token) so the
+    * join is bucket-local — never n². The distance itself is Spark's
+    * threshold-bounded `levenshtein(l, r, k)` (banded DP with early exit:
+    * O(k·min(|l|,|r|)) instead of O(|l|·|r|), returns -1 above k) — at
+    * 100 TB most candidate pairs exceed the threshold, so the early exit
+    * is where the time goes. DuckDB's unbounded `levenshtein` agrees
+    * exactly on every surviving pair. */
+  val linkFuzzyEdit: Q = (s, dir) => {
+    val pref = table(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      element_at(split(col("text"), " "), 1).as("tok1"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("p"))
+    pref.select(col("lang"), col("tok1"), col("doc_id").as("doc_a"), col("p").as("pa"))
+      .join(pref.select(col("lang"), col("tok1"), col("doc_id").as("doc_b"), col("p").as("pb")),
+        Seq("lang", "tok1"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("ed", expr("levenshtein(pa, pb, 12)"))
+      .filter(col("ed") >= 0) // -1 = early-exited above the threshold
+      .select(col("doc_a"), col("doc_b"), col("ed").cast("long").as("edit_dist"))
+  }
+  val linkFuzzyEditSql =
+    """WITH pref AS (
+      |  SELECT doc_id, lang, string_split(text, ' ')[1] AS tok1,
+      |    array_to_string(string_split(text, ' ')[1:6], ' ') AS p
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+      |FROM pref a JOIN pref b
+      |  ON a.lang = b.lang AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.p, b.p) <= 12""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "link_fuzzy_edit" -> (linkFuzzyEdit, Some(linkFuzzyEditSql)),
     "pack_sequences" -> (packSequences, Some(packSequencesSql)),
     "text_diversity" -> (textDiversity, Some(textDiversitySql)),
     "dedup_spans" -> (dedupSpans, Some(dedupSpansSql)),

@@ -434,7 +434,39 @@ object VectorOps {
       .replace("SUMS", sums).replace("[MEANS]", "[" + means + "]")
   }
 
+  /** Higher-order array functions over the embedding column — transform /
+    * filter / aggregate / zip_with / array_position, the codegen'd
+    * `functions._` kernels a vector pipeline composes instead of UDFs.
+    * Everything folds in fixed-point int64 (floor(x·1000 + 0.5)) so the
+    * per-element fold order cannot perturb the result: integer addition
+    * commutes, float addition does not. Pure narrow scan — no shuffle. */
+  val arrayHof: Q = (s, dir) =>
+    table(s, dir, "embeddings")
+      .withColumn("mili",
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))"))
+      .withColumn("dim", size(col("embedding")).cast("long"))
+      .select(col("vec_id"), col("dim"),
+        expr("cast(size(filter(mili, x -> x > 0)) as bigint)").as("n_pos"),
+        expr("aggregate(mili, 0L, (a, x) -> a + abs(x))").as("l1_mili"),
+        expr("cast(array_position(mili, array_max(mili)) as bigint)").as("argmax_pos"),
+        expr("aggregate(zip_with(mili, reverse(mili), (x, y) -> x * y), 0L, (a, x) -> a + x)")
+          .as("rev_dot"))
+  val arrayHofSql =
+    """WITH m AS (
+      |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |    list_transform(embedding, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS mili
+      |  FROM embeddings)
+      |SELECT vec_id, dim,
+      |  CAST(len(list_filter(mili, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  CAST(list_sum(list_transform(mili, x -> abs(x))) AS BIGINT) AS l1_mili,
+      |  CAST(list_position(mili, list_max(mili)) AS BIGINT) AS argmax_pos,
+      |  CAST(list_sum(list_transform(range(1, dim + 1),
+      |    i -> mili[i] * mili[dim + 1 - i])) AS BIGINT) AS rev_dot
+      |FROM m""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "array_hof" -> (arrayHof, Some(arrayHofSql)),
     "kmeans_quantized" -> (kmeansQuantized, Some(kmeansQuantizedSql)),
     "ann_pq_rerank" -> (annPqRerank, Some(annPqRerankSql)),
     "embed_pq" -> (embedPq, Some(embedPqSql)),

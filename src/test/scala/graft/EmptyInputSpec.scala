@@ -42,7 +42,8 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_prefix" -> TextOps.dedupPrefix,
       "decontaminate_bloom" -> TextOps.decontaminateBloom,
       "bpe_pair_counts" -> TextOps.bpePairCounts,
-      "sample_quality_weighted" -> TextOps.sampleQualityWeighted)
+      "sample_quality_weighted" -> TextOps.sampleQualityWeighted,
+      "link_fuzzy_edit" -> TextOps.linkFuzzyEdit)
     ops.foreach { case (name, q) =>
       assert(q(spark, emptyDir).count() == 0, s"$name not empty-safe")
     }
@@ -55,12 +56,17 @@ class EmptyInputSpec extends SparkSpec {
     // the funnel emits its single stage-count row with all-zero stages
     val f = Analytics.eventsFunnel(spark, emptyDir).collect()
     assert(f.length == 1 && (0 to 2).forall(i => f.head.getLong(i) == 0))
+    assert(Analytics.eventsAttribution(spark, emptyDir).count() == 0)
+    // the triangle count emits its single (n_edges, n_triangles) = (0, 0) row
+    val g = Analytics.graphTriangles(spark, emptyDir).collect()
+    assert(g.length == 1 && g.head.getLong(0) == 0 && g.head.getLong(1) == 0)
   }
 
   test("vector operators return cleanly on an empty embedding table") {
     assert(VectorOps.embedPq(spark, emptyDir).count() == 0)
     assert(VectorOps.annPqRerank(spark, emptyDir).count() == 0)
     assert(VectorOps.kmeansQuantized(spark, emptyDir).count() == 0)
+    assert(VectorOps.arrayHof(spark, emptyDir).count() == 0)
     assert(graft.operators.ConnectedComponents.run(
       spark.range(0).select(col("id")),
       spark.range(0).select(col("id").as("src"), col("id").as("dst"))).count() == 0)

@@ -237,4 +237,63 @@ class PipelineOps4Spec extends SparkSpec {
     assert(out.count() == spark.read.parquet(s"$dir/embeddings.parquet").count())
     out.unpersist()
   }
+
+  test("triangles: degree-ordered count equals brute force on known graphs") {
+    val s = spark
+    import s.implicits._
+    def tri(edges: Seq[(Long, Long)]): Long =
+      graft.operators.Triangles.countDf(edges.toDF("u", "v"))
+        .head().getLong(0)
+    // K4: C(4,3) = 4 triangles; path: 0; two triangles sharing an edge: 2
+    assert(tri(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))) == 4)
+    assert(tri(Seq((1L,2L),(2L,3L),(3L,4L))) == 0)
+    assert(tri(Seq((1L,2L),(1L,3L),(2L,3L),(2L,4L),(3L,4L))) == 2)
+    // deterministic pseudo-random graph vs the brute-force triple join
+    val rnd = (for (i <- 0 until 400) yield {
+      val a = (i * 7919) % 30; val b = (i * 104729 + 13) % 30
+      if (a < b) Some((a.toLong, b.toLong)) else if (b < a) Some((b.toLong, a.toLong)) else None
+    }).flatten.distinct
+    val e = rnd.toDF("u", "v").cache()
+    val brute = e.as("e1")
+      .join(e.as("e2"), col("e2.u") === col("e1.u") && col("e2.v") > col("e1.v"))
+      .join(e.as("e3"), col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .count()
+    assert(tri(rnd) == brute)
+    e.unpersist()
+  }
+
+  test("attribution: composite (ts, event_id) ordering breaks same-ts ties") {
+    val out = graft.queries.Analytics.eventsAttribution(spark, dir).cache()
+    // every purchasing user lands in exactly one channel bucket
+    val ev = graft.queries.Util.eventsWithTs(spark, dir)
+    val buyers = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(out.agg(sum(col("n_users"))).head().getLong(0) == buyers)
+    // 'direct' = first event IS the purchase; never negative, never all
+    assert(out.filter(col("n_users") <= 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("fuzzy link: bounded levenshtein agrees with unbounded within threshold") {
+    val out = TextOps.linkFuzzyEdit(spark, dir).cache()
+    assert(out.filter(col("edit_dist") < 0 || col("edit_dist") > 12).count() == 0)
+    assert(out.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    out.unpersist()
+  }
+
+  test("array hof: fixed-point folds match a driver-side recompute") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy("vec_id").limit(5).collect()
+    val out = graft.queries.VectorOps.arrayHof(spark, dir)
+      .orderBy("vec_id").limit(5).collect()
+    emb.zip(out).foreach { case (e, o) =>
+      val v = e.getSeq[Float](e.fieldIndex("embedding"))
+        .map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+      assert(o.getLong(o.fieldIndex("n_pos")) == v.count(_ > 0))
+      assert(o.getLong(o.fieldIndex("l1_mili")) == v.map(math.abs).sum)
+      assert(o.getLong(o.fieldIndex("argmax_pos")) == v.indexOf(v.max) + 1)
+      assert(o.getLong(o.fieldIndex("rev_dot")) ==
+        v.zip(v.reverse).map { case (x, y) => x * y }.sum)
+    }
+  }
 }
