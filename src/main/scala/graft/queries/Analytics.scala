@@ -1295,9 +1295,127 @@ object Analytics {
       |          JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
       |          JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin
 
+  /** Interval-concurrency profile (the sweep-line): how many 5-minute event
+    * intervals are open at every boundary instant. Each interval becomes a
+    * +1/-1 point; the running sum over (t, delta, event_id) is the
+    * concurrency. The prefix sum is [[graft.operators.Sharding.cumSumBy]]'s
+    * two-pass range-partitioned form — a global ORDER BY sweep with no
+    * single-partition window at any scale. Ends sort before starts at the
+    * same instant (delta ascending): [s, e) semantics. */
+  val eventsConcurrency: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir).select(col("event_id"), col("ts_us"))
+    val pts = ev.select(col("event_id"), col("ts_us").as("t"), lit(1L).as("delta"))
+      .unionAll(ev.select(col("event_id"),
+        (col("ts_us") + lit(300000000L)).as("t"), lit(-1L).as("delta")))
+    graft.operators.Sharding.cumSumBy(pts, Seq("t", "delta", "event_id"),
+      col("delta"), "conc")
+  }
+  val eventsConcurrencySql =
+    """WITH pts AS (
+      |  SELECT event_id, epoch_us(ts) AS t, CAST(1 AS BIGINT) AS delta FROM events
+      |  UNION ALL
+      |  SELECT event_id, epoch_us(ts) + 300000000, CAST(-1 AS BIGINT) FROM events)
+      |SELECT event_id, t, delta,
+      |  CAST(sum(delta) OVER (ORDER BY t, delta, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+      |FROM pts""".stripMargin
+
+  /** Cross-table data-quality audit: FK orphans (anti joins — dims
+    * broadcast, fact-fact shuffles once), PK duplicate counts
+    * (count − distinct), and null-key counts, one row per check. The kind
+    * of gate a 100 TB ingest runs before promoting a snapshot. */
+  val dqAudit: Q = (s, dir) => {
+    import org.apache.spark.sql.DataFrame
+    def chk(name: String, n: org.apache.spark.sql.Column, df: DataFrame): DataFrame =
+      df.agg(n.cast("long").as("n_bad")).select(lit(name).as("check_name"), col("n_bad"))
+    val cust = table(s, dir, "customer"); val ord = table(s, dir, "orders")
+    val li = table(s, dir, "lineitem"); val supp = table(s, dir, "supplier")
+    val part = table(s, dir, "part"); val nat = table(s, dir, "nation")
+    val reg = table(s, dir, "region"); val ev = table(s, dir, "events")
+    val fk = Seq(
+      ("fk_orders_custkey", ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")),
+      ("fk_lineitem_orderkey", li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")),
+      ("fk_lineitem_partkey", li.join(part, li("l_partkey") === part("p_partkey"), "left_anti")),
+      ("fk_lineitem_suppkey", li.join(supp, li("l_suppkey") === supp("s_suppkey"), "left_anti")),
+      ("fk_customer_nationkey", cust.join(nat, cust("c_nationkey") === nat("n_nationkey"), "left_anti")),
+      ("fk_supplier_nationkey", supp.join(nat, supp("s_nationkey") === nat("n_nationkey"), "left_anti")),
+      ("fk_nation_regionkey", nat.join(reg, nat("n_regionkey") === reg("r_regionkey"), "left_anti"))
+    ).map { case (n, df) => chk(n, count(lit(1)), df) }
+    val pk = Seq(
+      ("pk_dup_customer", cust, "c_custkey"), ("pk_dup_orders", ord, "o_orderkey"),
+      ("pk_dup_part", part, "p_partkey"), ("pk_dup_supplier", supp, "s_suppkey"),
+      ("pk_dup_nation", nat, "n_nationkey"), ("pk_dup_region", reg, "r_regionkey"),
+      ("pk_dup_events", ev, "event_id")
+    ).map { case (n, df, k) => chk(n, count(lit(1)) - countDistinct(col(k)), df) }
+    val nulls = Seq(
+      ("null_l_orderkey", li, "l_orderkey"), ("null_o_custkey", ord, "o_custkey"),
+      ("null_ev_user", ev, "user_id")
+    ).map { case (n, df, k) => chk(n, count(when(col(k).isNull, 1)), df) }
+    (fk ++ pk ++ nulls).reduce(_ unionAll _)
+  }
+  val dqAuditSql = {
+    val fk = Seq(
+      ("fk_orders_custkey", "orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL"),
+      ("fk_lineitem_orderkey", "lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL"),
+      ("fk_lineitem_partkey", "lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL"),
+      ("fk_lineitem_suppkey", "lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL"),
+      ("fk_customer_nationkey", "customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL"),
+      ("fk_supplier_nationkey", "supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL"),
+      ("fk_nation_regionkey", "nation na LEFT JOIN region r ON na.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL")
+    ).map { case (n, f) => s"SELECT '$n' AS check_name, CAST(count(*) AS BIGINT) AS n_bad FROM $f" }
+    val pk = Seq(
+      ("pk_dup_customer", "customer", "c_custkey"), ("pk_dup_orders", "orders", "o_orderkey"),
+      ("pk_dup_part", "part", "p_partkey"), ("pk_dup_supplier", "supplier", "s_suppkey"),
+      ("pk_dup_nation", "nation", "n_nationkey"), ("pk_dup_region", "region", "r_regionkey"),
+      ("pk_dup_events", "events", "event_id")
+    ).map { case (n, t, k) =>
+      s"SELECT '$n', CAST(count(*) - count(DISTINCT $k) AS BIGINT) FROM $t" }
+    val nulls = Seq(
+      ("null_l_orderkey", "lineitem", "l_orderkey"),
+      ("null_o_custkey", "orders", "o_custkey"),
+      ("null_ev_user", "events", "user_id")
+    ).map { case (n, t, k) =>
+      s"SELECT '$n', CAST(count(CASE WHEN $k IS NULL THEN 1 END) AS BIGINT) FROM $t" }
+    (fk ++ pk ++ nulls).mkString("\n", "\nUNION ALL\n", "")
+  }
+
+  /** Mergeable-sketch distinct counting (Apache DataSketches HLL — THE
+    * 100 TB count-distinct tool: per-partition sketches union associatively,
+    * so the shuffle carries kilobyte sketches instead of user-id sets).
+    * Exact distinct runs alongside; the query emits whether the estimate
+    * landed within 5% — a DETERMINISTIC bound the DuckDB oracle asserts as
+    * a literal, which turns the approximation itself into a gated claim.
+    * The '__all__' row re-estimates from the UNION of the per-type sketches
+    * (never re-touching the raw data) — the mergeability contract. */
+  val hllDistinct: Q = (s, dir) => {
+    val ev = table(s, dir, "events")
+    val byType = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        hll_sketch_agg(col("user_id")).as("sk"))
+      .persist()
+    val typed = byType.select(col("event_type"), col("n_exact"),
+      (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) * lit(100) <=
+        col("n_exact") * lit(5)).as("within_5pct"))
+    val all = byType.agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("est"))
+      .crossJoin(ev.agg(countDistinct(col("user_id")).as("n_exact")))
+      .select(lit("__all__").as("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) * lit(100) <= col("n_exact") * lit(5))
+          .as("within_5pct"))
+    typed.unionAll(all)
+  }
+  val hllDistinctSql =
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS within_5pct
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT '__all__', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "events_attribution" -> (eventsAttribution, Some(eventsAttributionSql)),
     "graph_triangles" -> (graphTriangles, Some(graphTrianglesSql)),
+    "events_concurrency" -> (eventsConcurrency, Some(eventsConcurrencySql)),
+    "dq_audit" -> (dqAudit, Some(dqAuditSql)),
+    "hll_distinct" -> (hllDistinct, Some(hllDistinctSql)),
     "pagerank_nations" -> (pagerankNations, Some(pagerankNationsSql)),
     "events_hopping" -> (eventsHopping, Some(eventsHoppingSql)),
     "topk_events_salted" -> (topkEventsSalted, Some(topkEventsSaltedSql)),

@@ -1069,7 +1069,28 @@ object TextOps {
       |  ON a.lang = b.lang AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id
       |WHERE levenshtein(a.p, b.p) <= 12""".stripMargin
 
+  /** Phrase search through posting lists: docs containing the bigram
+    * "hash join" found by intersecting the two tokens' position postings
+    * (join on (doc_id, pos) after shifting the second token's positions) —
+    * the inverted-index shape, where work scales with the MATCHING tokens'
+    * postings, not the corpus. The oracle is a plain substring LIKE scan —
+    * a genuinely independent formulation (token-boundary-padded, so both
+    * mean "consecutive whitespace tokens"). */
+  val phraseSearch: Q = (s, dir) => {
+    val tk = table(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val p1 = tk.filter(col("tok") === "hash").select(col("doc_id"), col("pos"))
+    val p2 = tk.filter(col("tok") === "join")
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    p1.join(p2, Seq("doc_id", "pos"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+  val phraseSearchSql =
+    """SELECT DISTINCT doc_id FROM documents
+      |WHERE ' ' || text || ' ' LIKE '% hash join %'""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "phrase_search" -> (phraseSearch, Some(phraseSearchSql)),
     "link_fuzzy_edit" -> (linkFuzzyEdit, Some(linkFuzzyEditSql)),
     "pack_sequences" -> (packSequences, Some(packSequencesSql)),
     "text_diversity" -> (textDiversity, Some(textDiversitySql)),

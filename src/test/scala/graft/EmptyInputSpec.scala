@@ -43,7 +43,8 @@ class EmptyInputSpec extends SparkSpec {
       "decontaminate_bloom" -> TextOps.decontaminateBloom,
       "bpe_pair_counts" -> TextOps.bpePairCounts,
       "sample_quality_weighted" -> TextOps.sampleQualityWeighted,
-      "link_fuzzy_edit" -> TextOps.linkFuzzyEdit)
+      "link_fuzzy_edit" -> TextOps.linkFuzzyEdit,
+      "phrase_search" -> TextOps.phraseSearch)
     ops.foreach { case (name, q) =>
       assert(q(spark, emptyDir).count() == 0, s"$name not empty-safe")
     }
@@ -60,6 +61,10 @@ class EmptyInputSpec extends SparkSpec {
     // the triangle count emits its single (n_edges, n_triangles) = (0, 0) row
     val g = Analytics.graphTriangles(spark, emptyDir).collect()
     assert(g.length == 1 && g.head.getLong(0) == 0 && g.head.getLong(1) == 0)
+    assert(Analytics.eventsConcurrency(spark, emptyDir).count() == 0)
+    // hll keeps the merged '__all__' row even with no events
+    val h = Analytics.hllDistinct(spark, emptyDir).collect()
+    assert(h.length == 1 && h.head.getString(0) == "__all__" && h.head.getLong(1) == 0)
   }
 
   test("vector operators return cleanly on an empty embedding table") {

@@ -281,6 +281,41 @@ class PipelineOps4Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("concurrency sweep: bounded, ends at zero, peak covers the busiest instant") {
+    val out = graft.queries.Analytics.eventsConcurrency(spark, dir).cache()
+    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(out.count() == 2 * n)
+    // running concurrency is always in [0, n]; the final point closes to 0
+    assert(out.filter(col("conc") < 0 || col("conc") > n).count() == 0)
+    val last = out.orderBy(col("t").desc, col("delta").desc, col("event_id").desc)
+      .limit(1).head()
+    assert(last.getLong(last.fieldIndex("conc")) == 0)
+    out.unpersist()
+  }
+
+  test("dq audit: clean snapshot — every referential/pk/null check is zero") {
+    val out = graft.queries.Analytics.dqAudit(spark, dir).cache()
+    assert(out.count() == 17)
+    assert(out.filter(col("n_bad") =!= 0).count() == 0) // testdata is clean
+    out.unpersist()
+  }
+
+  test("hll: per-type and merged estimates land within the 5pct gate") {
+    val out = graft.queries.Analytics.hllDistinct(spark, dir).cache()
+    assert(out.filter(!col("within_5pct")).count() == 0)
+    assert(out.filter(col("event_type") === "__all__").count() == 1)
+    out.unpersist()
+  }
+
+  test("phrase search: posting-list intersection equals a contains() scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val expect = docs
+      .filter(concat(lit(" "), col("text"), lit(" ")).contains(" hash join "))
+      .select(col("doc_id"))
+    val got = TextOps.phraseSearch(spark, dir)
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+  }
+
   test("array hof: fixed-point folds match a driver-side recompute") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .orderBy("vec_id").limit(5).collect()
