@@ -28,7 +28,11 @@ object GraftExtensions {
         (args: Seq[Expression]) => CharFoldHash(args.head)),
       (FunctionIdentifier("vector_dot"),
         new ExpressionInfo(classOf[graft.functions.VectorDot].getName, "vector_dot"),
-        (args: Seq[Expression]) => graft.functions.VectorDot(args(0), args(1))))
+        (args: Seq[Expression]) => graft.functions.VectorDot(args(0), args(1))),
+      (FunctionIdentifier("span_hashes"),
+        new ExpressionInfo(classOf[graft.functions.SpanHashes].getName, "span_hashes"),
+        (args: Seq[Expression]) => graft.functions.SpanHashes(args(0),
+          args(1).eval().asInstanceOf[Int])))
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit =

@@ -965,24 +965,23 @@ object TextOps {
     * agg (map-side combine) → join back on span hash — shuffle ∝ spans,
     * never n² docs. */
   val dedupSpans: Q = (s, dir) => {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // hash each token BEFORE the window: the lead() buffer then carries one
-    // long per position instead of 10 full token strings, and the span
-    // signature is the same polynomial fold over the 10 token hashes in
-    // both engines (hash-of-hashes — bit-portable like the string hash)
-    val toks = table(s, dir, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos"), charFoldHash(col("tok")).as("th"))
-    val leads = (1 until 10).map(i => lead(col("th"), i).over(w))
-    val sig = leads.foldLeft(col("th")) { (acc, h) => (acc * 31 + h) % 1000000007L }
-    val spans = toks
-      .withColumn("h", sig)
-      .withColumn("t9", leads.last)
-      .filter(col("t9").isNotNull)
-      .select(col("doc_id"), col("h"))
+    // span signatures built MAP-SIDE in one compiled pass per document
+    // ([[graft.functions.SpanHashes]] — tokenizer + char-fold + window fold
+    // fused): no doc_id window shuffle+sort, no per-element interpreted
+    // lambdas. An earlier lead()-window formulation paid two extra
+    // full-corpus exchanges; an intermediate HOF-array form removed those
+    // but stalled on interpreted lambda evaluation. Trade: a document's
+    // span array materializes in one row (fine for web/LLM docs; a single
+    // multi-GB document would prefer the window).
+    val spans = table(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.SpanHashes(col("text"), 10)).as("h"))
+      // ONE corpus exchange, on h, BEFORE the dedup: HashPartitioning(h)
+      // satisfies ClusteredDistribution for the (doc_id, h) distinct, the
+      // per-h count agg AND the h join below, so none of them re-shuffles —
+      // distinct-then-repartition would cross the network twice
+      .repartition(col("h"))
       .distinct()
-    // spans is already DISTINCT per (doc,h), so plain count == distinct-doc
-    // count — a map-side-combining count agg, not a two-phase distinct
     val shared = spans.groupBy(col("h"))
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)

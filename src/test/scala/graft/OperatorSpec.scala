@@ -299,6 +299,36 @@ class OperatorSpec extends SparkSpec {
     assert(graft.functions.CharFoldHash.hash("emoji 😀 end") == 260912962L)
   }
 
+  test("span hashes: fused pass == the composable HOF chain, incl. edge shapes") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.SpanHashes
+    val texts = Seq(
+      "a b c d e f g h i j k l",   // 12 tokens -> 3 spans of 10
+      "one two three",             // short -> no spans
+      "",                          // one empty token
+      "x  y   z q w e r t y u i",  // consecutive spaces = empty tokens kept
+      "emoji 😀 in a span a b c d e f g",
+      "exactly ten tokens here now q w e r t")
+    val df = texts.toDF("text").repartition(2)
+    val hof = df.select(
+      transform(split(col("text"), " "), t => graft.functions.CharFoldHash(t)).as("th"))
+      .select(expr(
+        """CASE WHEN size(th) < 10 THEN array()
+          |ELSE transform(sequence(1, size(th) - 9),
+          |  i -> aggregate(slice(th, i + 1, 9), element_at(th, i),
+          |                 (a, x) -> (a * 31 + x) % 1000000007L)) END""".stripMargin))
+      .collect().map(_.getSeq[Long](0))
+    val fused = df.select(SpanHashes(col("text"), 10))
+      .collect().map(_.getSeq[Long](0))
+    assert(hof.map(_.toList).toList == fused.map(_.toList).toList)
+    // SQL registration round-trip
+    graft.GraftExtensions.register(s)
+    val viaSql = s.sql(
+      "SELECT span_hashes('a b c d e f g h i j k l', 10)").head().getSeq[Long](0)
+    assert(viaSql.length == 3)
+  }
+
   test("group top-k: salted two-phase rank equals the plain window, incl. skew and ties") {
     val s = spark
     import s.implicits._
