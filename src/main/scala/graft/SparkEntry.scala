@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     ReferenceOps.defs ++ MetadataOps.defs ++ SinkOps.defs ++ Analytics.defs ++ TpchOps.defs ++
-      TextOps.defs ++ VectorOps.defs ++ MultimodalOps.defs
+      TextOps.defs ++ VectorOps.defs ++ MultimodalOps.defs ++ LakeOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

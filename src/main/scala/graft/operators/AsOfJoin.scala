@@ -64,4 +64,45 @@ object AsOfJoin {
     carried.filter(col("_side") === 1)
       .select(leftCols.map(col) ++ payload.map(p => col(s"_rbest.$p").as(s"asof_$p")): _*)
   }
+
+  /** Forward as-of join — for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` on the same key. Mirror image of [[asOf]]:
+    * left rows sort BEFORE right rows at equal times (side 0 vs 1), and
+    * `first(value, ignoreNulls)` over the (current row, unbounded FOLLOWING)
+    * frame picks the next right payload — so "at or after" is inclusive.
+    * Same scale contract: one shuffle on the key, no row multiplication.
+    * Right-side ties on (key, time) must be pre-deduplicated by the caller.
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val leftCols = left.columns.toSeq
+    val payloadType = StructType(payload.map(p =>
+      StructField(p, right.schema(p).dataType, nullable = true)))
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(0))
+      .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
+        leftCols.map(col) :+ lit(null).cast(payloadType).as("_r"): _*)
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(1))
+      .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("_r"): _*)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = l.unionByName(r)
+      .select(
+        (Seq(col("_k"), col("_t"), col("_side")) ++ leftCols.map(col) :+
+          first(col("_r"), ignoreNulls = true).over(w).as("_rbest")): _*)
+    carried.filter(col("_side") === 0)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"_rbest.$p").as(s"asof_$p")): _*)
+  }
 }

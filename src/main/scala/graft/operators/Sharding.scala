@@ -90,6 +90,51 @@ object Sharding {
       StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false)))
   }
 
+  /** Scalable global EXCLUSIVE prefix max: appends `outCol` = max of
+    * `valueCol` (cast to long) over all rows STRICTLY BEFORE the current one
+    * in ascending `orderCols` order — [[Long.MinValue]] for the first row
+    * (and anywhere no predecessor carries a non-null value; nulls don't
+    * participate). Same two-pass shape as [[cumSumBy]] (max is associative,
+    * so per-partition maxima prefix-scan on the driver exactly like sums);
+    * exclusive semantics because the main consumer
+    * ([[Skyline.globalSkyline]]) needs "best among strictly earlier keys".
+    */
+  def cumMaxBy(df: DataFrame, orderCols: Seq[String], valueCol: Column, outCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val tmpCol = Iterator.iterate("_cm_v")(_ + "_").dropWhile(df.columns.contains).next()
+    val ranged = df
+      .withColumn(tmpCol, coalesce(valueCol.cast("long"), lit(Long.MinValue)))
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val vIdx = ranged.schema.length - 1
+    val rdd = ranged.queryExecution.toRdd
+    val totals = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single(pid -> it.foldLeft(Long.MinValue)((a, r) => math.max(a, r.getLong(vIdx))))
+      }
+      .collect().toMap
+    val n = rdd.getNumPartitions
+    val offsets = (0 until n)
+      .scanLeft(Long.MinValue)((acc, pid) => math.max(acc, totals.getOrElse(pid, Long.MinValue)))
+      .toArray
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bcOffsets.value(pid)
+      it.map { r =>
+        val c = r.copy()
+        val v = c.getLong(vIdx)
+        c.setLong(vIdx, acc) // exclusive: the PRE-update running max
+        acc = math.max(acc, v)
+        c
+      }
+    }
+    GraftBridge.internalCreateDataFrame(spark, out,
+      StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false)))
+  }
+
   /** Exact consecutive chunking WITHOUT a single-partition window over the
     * data: global ranks are computed on a SKINNY (distinct-key) projection via
     * [[cumSum]] of 1s, then joined back on the key. The wide rows — audio

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Lakehouse / scale-layout operator family: storage bucketing, Pareto
+  * skyline, interval algebra, changelog compaction, sketch-gated heavy
+  * hitters, posting-list document similarity, forward as-of join. Each entry
+  * is oracle-checked against DuckDB on the same parquet tables.
+  */
+object LakeOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Bucketed co-located join: both fact tables are written bucketed+sorted
+    * by the join key, so the join in every LATER query runs with ZERO
+    * shuffle of either side (the bucketing IS the exchange, paid once at
+    * layout time — the 100 TB answer to "this join runs every hour").
+    * OperatorSpec pins the plan property: no ShuffleExchange under the join.
+    * The oracle computes the same aggregate straight from the source
+    * parquet, proving the bucketed layout is lossless. */
+  val joinBucketed: Q = (s, dir) => {
+    val sig = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val oName = s"graft_b_orders$sig"; val lName = s"graft_b_lineitem$sig"
+    table(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(oName)
+    table(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lName)
+    s.table(lName)
+      .join(s.table(oName), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_cents"))
+  }
+  val joinBucketedSql =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_orderkey % 4 = 0
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Per-brand Pareto frontier of parts (cheapest price for the largest
+    * size): [[graft.operators.Skyline.groupedSkyline]] — per-x reduction +
+    * bounded window, never the quadratic NOT EXISTS the oracle runs. */
+  val partSkyline: Q = (s, dir) =>
+    graft.operators.Skyline.groupedSkyline(
+      table(s, dir, "part").select("p_partkey", "p_brand", "p_retailprice", "p_size"),
+      Seq("p_brand"), "p_retailprice", "p_size")
+      .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+  val partSkylineSql =
+    """SELECT p_partkey, p_brand, p_retailprice, p_size FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM part q WHERE q.p_brand = p.p_brand
+      |  AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |  AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin
+
+  /** Interval union (coverage): total µs each user is "active", merging
+    * overlapping 5-minute event intervals. The classic sweep — per-user
+    * running max of interval ends; each row contributes only its
+    * not-already-covered suffix. One shuffle on user_id; per-user windows
+    * are small and parallel (the global-sweep variant of this shape is
+    * events_concurrency via the two-pass prefix sum). The SUM is
+    * order-insensitive under ties, so ORDER BY st alone is deterministic. */
+  val intervalUnion: Q = (s, dir) => {
+    val iv = eventsWithTs(s, dir)
+      .select(col("user_id"), col("ts_us").as("st"), (col("ts_us") + 300000000L).as("en"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("st"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("pm", max(col("en")).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(greatest(col("en") - greatest(col("st"), coalesce(col("pm"), lit(Long.MinValue))),
+          lit(0L))).as("covered_us"))
+  }
+  val intervalUnionSql =
+    """WITH iv AS (SELECT user_id, epoch_us(ts) AS st, epoch_us(ts) + 300000000 AS en FROM events),
+      |m AS (SELECT user_id, st, en,
+      |        max(en) OVER (PARTITION BY user_id ORDER BY st
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |      FROM iv)
+      |SELECT user_id, count(*) AS n_intervals,
+      |  CAST(sum(greatest(en - greatest(st, coalesce(pm, -9223372036854775808)), 0)) AS BIGINT)
+      |    AS covered_us
+      |FROM m GROUP BY user_id""".stripMargin
+
+  /** Changelog compaction (the CDC MERGE shape): replay the event log per
+    * key in (ts, event_id) order; the latest entry wins, and a terminal
+    * 'error' tombstones the key. One window shuffle on the key — how a
+    * lakehouse materializes current state from an append-only log. */
+  val eventsCdcApply: Q = (s, dir) => {
+    val byKey = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    eventsWithTs(s, dir)
+      .withColumn("rn", row_number().over(byKey))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        floor(col("value") * 100).cast("long").as("state_cents"))
+  }
+  val eventsCdcApplySql =
+    """SELECT user_id, event_id AS last_event_id,
+      |  CAST(floor(value * 100) AS BIGINT) AS state_cents
+      |FROM (SELECT user_id, event_id, event_type, value,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  /** Count-min-sketch heavy hitters: the sub-linear frequency sketch (width
+    * ⌈e/ε⌉ counters per row, mergeable across partitions — the shuffle
+    * carries kilobytes at any data size). The estimate is gated against the
+    * exact count: CMS can only OVERcount, by at most ε·N — with a fixed
+    * seed the whole claim is deterministic, so the DuckDB oracle asserts it
+    * as a literal (same contract style as hll_distinct). */
+  val heavyHittersCms: Q = (s, dir) => {
+    val ev = table(s, dir, "events").select(col("event_type"))
+    val skBytes = ev
+      .agg(expr("count_min_sketch(event_type, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val est = udf((t: String) => cms.estimateCount(t))
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    exact.crossJoin(exact.agg(sum(col("n_exact")).as("_tot")))
+      .select(col("event_type"), col("n_exact"),
+        (est(col("event_type")) >= col("n_exact") &&
+          est(col("event_type")) <= col("n_exact") + ceil(col("_tot") * 0.001))
+          .as("within_bound"))
+  }
+  val heavyHittersCmsSql =
+    """SELECT event_type, count(*) AS n_exact, TRUE AS within_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Pairwise document similarity via posting lists: term = HASHED 3-gram
+    * shingle ([[graft.functions.SpanHashes]] — one compiled pass, and the
+    * shuffle keys are 8-byte longs instead of shingle strings), tf per
+    * (doc, term), terms blocked to document frequency 2..10 (rare-term
+    * blocking — each posting list joins ≤ C(10,2) pairs, so candidates ∝
+    * terms, never n² docs), integer idf-ish weight N div df, pair score =
+    * Σ tf·tf·w. All integer arithmetic — bit-portable across engines. */
+  val tfidfPairSim: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(graft.functions.SpanHashes(col("text"), 3)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val w = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 10))
+      .crossJoin(docs.agg(count(lit(1)).as("_n")))
+      .select(col("tok"), expr("_n div df").as("wt"))
+    val posting = tf.join(w, Seq("tok"))
+    val a = posting.select(col("tok"), col("doc_id").as("d1"), col("tf").as("tf1"), col("wt"))
+    val b = posting.select(col("tok"), col("doc_id").as("d2"), col("tf").as("tf2"))
+    a.join(b, Seq("tok"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("tf1") * col("tf2") * col("wt")).as("score"))
+      .filter(col("score") >= 500)
+  }
+  val tfidfPairSimSql = {
+    val tokHashes = s"list_transform(string_split(text, ' '), tok -> ${charFoldHashSql("tok")})"
+    val spans3 = "list_transform(range(1, len(th) - 1), " +
+      "i -> list_reduce(list_slice(th, i, i + 2), (a, b) -> (a * 31 + b) % 1000000007))"
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($spans3) AS tok
+       |  FROM (SELECT doc_id, $tokHashes AS th FROM documents)
+       |  WHERE len(th) >= 3),
+       |tfc AS (SELECT doc_id, tok, count(*) AS tf FROM sh GROUP BY 1, 2),
+       |w AS (SELECT tok, (SELECT count(*) FROM documents) // count(*) AS wt
+       |      FROM tfc GROUP BY tok HAVING count(*) BETWEEN 2 AND 10),
+       |p AS (SELECT * FROM tfc JOIN w USING (tok))
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(sum(a.tf * b.tf * a.wt) AS BIGINT) AS score
+       |FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING sum(a.tf * b.tf * a.wt) >= 500""".stripMargin
+  }
+
+  /** Forward as-of join: each event pairs with the same user's NEXT
+    * purchase at-or-after it ([[graft.operators.AsOfJoin.asOfForward]] —
+    * union + one key shuffle + forward-frame carry, no row multiplication).
+    * Purchases are pre-deduplicated per (user, instant) as the operator
+    * requires. The oracle runs the same union+window composition in SQL. */
+  val joinAsofForward: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = eventsWithTs(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("pt"))
+      .agg(min(col("event_id")).as("pid"))
+    graft.operators.AsOfJoin.asOfForward(
+      ev, purchases, "user_id", "ts_us", "pt", Seq("pid", "pt"))
+      .select(col("event_id"), col("user_id"), col("asof_pid").as("next_pid"),
+        (col("asof_pt") - col("ts_us")).as("wait_us"))
+  }
+  val joinAsofForwardSql =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS pt, min(event_id) AS pid
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id AS k, epoch_us(ts) AS t, 0 AS side, event_id,
+      |         CAST(NULL AS BIGINT) AS pid, CAST(NULL AS BIGINT) AS pt
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, pt, 1, NULL, pid, pt FROM p),
+      |c AS (SELECT k, t, side, event_id,
+      |        first_value(pid IGNORE NULLS) OVER win AS next_pid,
+      |        first_value(pt IGNORE NULLS) OVER win AS next_pt
+      |      FROM u WINDOW win AS (PARTITION BY k ORDER BY t, side
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, k AS user_id, next_pid, next_pt - t AS wait_us
+      |FROM c WHERE side = 0""".stripMargin
+
+  def defs: Map[String, (Q, Option[String])] = Map(
+    "join_bucketed" -> (joinBucketed, Some(joinBucketedSql)),
+    "part_skyline" -> (partSkyline, Some(partSkylineSql)),
+    "interval_union" -> (intervalUnion, Some(intervalUnionSql)),
+    "events_cdc_apply" -> (eventsCdcApply, Some(eventsCdcApplySql)),
+    "heavy_hitters_cms" -> (heavyHittersCms, Some(heavyHittersCmsSql)),
+    "tfidf_pair_sim" -> (tfidfPairSim, Some(tfidfPairSimSql)),
+    "join_asof_forward" -> (joinAsofForward, Some(joinAsofForwardSql)),
+  )
+}

@@ -329,6 +329,84 @@ class OperatorSpec extends SparkSpec {
     assert(viaSql.length == 3)
   }
 
+  test("cumMaxBy: exclusive distributed prefix max equals the sequential scan") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = (0 until 500).map(i => (i, rnd.nextInt(1000).toLong))
+    val got = Sharding.cumMaxBy(
+        vals.toDF("ord", "v").repartition(7), Seq("ord"), col("v"), "pm")
+      .orderBy("ord").collect().map(r => (r.getInt(0), r.getLong(2)))
+    val expect = vals.map(_._2).scanLeft(Long.MinValue)(math.max).init
+    assert(got.map(_._2).toSeq == expect)
+    // null values don't participate but still receive the running max
+    val withNull = Seq((0, Some(5L)), (1, None), (2, Some(3L))).toDF("ord", "v")
+    val g2 = Sharding.cumMaxBy(withNull, Seq("ord"), col("v"), "pm")
+      .orderBy("ord").collect().map(_.getLong(2))
+    assert(g2.toSeq == Seq(Long.MinValue, 5L, 5L))
+  }
+
+  test("skyline: grouped and global forms equal the quadratic definition, incl. ties") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, s"g${rnd.nextInt(4)}", rnd.nextInt(30).toDouble / 2, rnd.nextInt(20))
+    } :+ (400L, "g0", 1.5, 7) :+ (401L, "g0", 1.5, 7) // exact duplicates both survive
+    def brute(grouped: Boolean): Set[Long] = rows.filter { p =>
+      !rows.exists(q => (!grouped || q._2 == p._2) &&
+        q._3 <= p._3 && q._4 >= p._4 && (q._3 < p._3 || q._4 > p._4))
+    }.map(_._1).toSet
+    val df = rows.toDF("id", "g", "x", "y").repartition(5)
+    val grouped = graft.operators.Skyline.groupedSkyline(df, Seq("g"), "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(grouped == brute(grouped = true))
+    val global = graft.operators.Skyline.globalSkyline(df, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(global == brute(grouped = false))
+  }
+
+  test("asOfForward: next-at-or-after semantics, incl. equal instants and no-match") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 35L), (2L, 5L))
+      .toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 30L, "b"), (3L, 1L, "z"))
+      .toDF("k", "rt", "v")
+    val got = graft.operators.AsOfJoin
+      .asOfForward(left, right, "k", "t", "rt", Seq("v"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(got == Seq(
+      (1L, 10L, Some("a")), // equal instant is inclusive
+      (1L, 20L, Some("b")),
+      (1L, 35L, None),      // nothing after
+      (2L, 5L, None)))      // key has no right rows
+  }
+
+  test("bucketed join: co-located tables join with zero shuffle exchanges") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val a = (0 until 1000).map(i => (i.toLong, i * 2L)).toDF("k", "va")
+    val b = (0 until 1000).map(i => (i.toLong, i * 3L)).toDF("k", "vb")
+    a.write.mode("overwrite").format("parquet").bucketBy(4, "k").sortBy("k")
+      .saveAsTable("graft_spec_bucket_a")
+    b.write.mode("overwrite").format("parquet").bucketBy(4, "k").sortBy("k")
+      .saveAsTable("graft_spec_bucket_b")
+    val joined = s.table("graft_spec_bucket_a")
+      .join(s.table("graft_spec_bucket_b").hint("merge"), Seq("k"))
+    assert(joined.count() == 1000)
+    val exec = joined.queryExecution.executedPlan
+    val plan = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"expected bucket-co-located join, got:\n$plan")
+  }
+
   test("group top-k: salted two-phase rank equals the plain window, incl. skew and ties") {
     val s = spark
     import s.implicits._
