@@ -65,13 +65,14 @@ object SinkOps {
     * advances the watermark past every real window and the append-mode sink
     * flushes them all; the sentinel's own window is excluded. Counts only —
     * integer-exact regardless of micro-batch partial-agg order. */
-  val eventsTumblingStream: Q = (s, dir) => {
-    // Staged source (events + sentinel) is reused across Verify/Bench
-    // invocations, keyed by a SIGNATURE of the source files (path + sizes +
-    // mtimes) so a regenerated input invalidates the cache instead of
-    // silently streaming stale events. The stream's own checkpoint/out dirs
-    // stay unique per run (a reused completed checkpoint would make
-    // availableNow a no-op resume).
+  /** Staged streaming source (events + far-future watermark sentinel),
+    * reused across Verify/Bench invocations AND across the streaming
+    * entries, keyed by a SIGNATURE of the source files (path + sizes +
+    * mtimes) so a regenerated input invalidates the cache instead of
+    * silently streaming stale events. Each consumer's checkpoint/out dirs
+    * stay unique per run (a reused completed checkpoint would make
+    * availableNow a no-op resume). */
+  private def stagedEventsDir(s: SparkSession, dir: String): String = {
     val stage = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       "graft-stream-src-" + sourceSignature(s"$dir/events.parquet"))
@@ -96,6 +97,11 @@ object SinkOps {
       }
       doneMark.createNewFile()
     }
+    evDir
+  }
+
+  val eventsTumblingStream: Q = (s, dir) => {
+    val evDir = stagedEventsDir(s, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-oracle")
     cleanupAtExit(tmp)
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
@@ -171,6 +177,51 @@ object SinkOps {
   val eventsDedupStreamSql =
     "SELECT event_id, user_id, event_type, value FROM events"
 
+  /** Third Structured Streaming entry in the oracle gate — CUSTOM state:
+    * per-user sessionization via flatMapGroupsWithState in event time
+    * ([[graft.streaming.EventStream.sessionize]] — exact-µs gap math,
+    * integer-cents accumulation, EventTimeTimeout session close). The
+    * watermark sentinel times every session out; the oracle reconstructs
+    * identical sessions with the lag/cumsum SQL (strict `>` gap rule, same
+    * as the batch twin events_sessionize). This gates arbitrary
+    * user-defined streaming state, not just built-in windows/dedup. */
+  val eventsStatefulStream: Q = (s, dir) => {
+    import s.implicits._
+    val evDir = stagedEventsDir(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-state")
+    cleanupAtExit(tmp)
+    val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
+    val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
+    val events = graft.streaming.EventStream.readEvents(s, evDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.EventStream.Event]
+    val q = graft.streaming.EventStream.sessionize(events)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .filter(col("user_id") =!= -1L) // the sentinel's own never-closed state
+      .select(col("user_id"), col("start_us"), col("n_events").cast("long").as("n_events"),
+        (col("value_cents") / 100.0).as("session_value"))
+  }
+  val eventsStatefulStreamSql =
+    """SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
+      |  sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS session_value
+      |FROM (
+      |  SELECT user_id, value, ts_us,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, value, event_id, ts_us,
+      |      CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+      |        OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+      |        THEN 1 ELSE 0 END AS new_session
+      |    FROM (SELECT user_id, value, event_id, epoch_us(ts) AS ts_us FROM events)))
+      |GROUP BY user_id, session_id""".stripMargin
+
   /** Source/sink format breadth: the same projection round-trips through
     * ORC, CSV, and JSON files, and each read-back must reproduce the exact
     * row count and integer checksum the oracle computes straight from the
@@ -241,6 +292,7 @@ object SinkOps {
     "k1_sink_roundtrip" -> (k1SinkRoundtrip, Some(k1SinkRoundtripSql)),
     "events_tumbling_stream" -> (eventsTumblingStream, Some(eventsTumblingStreamSql)),
     "events_dedup_stream" -> (eventsDedupStream, Some(eventsDedupStreamSql)),
+    "events_stateful_stream" -> (eventsStatefulStream, Some(eventsStatefulStreamSql)),
     "format_roundtrip" -> (formatRoundtrip, Some(formatRoundtripSql)),
   )
 }

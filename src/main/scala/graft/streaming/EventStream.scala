@@ -87,18 +87,27 @@ object EventStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
-  final case class SessionState(start: Long, last: Long, n: Int, value: Double)
-  final case class Session(user_id: Long, start_ts: Long, end_ts: Long,
-                           n_events: Int, session_value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, cents: Long)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Int, value_cents: Long)
 
-  val SessionGapMs: Long = 30 * 60 * 1000
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Exact µs since epoch — `Timestamp.getTime` alone truncates to ms, and
+    * the events table carries µs precision; a knife-edge gap within 1 ms of
+    * the session boundary would diverge from the batch twin. */
+  def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Custom streaming state: per-user sessionization with a 30-minute
     * inactivity gap via flatMapGroupsWithState in EVENT time — a watermark on
     * `ts` drives both late-data handling and session-close timeouts, so
     * behavior is deterministic (no wall-clock dependence) and state is
     * bounded by the watermark horizon. The streaming twin of the
-    * oracle-checked Analytics.eventsSessionize. */
+    * oracle-checked Analytics.eventsSessionize, and itself oracle-gated
+    * (events_stateful_stream). Gap arithmetic runs on exact µs; values
+    * accumulate as integer cents (`floor(value·100)`) so the sum is
+    * identical regardless of micro-batch arrival order. */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
@@ -109,29 +118,31 @@ object EventStream {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(s =>
-              Session(userId, s.start, s.last, s.n, s.value)).toSeq
+              Session(userId, s.start, s.last, s.n, s.cents)).toSeq
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
+              val c = math.floor(e.value * 100).toLong
               cur match {
-                case Some(s) if t - s.last <= SessionGapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
+                case Some(s) if t - s.last <= SessionGapUs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.cents + c))
                 case Some(s) =>
-                  closed ::= Session(userId, s.start, s.last, s.n, s.value)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  closed ::= Session(userId, s.start, s.last, s.n, s.cents)
+                  cur = Some(SessionState(t, t, 1, c))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, c))
               }
             }
             cur.foreach { s =>
               state.update(s)
               // close when the event-time watermark passes last + gap
-              state.setTimeoutTimestamp(s.last + SessionGapMs)
+              // (timeout granularity is ms; round up so it never fires early)
+              state.setTimeoutTimestamp((s.last + SessionGapUs) / 1000 + 1)
             }
             closed.reverseIterator
           }

@@ -166,7 +166,7 @@ class StreamingSpec extends SparkSpec {
       mem.addData(Event(3, ts(70), 1, "click", 4.0))
       q.processAllAvailable()
       val got = spark.table("sessions").as[Session].collect().toSeq
-      assert(got == Seq(Session(1, Base, Base + 10 * 60000, 2, 3.0)))
+      assert(got == Seq(Session(1, Base * 1000, (Base + 10 * 60000) * 1000, 2, 300)))
     } finally q.stop()
   }
 
@@ -225,20 +225,20 @@ class StreamingSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     assert(sq.awaitTermination(300000))
     val byStart = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("start_ts"))
+      .partitionBy(col("user_id")).orderBy(col("start_us"))
     val streamS = spark.table("eq_sessions")
       .filter(col("user_id") =!= sentinelUser)
       .withColumn("session_id", row_number().over(byStart).cast("long"))
-      .select(col("user_id"), col("session_id"), col("n_events"), col("session_value"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2).toLong, r.getDouble(3))).toMap
+      .select(col("user_id"), col("session_id"), col("n_events"), col("value_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2).toLong, r.getLong(3))).toMap
     val streamSessCol = graft.queries.Analytics.eventsSessionize(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(streamS.keySet == streamSessCol.keySet)
-    streamS.foreach { case (k, (n, v)) =>
+    streamS.foreach { case (k, (n, cents)) =>
       val (bn, bv) = streamSessCol(k)
       assert(n == bn, s"session event-count mismatch at $k")
-      // batch sums floor-cents (up to 1 cent truncation per event)
-      assert(math.abs(v - bv) <= 0.01 * n + 1e-9, s"session value mismatch at $k: $v vs $bv")
+      // both sides sum floor-cents — EXACT equality, no tolerance
+      assert(cents == math.round(bv * 100), s"session value mismatch at $k: $cents vs $bv")
     }
   }
 }
