@@ -210,6 +210,58 @@ object LakeOps {
       |SELECT event_id, k AS user_id, next_pid, next_pt - t AS wait_us
       |FROM c WHERE side = 0""".stripMargin
 
+  /** Global (ungrouped) Pareto frontier — exercises the distributed
+    * prefix-max path ([[graft.operators.Skyline.globalSkyline]] over
+    * [[graft.operators.Sharding.cumMaxBy]]) through the oracle gate. */
+  val partSkylineGlobal: Q = (s, dir) =>
+    graft.operators.Skyline.globalSkyline(
+      table(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+      "p_retailprice", "p_size")
+      .select("p_partkey", "p_retailprice", "p_size")
+  val partSkylineGlobalSql =
+    """SELECT p_partkey, p_retailprice, p_size FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |  AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin
+
+  /** Z-order (Morton) clustering — the multi-dimensional data-layout tool:
+    * interleave the bit planes of two join/filter dimensions and bucket by
+    * the top interleaved bits, so rows close in BOTH dimensions land in the
+    * same bucket and per-file min/max statistics prune 2-D range predicates
+    * (linear layouts only prune the leading dimension). The bucket id's top
+    * 10 bits fix the top 5 bits of EACH dimension, so every bucket's
+    * per-dimension span is structurally < 2^11 — emitted as a gated boolean
+    * the oracle asserts as a literal. */
+  private def mortonBits(xExpr: String, yExpr: String, width: Int): String =
+    (0 until width).map { i =>
+      s"((($xExpr >> $i) & 1) << ${2 * i}) | ((($yExpr >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", ") | (", ")")
+
+  val zorderCluster: Q = (s, dir) => {
+    // 8-bit planes per dimension (16-bit z); bucket = top 6 z-bits = top 3
+    // bits of EACH dimension → per-bucket per-dimension span < 2^5
+    val z = mortonBits("(l_partkey % 256)", "(l_suppkey % 256)", 8)
+    table(s, dir, "lineitem")
+      .select(expr(s"($z) >> 10").as("bucket"),
+        (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .withColumn("within_block",
+        col("x_max") - col("x_min") < 32 && col("y_max") - col("y_min") < 32)
+  }
+  val zorderClusterSql = {
+    val z = mortonBits("(l_partkey % 256)", "(l_suppkey % 256)", 8)
+    s"""SELECT bucket, count(*) AS n,
+       |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max,
+       |  TRUE AS within_block
+       |FROM (SELECT ($z) >> 10 AS bucket,
+       |        l_partkey % 256 AS x, l_suppkey % 256 AS y
+       |      FROM lineitem)
+       |GROUP BY bucket""".stripMargin
+  }
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "join_bucketed" -> (joinBucketed, Some(joinBucketedSql)),
     "part_skyline" -> (partSkyline, Some(partSkylineSql)),
@@ -218,5 +270,7 @@ object LakeOps {
     "heavy_hitters_cms" -> (heavyHittersCms, Some(heavyHittersCmsSql)),
     "tfidf_pair_sim" -> (tfidfPairSim, Some(tfidfPairSimSql)),
     "join_asof_forward" -> (joinAsofForward, Some(joinAsofForwardSql)),
+    "part_skyline_global" -> (partSkylineGlobal, Some(partSkylineGlobalSql)),
+    "zorder_cluster" -> (zorderCluster, Some(zorderClusterSql)),
   )
 }
