@@ -23,18 +23,7 @@ object LakeOps {
   val joinBucketed: Q = (s, dir) => {
     val sig = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val oName = s"graft_b_orders$sig"; val lName = s"graft_b_lineitem$sig"
-    // a managed table's location can survive from a PREVIOUS session's run
-    // (in-memory catalog, persistent warehouse dir): drop both the catalog
-    // entry and any orphaned location, or saveAsTable refuses the name
-    Seq(oName, lName).foreach { n =>
-      s.sql(s"DROP TABLE IF EXISTS $n")
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(wh, n))
-    }
+    Seq(oName, lName).foreach(freshManagedTable(s, _))
     table(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
       .write.mode("overwrite").format("parquet")
       .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(oName)

@@ -34,6 +34,20 @@ object Util {
     }
   }
 
+  /** Make `name` safe for `saveAsTable`: drop any catalog entry AND remove
+    * an orphaned warehouse location — the in-memory catalog forgets tables
+    * across JVMs while the warehouse directory persists, so a bare
+    * overwrite refuses the name with LOCATION_ALREADY_EXISTS. */
+  def freshManagedTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(wh, name))
+  }
+
   /** Polynomial rolling hash over the characters of a string column:
     * fold(acc = 7; acc = (acc * 31 + code(char)) mod 1e9+7).
     * Implemented as a native codegen'd Catalyst expression

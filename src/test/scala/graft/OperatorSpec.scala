@@ -391,6 +391,8 @@ class OperatorSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val a = (0 until 1000).map(i => (i.toLong, i * 2L)).toDF("k", "va")
     val b = (0 until 1000).map(i => (i.toLong, i * 3L)).toDF("k", "vb")
+    Seq("graft_spec_bucket_a", "graft_spec_bucket_b")
+      .foreach(graft.queries.Util.freshManagedTable(s, _))
     a.write.mode("overwrite").format("parquet").bucketBy(4, "k").sortBy("k")
       .saveAsTable("graft_spec_bucket_a")
     b.write.mode("overwrite").format("parquet").bucketBy(4, "k").sortBy("k")
