@@ -118,18 +118,23 @@ object LakeOps {
     * as a literal (same contract style as hll_distinct). */
   val heavyHittersCms: Q = (s, dir) => {
     val ev = table(s, dir, "events").select(col("event_type"))
-    val skBytes = ev
+    val skRow = ev
       .agg(expr("count_min_sketch(event_type, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
-      .head.getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(skBytes))
-    val est = udf((t: String) => cms.estimateCount(t))
+      .head
     val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    // a 0-row input yields a null sketch — and a 0-row exact table, so the
+    // gate column's value is never observed; any literal keeps it empty-safe
+    val within =
+      if (skRow.isNullAt(0)) lit(false)
+      else {
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
+        val est = udf((t: String) => cms.estimateCount(t))
+        est(col("event_type")) >= col("n_exact") &&
+          est(col("event_type")) <= col("n_exact") + ceil(col("_tot") * 0.001)
+      }
     exact.crossJoin(exact.agg(sum(col("n_exact")).as("_tot")))
-      .select(col("event_type"), col("n_exact"),
-        (est(col("event_type")) >= col("n_exact") &&
-          est(col("event_type")) <= col("n_exact") + ceil(col("_tot") * 0.001))
-          .as("within_bound"))
+      .select(col("event_type"), col("n_exact"), within.as("within_bound"))
   }
   val heavyHittersCmsSql =
     """SELECT event_type, count(*) AS n_exact, TRUE AS within_bound

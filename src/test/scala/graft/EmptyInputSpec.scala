@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.queries.{Analytics, TextOps, VectorOps}
+import graft.queries.{Analytics, LakeOps, TextOps, VectorOps}
 
 /** Degenerate-input battery: every pipeline operator must survive EMPTY
   * source tables (0-row parquet with the production schema) — at 100 TB a
@@ -28,6 +28,21 @@ class EmptyInputSpec extends SparkSpec {
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType))))
+    write("part", StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_type", StringType),
+      StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType))))
+    write("orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType))))
+    write("lineitem", StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType))))
     d
   }
 
@@ -65,6 +80,18 @@ class EmptyInputSpec extends SparkSpec {
     // hll keeps the merged '__all__' row even with no events
     val h = Analytics.hllDistinct(spark, emptyDir).collect()
     assert(h.length == 1 && h.head.getString(0) == "__all__" && h.head.getLong(1) == 0)
+  }
+
+  test("lakehouse operators return cleanly on empty tables") {
+    assert(LakeOps.partSkyline(spark, emptyDir).count() == 0)
+    assert(LakeOps.partSkylineGlobal(spark, emptyDir).count() == 0)
+    assert(LakeOps.intervalUnion(spark, emptyDir).count() == 0)
+    assert(LakeOps.eventsCdcApply(spark, emptyDir).count() == 0)
+    assert(LakeOps.tfidfPairSim(spark, emptyDir).count() == 0)
+    assert(LakeOps.joinAsofForward(spark, emptyDir).count() == 0)
+    assert(LakeOps.zorderCluster(spark, emptyDir).count() == 0)
+    assert(LakeOps.joinBucketed(spark, emptyDir).count() == 0)
+    assert(LakeOps.heavyHittersCms(spark, emptyDir).count() == 0)
   }
 
   test("vector operators return cleanly on an empty embedding table") {
