@@ -222,6 +222,49 @@ object SinkOps {
       |    FROM (SELECT user_id, value, event_id, epoch_us(ts) AS ts_us FROM events)))
       |GROUP BY user_id, session_id""".stripMargin
 
+  /** Fourth streaming entry — the INCREMENTAL MATERIALIZED VIEW shape:
+    * update-mode streaming aggregation + foreachBatch upsert into a
+    * serving store. Each micro-batch emits the keys whose aggregates
+    * changed (with their full new values — Spark streaming-agg update
+    * semantics); foreachBatch appends them to a batch-stamped delta log,
+    * and the view is materialized as latest-value-per-key — exactly how a
+    * 100 TB/day pipeline keeps a dashboard table fresh without
+    * recomputing history. `maxFilesPerTrigger` forces MULTIPLE
+    * micro-batches so the upsert path (later batch overwrites earlier
+    * value) is genuinely exercised; the oracle is the plain batch GROUP
+    * BY. Unwatermarked agg state is bounded by key cardinality (event
+    * types), the right trade for a low-cardinality serving view. */
+  val streamUpsertMv: Q = (s, dir) => {
+    val evDir = stagedEventsDir(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-mv")
+    cleanupAtExit(tmp)
+    val logDir = new java.io.File(tmp.toFile, "delta_log").getAbsolutePath
+    val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
+    val stream = s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 8)
+      .parquet(evDir)
+    val agg = graft.streaming.EventStream.incrementalCounts(stream)
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(logDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.EventStream.materializeLatest(s.read.parquet(logDir))
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("event_type"), col("n"), (col("cents") / 100.0).as("total"))
+  }
+  val streamUpsertMvSql =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS total
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Source/sink format breadth: the same projection round-trips through
     * ORC, CSV, and JSON files, and each read-back must reproduce the exact
     * row count and integer checksum the oracle computes straight from the
@@ -293,6 +336,7 @@ object SinkOps {
     "events_tumbling_stream" -> (eventsTumblingStream, Some(eventsTumblingStreamSql)),
     "events_dedup_stream" -> (eventsDedupStream, Some(eventsDedupStreamSql)),
     "events_stateful_stream" -> (eventsStatefulStream, Some(eventsStatefulStreamSql)),
+    "stream_upsert_mv" -> (streamUpsertMv, Some(streamUpsertMvSql)),
     "format_roundtrip" -> (formatRoundtrip, Some(formatRoundtripSql)),
   )
 }

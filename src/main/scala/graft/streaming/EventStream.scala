@@ -85,6 +85,25 @@ object EventStream {
         col("click_ts"), col("view_ts"), col("click_value"))
   }
 
+  /** Update-mode running aggregate per event type — the incremental-
+    * materialized-view source: each micro-batch emits the keys whose
+    * totals changed, carrying the full new value (integer cents, so the
+    * serving numbers are exact at any batch boundary). */
+  def incrementalCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+
+  /** Materialize a batch-stamped upsert delta log as the current view:
+    * latest batch wins per key. */
+  def materializeLatest(deltaLog: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("batch_id").desc)
+    deltaLog.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "batch_id")
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, cents: Long)
