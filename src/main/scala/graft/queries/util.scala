@@ -62,17 +62,24 @@ object Util {
       s"list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % 1000000007)"
 
-  // NOTE: the Spark-side shingling lives in TextOps.shingleRows
-  // (posexplode + lead) — an array-lambda formulation with element_at(tokens, i)
-  // re-evaluates the split per element and must not come back.
+  // NOTE: the Spark-side shingling lives in TextOps.spanHashRows /
+  // graft.functions.SpanHashes (one fused compiled pass). An array-lambda
+  // formulation with element_at(tokens, i) re-evaluates the split per
+  // element, and the old posexplode+lead window paid a full-corpus
+  // shuffle+sort — neither must come back.
 
-  /** DuckDB word-3-gram shingles over `string_split(expr, ' ')` — the oracle
-    * twin of TextOps.shingleRows. */
-  def shingles3Sql(tokensExpr: String): String =
-    s"CASE WHEN len($tokensExpr) >= 3 THEN " +
-      s"list_transform(range(1, len($tokensExpr) - 1), " +
-      s"i -> ($tokensExpr)[i] || ' ' || ($tokensExpr)[i+1] || ' ' || ($tokensExpr)[i+2]) " +
-      s"ELSE [] END"
+  /** DuckDB twin of [[graft.functions.SpanHashes]]: per-token char-fold
+    * hashes of `text`. Callers bind it as `th` in a subquery and apply
+    * [[spansOfThSql]]. */
+  def tokenHashesSql: String =
+    s"list_transform(string_split(text, ' '), tok -> ${charFoldHashSql("tok")})"
+
+  /** All `width`-token window folds over a bound `th` token-hash list —
+    * `SpanHashes(text, width)` in DuckDB. Empty when len(th) < width. */
+  def spansOfThSql(width: Int): String =
+    s"list_transform(range(1, len(th) - ${width - 2}), " +
+      s"i -> list_reduce(list_slice(th, i, i + ${width - 1}), " +
+      "(a, b) -> (a * 31 + b) % 1000000007))"
 
   /** MinHash permutation parameters: k independent affine maps (a*h+b) mod P.
     * Fixed odd multipliers/offsets; P = 1e9+7 (same in both engines). */
