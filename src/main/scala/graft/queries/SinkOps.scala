@@ -265,6 +265,44 @@ object SinkOps {
       |  sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS total
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Fifth streaming entry — watermarked STREAM-STREAM interval join in
+    * the oracle gate: clicks pair with the same user's views at-or-before
+    * within 30 minutes ([[graft.streaming.EventStream.correlate]] — both
+    * sides watermarked, the time bound in the join condition evicts BOTH
+    * state stores at the horizon). Inner-join matches emit eagerly, so
+    * availableNow drains every pair; the oracle is the equivalent batch
+    * join. Raw value pass-through (no accumulation) — float-exact. */
+  val eventsCorrelateStream: Q = (s, dir) => {
+    val evDir = stagedEventsDir(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-corr")
+    cleanupAtExit(tmp)
+    val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
+    val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
+    val src = graft.streaming.EventStream.readEvents(s, evDir)
+    val q = graft.streaming.EventStream
+      .correlate(src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "view"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("view_ts")).as("view_us"), col("click_value"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+  val eventsCorrelateStreamSql =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+      |  epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us,
+      |  c.value AS click_value
+      |FROM events c JOIN events v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      | AND v.user_id = c.user_id
+      | AND epoch_us(v.ts) <= epoch_us(c.ts)
+      | AND epoch_us(v.ts) >= epoch_us(c.ts) - 1800000000""".stripMargin
+
   /** Source/sink format breadth: the same projection round-trips through
     * ORC, CSV, and JSON files, and each read-back must reproduce the exact
     * row count and integer checksum the oracle computes straight from the
@@ -337,6 +375,7 @@ object SinkOps {
     "events_dedup_stream" -> (eventsDedupStream, Some(eventsDedupStreamSql)),
     "events_stateful_stream" -> (eventsStatefulStream, Some(eventsStatefulStreamSql)),
     "stream_upsert_mv" -> (streamUpsertMv, Some(streamUpsertMvSql)),
+    "events_correlate_stream" -> (eventsCorrelateStream, Some(eventsCorrelateStreamSql)),
     "format_roundtrip" -> (formatRoundtrip, Some(formatRoundtripSql)),
   )
 }
