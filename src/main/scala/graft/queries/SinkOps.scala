@@ -303,6 +303,51 @@ object SinkOps {
       | AND epoch_us(v.ts) <= epoch_us(c.ts)
       | AND epoch_us(v.ts) >= epoch_us(c.ts) - 1800000000""".stripMargin
 
+  /** Sixth streaming entry — NATIVE session windows in streaming: the
+    * built-in SessionWindow operator (gap merging inside the stateful
+    * aggregate) under a watermark, versus the oracle's lag/cumsum SQL
+    * reconstruction. Together with events_stateful_stream this pins that
+    * the native operator and the hand-rolled flatMapGroupsWithState state
+    * machine implement the SAME session semantics in streaming. */
+  val eventsSessionWindowStream: Q = (s, dir) => {
+    val evDir = stagedEventsDir(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sw")
+    cleanupAtExit(tmp)
+    val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
+    val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
+    val q = graft.streaming.EventStream.readEvents(s, evDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        col("n_events"), col("cents"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("start_us"), col("n_events"),
+        (col("cents") / 100.0).as("session_value"))
+  }
+  val eventsSessionWindowStreamSql =
+    """SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
+      |  sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS session_value
+      |FROM (
+      |  SELECT user_id, value, ts_us,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, value, event_id, ts_us,
+      |      CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+      |        OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) >= 1800000000
+      |        THEN 1 ELSE 0 END AS new_session
+      |    FROM (SELECT user_id, value, event_id, epoch_us(ts) AS ts_us FROM events)))
+      |GROUP BY user_id, session_id""".stripMargin
+
   /** Source/sink format breadth: the same projection round-trips through
     * ORC, CSV, and JSON files, and each read-back must reproduce the exact
     * row count and integer checksum the oracle computes straight from the
@@ -376,6 +421,7 @@ object SinkOps {
     "events_stateful_stream" -> (eventsStatefulStream, Some(eventsStatefulStreamSql)),
     "stream_upsert_mv" -> (streamUpsertMv, Some(streamUpsertMvSql)),
     "events_correlate_stream" -> (eventsCorrelateStream, Some(eventsCorrelateStreamSql)),
+    "events_session_window_stream" -> (eventsSessionWindowStream, Some(eventsSessionWindowStreamSql)),
     "format_roundtrip" -> (formatRoundtrip, Some(formatRoundtripSql)),
   )
 }
