@@ -174,8 +174,15 @@ object Analytics {
   /** JSON extraction from the events props column. */
   val jsonExtract: Q = (s, dir) =>
     table(s, dir, "events")
+      // from_json with an explicit schema: ONE Jackson parse per row into a
+      // typed struct (get_json_object re-tokenizes the document per path —
+      // measurably slower at 10 M rows, and quadratic in path count when
+      // more fields are pulled)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("double").as("k_value"))
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.DoubleType))))
+          .getField("k").as("k_value"))
       .filter(col("k_value") > 50)
   val jsonExtractSql =
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_value
