@@ -30,7 +30,14 @@ object Bench {
       // unused projections, under-timing projection-heavy queries
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop this query's persisted intermediates: several operators
+      // persist() (LSH bands, inverted indexes) and the handles go out of
+      // scope when the query returns — left cached, 150 queries' blocks
+      // accumulate and later queries in the run pay eviction + GC (measured:
+      // late-alphabet queries 2-3x slower in a full run than in isolation)
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
