@@ -4,14 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join — for each left row, the most recent right row with
-  * `rightTime <= leftTime` on the same key. Spark has no native operator;
-  * the naive range-join explodes. This is the scalable composition:
+/** As-of join — for each left row, the closest right row at-or-before
+  * (backward) or at-or-after (forward) its time on the same key. Spark has
+  * no native operator; the naive range-join explodes. This is the scalable
+  * composition:
   *
   *   1. tag and union both sides on (key, time);
-  *   2. one window over (key) ordered by (time, side) — right rows sort
-  *      before left rows at equal times, so "at or before" is inclusive;
-  *   3. `last(value, ignoreNulls)` carries the latest right payload forward;
+  *   2. one window over (key) ordered by (time, side) — sides are numbered
+  *      so the right row sorts INSIDE the frame at equal times, making the
+  *      match inclusive;
+  *   3. `last`/`first(value, ignoreNulls)` carries the matching right
+  *      payload across the frame;
   *   4. keep only left rows.
   *
   * ONE shuffle on the key, no row multiplication, state = one window frame —
@@ -20,7 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param left      left frame
+  /** Backward (classic) as-of: the most recent right row with
+    * `rightTime <= leftTime`. Right rows sort before left at equal times;
+    * the frame is (unbounded preceding, current row); `last` picks the
+    * latest.
+    *
+    * @param left      left frame
     * @param right     right frame
     * @param key       join-key column name present in both
     * @param leftTime  left ordering column (numeric/long, e.g. epoch µs)
@@ -33,11 +41,37 @@ object AsOfJoin {
       key: String,
       leftTime: String,
       rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    composed(left, right, key, leftTime, rightTime, payload, forward = false)
+
+  /** Forward as-of: the EARLIEST right row with `rightTime >= leftTime`.
+    * Mirror image — left rows sort before right at equal times, the frame
+    * is (current row, unbounded following), `first` picks the next. */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame =
+    composed(left, right, key, leftTime, rightTime, payload, forward = true)
+
+  private def composed(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      forward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
+    // side numbering puts the right row INSIDE the frame at equal times:
+    // backward frame ends at current row → right sorts first (0 vs 1);
+    // forward frame starts at current row → right sorts last (1 vs 0)
+    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
     // The payload travels as ONE struct (non-null for every right row), so
-    // last(_, ignoreNulls) carries the whole most-recent right row
+    // first/last(_, ignoreNulls) carries the whole matching right row
     // atomically — a NULL payload VALUE in the matched row stays NULL, and
     // multiple payload columns can never mix values from different right
     // rows (per-column carry would do both).
@@ -45,64 +79,28 @@ object AsOfJoin {
       StructField(p, right.schema(p).dataType, nullable = true)))
     val l = left
       .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
+      .withColumn("_side", lit(leftSide))
       .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
         leftCols.map(col) :+ lit(null).cast(payloadType).as("_r"): _*)
     val r = right
       .withColumn("_t", col(rightTime))
-      .withColumn("_side", lit(0))
+      .withColumn("_side", lit(rightSide))
       .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col): _*).as("_r"): _*)
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordered = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+    val (w, pick) =
+      if (forward)
+        (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("_r"), ignoreNulls = true))
+      else
+        (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("_r"), ignoreNulls = true))
     val carried = l.unionByName(r)
       .select(
         (Seq(col("_k"), col("_t"), col("_side")) ++ leftCols.map(col) :+
-          last(col("_r"), ignoreNulls = true).over(w).as("_rbest")): _*)
-    carried.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"_rbest.$p").as(s"asof_$p")): _*)
-  }
-
-  /** Forward as-of join — for each left row, the EARLIEST right row with
-    * `rightTime >= leftTime` on the same key. Mirror image of [[asOf]]:
-    * left rows sort BEFORE right rows at equal times (side 0 vs 1), and
-    * `first(value, ignoreNulls)` over the (current row, unbounded FOLLOWING)
-    * frame picks the next right payload — so "at or after" is inclusive.
-    * Same scale contract: one shuffle on the key, no row multiplication.
-    * Right-side ties on (key, time) must be pre-deduplicated by the caller.
-    */
-  def asOfForward(
-      left: DataFrame,
-      right: DataFrame,
-      key: String,
-      leftTime: String,
-      rightTime: String,
-      payload: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.{StructField, StructType}
-    val leftCols = left.columns.toSeq
-    val payloadType = StructType(payload.map(p =>
-      StructField(p, right.schema(p).dataType, nullable = true)))
-    val l = left
-      .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(0))
-      .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
-        leftCols.map(col) :+ lit(null).cast(payloadType).as("_r"): _*)
-    val r = right
-      .withColumn("_t", col(rightTime))
-      .withColumn("_side", lit(1))
-      .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(payload.map(col): _*).as("_r"): _*)
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carried = l.unionByName(r)
-      .select(
-        (Seq(col("_k"), col("_t"), col("_side")) ++ leftCols.map(col) :+
-          first(col("_r"), ignoreNulls = true).over(w).as("_rbest")): _*)
-    carried.filter(col("_side") === 0)
+          pick.over(w).as("_rbest")): _*)
+    carried.filter(col("_side") === leftSide)
       .select(leftCols.map(col) ++ payload.map(p => col(s"_rbest.$p").as(s"asof_$p")): _*)
   }
 }

@@ -48,16 +48,42 @@ object Sharding {
   /** [[cumSum]] with a composite (lexicographic) ordering — e.g. a running
     * rank over `(group, sort_key, tiebreak)` for distributed per-group
     * ranking without a per-group window. */
-  def cumSumBy(df: DataFrame, orderCols: Seq[String], valueCol: Column, outCol: String): DataFrame = {
+  def cumSumBy(df: DataFrame, orderCols: Seq[String], valueCol: Column, outCol: String): DataFrame =
+    twoPassScan(df, orderCols, valueCol, outCol,
+      zero = 0L, exclusive = false)(_ + _) // null-safe: null values count 0
+
+  /** Scalable global EXCLUSIVE prefix max: appends `outCol` = max of
+    * `valueCol` (cast to long) over all rows STRICTLY BEFORE the current one
+    * in ascending `orderCols` order — [[Long.MinValue]] for the first row
+    * (and anywhere no predecessor carries a non-null value; nulls don't
+    * participate). Max is associative, so it rides the same two-pass scan
+    * as [[cumSumBy]]; exclusive semantics because the main consumer
+    * ([[Skyline.globalSkyline]]) needs "best among strictly earlier keys".
+    */
+  def cumMaxBy(df: DataFrame, orderCols: Seq[String], valueCol: Column, outCol: String): DataFrame =
+    twoPassScan(df, orderCols, valueCol, outCol,
+      zero = Long.MinValue, exclusive = true)(math.max)
+
+  /** The shared two-pass distributed prefix scan over any associative
+    * `op` with identity `zero` (null values coalesce to `zero`, so they
+    * never perturb the running value): range-partition on the order key
+    * for a total order across partitions, reduce one long per partition to
+    * the driver, prefix-scan those, broadcast back as per-partition seeds.
+    * Data rows only ever move through the one parallel range shuffle —
+    * pass 2 reuses the shuffle files. `exclusive` emits the PRE-update
+    * running value (prefix over strictly-preceding rows). */
+  private def twoPassScan(
+      df: DataFrame, orderCols: Seq[String], valueCol: Column, outCol: String,
+      zero: Long, exclusive: Boolean)(op: (Long, Long) => Long): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     // internal column must be collision-free: withColumn REPLACES an existing
     // name in place, which would silently corrupt the positional reads below
-    val tmpCol = Iterator.iterate("_cs_v")(_ + "_").dropWhile(df.columns.contains).next()
+    val tmpCol = Iterator.iterate("_ts_v")(_ + "_").dropWhile(df.columns.contains).next()
     val ranged = df
-      .withColumn(tmpCol, coalesce(valueCol.cast("long"), lit(0L))) // null-safe: null values count 0
+      .withColumn(tmpCol, coalesce(valueCol.cast("long"), lit(zero)))
       .repartitionByRange(parts, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
     // stay on InternalRow: Dataset.rdd would deserialize every row through
@@ -69,65 +95,22 @@ object Sharding {
     // pass 1: one long per partition reaches the driver
     val totals = rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        Iterator.single(pid -> it.foldLeft(0L)((a, r) => a + r.getLong(vIdx)))
-      }
-      .collect().toMap
-    val n = rdd.getNumPartitions
-    val offsets = (0 until n).scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L)).toArray
-    val bcOffsets = spark.sparkContext.broadcast(offsets)
-    // pass 2: the range shuffle's files are reused, not recomputed; each
-    // partition streams through with its offset
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = bcOffsets.value(pid)
-      it.map { r =>
-        val c = r.copy() // toRdd reuses the row object per partition
-        acc += c.getLong(vIdx)
-        c.setLong(vIdx, acc)
-        c
-      }
-    }
-    GraftBridge.internalCreateDataFrame(spark, out,
-      StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false)))
-  }
-
-  /** Scalable global EXCLUSIVE prefix max: appends `outCol` = max of
-    * `valueCol` (cast to long) over all rows STRICTLY BEFORE the current one
-    * in ascending `orderCols` order — [[Long.MinValue]] for the first row
-    * (and anywhere no predecessor carries a non-null value; nulls don't
-    * participate). Same two-pass shape as [[cumSumBy]] (max is associative,
-    * so per-partition maxima prefix-scan on the driver exactly like sums);
-    * exclusive semantics because the main consumer
-    * ([[Skyline.globalSkyline]]) needs "best among strictly earlier keys".
-    */
-  def cumMaxBy(df: DataFrame, orderCols: Seq[String], valueCol: Column, outCol: String): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val spark = df.sparkSession
-    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val tmpCol = Iterator.iterate("_cm_v")(_ + "_").dropWhile(df.columns.contains).next()
-    val ranged = df
-      .withColumn(tmpCol, coalesce(valueCol.cast("long"), lit(Long.MinValue)))
-      .repartitionByRange(parts, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-    val vIdx = ranged.schema.length - 1
-    val rdd = ranged.queryExecution.toRdd
-    val totals = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        Iterator.single(pid -> it.foldLeft(Long.MinValue)((a, r) => math.max(a, r.getLong(vIdx))))
+        Iterator.single(pid -> it.foldLeft(zero)((a, r) => op(a, r.getLong(vIdx))))
       }
       .collect().toMap
     val n = rdd.getNumPartitions
     val offsets = (0 until n)
-      .scanLeft(Long.MinValue)((acc, pid) => math.max(acc, totals.getOrElse(pid, Long.MinValue)))
-      .toArray
+      .scanLeft(zero)((acc, pid) => op(acc, totals.getOrElse(pid, zero))).toArray
     val bcOffsets = spark.sparkContext.broadcast(offsets)
+    // pass 2: the range shuffle's files are reused, not recomputed; each
+    // partition streams through with its seed
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = bcOffsets.value(pid)
       it.map { r =>
-        val c = r.copy()
+        val c = r.copy() // toRdd reuses the row object per partition
         val v = c.getLong(vIdx)
-        c.setLong(vIdx, acc) // exclusive: the PRE-update running max
-        acc = math.max(acc, v)
+        if (exclusive) { c.setLong(vIdx, acc); acc = op(acc, v) }
+        else { acc = op(acc, v); c.setLong(vIdx, acc) }
         c
       }
     }

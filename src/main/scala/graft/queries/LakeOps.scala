@@ -166,13 +166,9 @@ object LakeOps {
       .filter(col("score") >= 500)
   }
   val tfidfPairSimSql = {
-    val tokHashes = s"list_transform(string_split(text, ' '), tok -> ${charFoldHashSql("tok")})"
-    val spans3 = "list_transform(range(1, len(th) - 1), " +
-      "i -> list_reduce(list_slice(th, i, i + 2), (a, b) -> (a * 31 + b) % 1000000007))"
     s"""WITH sh AS (
-       |  SELECT doc_id, unnest($spans3) AS tok
-       |  FROM (SELECT doc_id, $tokHashes AS th FROM documents)
-       |  WHERE len(th) >= 3),
+       |  SELECT doc_id, unnest(${spansOfThSql(3)}) AS tok
+       |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents)),
        |tfc AS (SELECT doc_id, tok, count(*) AS tf FROM sh GROUP BY 1, 2),
        |w AS (SELECT tok, (SELECT count(*) FROM documents) // count(*) AS wt
        |      FROM tfc GROUP BY tok HAVING count(*) BETWEEN 2 AND 10),
@@ -234,10 +230,11 @@ object LakeOps {
     * interleave the bit planes of two join/filter dimensions and bucket by
     * the top interleaved bits, so rows close in BOTH dimensions land in the
     * same bucket and per-file min/max statistics prune 2-D range predicates
-    * (linear layouts only prune the leading dimension). The bucket id's top
-    * 10 bits fix the top 5 bits of EACH dimension, so every bucket's
-    * per-dimension span is structurally < 2^11 — emitted as a gated boolean
-    * the oracle asserts as a literal. */
+    * (linear layouts only prune the leading dimension). With 8-bit planes
+    * and bucket = the 16-bit z's top 6 bits, a bucket fixes the top 3 bits
+    * of EACH dimension, so every bucket's per-dimension span is
+    * structurally < 2^5 — emitted as a gated boolean the oracle asserts as
+    * a literal. */
   private def mortonBits(xExpr: String, yExpr: String, width: Int): String =
     (0 until width).map { i =>
       s"((($xExpr >> $i) & 1) << ${2 * i}) | ((($yExpr >> $i) & 1) << ${2 * i + 1})"

@@ -22,7 +22,11 @@ object SinkOps {
       System.getProperty("java.io.tmpdir"),
       "graft-sink-" + dir.replaceAll("[^a-zA-Z0-9.]", "_"))
     val in = new java.io.File(base, "in"); val out = new java.io.File(base, "out")
-    if (!new java.io.File(in, "docs/doc0.wav").exists()) {
+    // done-marker written LAST, keyed on NDocs: probing the first WAV would
+    // let a crash mid-generation permanently poison the cache with a
+    // partial corpus (same protocol as stagedEventsDir's _staged)
+    val doneMark = new java.io.File(base, s"_fixture_$NDocs")
+    if (!doneMark.exists()) {
       in.mkdirs()
       (0 until NDocs).foreach { id =>
         val sr = Seq(8000, 16000, 22050, 44100)(id % 4)
@@ -30,6 +34,7 @@ object SinkOps {
         f.getParentFile.mkdirs()
         java.nio.file.Files.write(f.toPath, Wav.synthWav(sr, sr / 2)) // 0.5 s
       }
+      doneMark.createNewFile()
     }
     (in.getAbsolutePath, out.getAbsolutePath)
   }
@@ -72,10 +77,12 @@ object SinkOps {
     * silently streaming stale events. Each consumer's checkpoint/out dirs
     * stay unique per run (a reused completed checkpoint would make
     * availableNow a no-op resume). */
-  private def stagedEventsDir(s: SparkSession, dir: String): String = {
+  private def stagedEventsDir(s: SparkSession, dir: String,
+                              duplicate: Boolean = false): String = {
+    val prefix = if (duplicate) "graft-stream-dup-" else "graft-stream-src-"
     val stage = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft-stream-src-" + sourceSignature(s"$dir/events.parquet"))
+      prefix + sourceSignature(s"$dir/events.parquet"))
     val evDir = new java.io.File(stage, "events").getAbsolutePath
     val doneMark = new java.io.File(stage, "_staged")
     if (!doneMark.exists()) {
@@ -83,6 +90,11 @@ object SinkOps {
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))
       src.write.mode("overwrite").parquet(evDir)
+      if (duplicate) {
+        // read back the staged data (not the source twice — one scan) and
+        // append it verbatim: every event present exactly TWICE
+        s.read.parquet(evDir).write.mode("append").parquet(evDir)
+      }
       // read the max back from the just-written staged copy — no second
       // scan of the source, and the staged data is what the stream consumes
       val maxTsRow = s.read.parquet(evDir).agg(max(col("ts"))).head()
@@ -132,32 +144,7 @@ object SinkOps {
     * table. Duplicates are full-row identical, so whichever copy survives,
     * the output is byte-identical — no ordering sensitivity. */
   val eventsDedupStream: Q = (s, dir) => {
-    val stage = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft-stream-dup-" + sourceSignature(s"$dir/events.parquet"))
-    val evDir = new java.io.File(stage, "events").getAbsolutePath
-    val doneMark = new java.io.File(stage, "_staged")
-    if (!doneMark.exists()) {
-      val src = Util.eventsWithTs(s, dir)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          col("value"), col("props"))
-      src.write.mode("overwrite").parquet(evDir)
-      // duplicate copy: read back the staged data (not the source twice —
-      // one scan) and append it verbatim
-      val staged = s.read.parquet(evDir)
-      staged.write.mode("append").parquet(evDir)
-      val maxTsRow = s.read.parquet(evDir).agg(max(col("ts"))).head()
-      if (!maxTsRow.isNullAt(0)) {
-        val maxTs = maxTsRow.getTimestamp(0)
-        val sentinel = s.range(1).select(
-          lit(-1L).as("event_id"),
-          lit(new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)).as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
-        sentinel.write.mode("append").parquet(evDir)
-      }
-      doneMark.createNewFile()
-    }
+    val evDir = stagedEventsDir(s, dir, duplicate = true)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
     cleanupAtExit(tmp)
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
@@ -240,10 +227,7 @@ object SinkOps {
     cleanupAtExit(tmp)
     val logDir = new java.io.File(tmp.toFile, "delta_log").getAbsolutePath
     val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
-    val stream = s.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .option("maxFilesPerTrigger", 8)
-      .parquet(evDir)
+    val stream = graft.streaming.EventStream.readEvents(s, evDir, maxFilesPerTrigger = 8)
     val agg = graft.streaming.EventStream.incrementalCounts(stream)
     val q = agg.writeStream
       .outputMode("update")
@@ -306,9 +290,13 @@ object SinkOps {
   /** Sixth streaming entry — NATIVE session windows in streaming: the
     * built-in SessionWindow operator (gap merging inside the stateful
     * aggregate) under a watermark, versus the oracle's lag/cumsum SQL
-    * reconstruction. Together with events_stateful_stream this pins that
-    * the native operator and the hand-rolled flatMapGroupsWithState state
-    * machine implement the SAME session semantics in streaming. */
+    * reconstruction. NOTE the boundary difference from
+    * events_stateful_stream: the native operator starts a NEW session at a
+    * gap of exactly 30 minutes (oracle rule `>=`), while the hand-rolled
+    * flatMapGroupsWithState machine — mirroring the batch twin
+    * events_sessionize — keeps an exact-30-minute gap in the SAME session
+    * (oracle rule `>`). Each entry is gated against its own rule; they are
+    * NOT interchangeable on knife-edge data. */
   val eventsSessionWindowStream: Q = (s, dir) => {
     val evDir = stagedEventsDir(s, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sw")

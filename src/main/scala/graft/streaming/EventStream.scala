@@ -16,11 +16,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** File-based stream source over a directory of events parquet. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+  /** File-based stream source over a directory of events parquet.
+    * `maxFilesPerTrigger` bounds each micro-batch (0 = unlimited) — the
+    * upsert-MV entry uses it to force a genuinely multi-batch run. */
+  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+    (if (maxFilesPerTrigger > 0) r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r)
       .parquet(dir)
+  }
 
   /** Tumbling 1-hour window aggregation with a 2-hour watermark: count and
     * value sum per (window, event_type). Late data beyond the watermark is
