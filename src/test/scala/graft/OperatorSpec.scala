@@ -327,6 +327,12 @@ class OperatorSpec extends SparkSpec {
     val viaSql = s.sql(
       "SELECT span_hashes('a b c d e f g h i j k l', 10)").head().getSeq[Long](0)
     assert(viaSql.length == 3)
+    // width 1 degenerates to the per-token char-fold hashes
+    val w1 = df.select(SpanHashes(col("text"), 1)).collect().map(_.getSeq[Long](0))
+    val tok = df.select(
+        transform(split(col("text"), " "), t => graft.functions.CharFoldHash(t)))
+      .collect().map(_.getSeq[Long](0))
+    assert(w1.map(_.toList).toList == tok.map(_.toList).toList)
   }
 
   test("cumMaxBy: exclusive distributed prefix max equals the sequential scan") {
