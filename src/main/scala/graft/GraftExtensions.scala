@@ -21,18 +21,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** A clear AnalysisException (USER_RAISED_EXCEPTION carries the message
+    * verbatim) instead of the raw ClassCastException/IndexOutOfBounds a bad
+    * SQL call would otherwise surface from inside the builder. */
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" -> msg))
+
+  private def requireArity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      analysisError(s"$name takes exactly $n argument(s), got ${args.length}")
+
+  /** `width` must be a foldable integral (INT or BIGINT) literal — accept
+    * `span_hashes(text, 10)` and `span_hashes(text, 10L)`, reject strings,
+    * NULLs, and non-foldable expressions with an analysis error. */
+  private def foldableInt(name: String, arg: String, e: Expression): Int = {
+    if (!e.foldable)
+      analysisError(s"$name: $arg must be a constant integer, got non-foldable ${e.sql}")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
+      case other =>
+        analysisError(s"$name: $arg must be an INT or BIGINT literal, got " +
+          (if (other == null) "NULL" else s"${e.dataType.sql} ($other)"))
+    }
+  }
+
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("char_fold_hash"),
         new ExpressionInfo(classOf[CharFoldHash].getName, "char_fold_hash"),
-        (args: Seq[Expression]) => CharFoldHash(args.head)),
+        (args: Seq[Expression]) => {
+          requireArity("char_fold_hash", args, 1)
+          CharFoldHash(args.head)
+        }),
       (FunctionIdentifier("vector_dot"),
         new ExpressionInfo(classOf[graft.functions.VectorDot].getName, "vector_dot"),
-        (args: Seq[Expression]) => graft.functions.VectorDot(args(0), args(1))),
+        (args: Seq[Expression]) => {
+          requireArity("vector_dot", args, 2)
+          graft.functions.VectorDot(args(0), args(1))
+        }),
       (FunctionIdentifier("span_hashes"),
         new ExpressionInfo(classOf[graft.functions.SpanHashes].getName, "span_hashes"),
-        (args: Seq[Expression]) => graft.functions.SpanHashes(args(0),
-          args(1).eval().asInstanceOf[Int])))
+        (args: Seq[Expression]) => {
+          requireArity("span_hashes", args, 2)
+          graft.functions.SpanHashes(args(0),
+            foldableInt("span_hashes", "width", args(1)))
+        }))
 
   /** Imperative registration for an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit =

@@ -45,8 +45,14 @@ object AsOfJoin {
     composed(left, right, key, leftTime, rightTime, payload, forward = false)
 
   /** Forward as-of: the EARLIEST right row with `rightTime >= leftTime`.
-    * Mirror image — left rows sort before right at equal times, the frame
-    * is (current row, unbounded following), `first` picks the next. */
+    * Executed as the BACKWARD composition over negated time: Spark runs
+    * the (unbounded preceding, current row) frame incrementally in O(n)
+    * per partition, while a (current row, unbounded following) frame
+    * re-scans the partition remainder per row — O(n²) on a hot key. Under
+    * `-t` order, "latest right at-or-before" is exactly "earliest right
+    * at-or-after", including the tie case (right sorts inside the frame at
+    * equal times either way). Time columns must be numeric (epoch
+    * µs longs), which they are by contract. */
   def asOfForward(
       left: DataFrame,
       right: DataFrame,
@@ -66,10 +72,12 @@ object AsOfJoin {
       forward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
+    // forward = backward over negated time (see asOfForward doc); from here
+    // on the composition is uniformly "backward": running frame + last()
+    val negate: Column => Column = if (forward) c => -c else identity
     // side numbering puts the right row INSIDE the frame at equal times:
-    // backward frame ends at current row → right sorts first (0 vs 1);
-    // forward frame starts at current row → right sorts last (1 vs 0)
-    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
+    // the frame ends at current row, so right must sort first (0 vs 1)
+    val (leftSide, rightSide) = (1, 0)
     // The payload travels as ONE struct (non-null for every right row), so
     // first/last(_, ignoreNulls) carries the whole matching right row
     // atomically — a NULL payload VALUE in the matched row stays NULL, and
@@ -78,24 +86,19 @@ object AsOfJoin {
     val payloadType = StructType(payload.map(p =>
       StructField(p, right.schema(p).dataType, nullable = true)))
     val l = left
-      .withColumn("_t", col(leftTime))
+      .withColumn("_t", negate(col(leftTime)))
       .withColumn("_side", lit(leftSide))
       .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
         leftCols.map(col) :+ lit(null).cast(payloadType).as("_r"): _*)
     val r = right
-      .withColumn("_t", col(rightTime))
+      .withColumn("_t", negate(col(rightTime)))
       .withColumn("_side", lit(rightSide))
       .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col): _*).as("_r"): _*)
     val ordered = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
-    val (w, pick) =
-      if (forward)
-        (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col("_r"), ignoreNulls = true))
-      else
-        (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col("_r"), ignoreNulls = true))
+    val w = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = last(col("_r"), ignoreNulls = true)
     val carried = l.unionByName(r)
       .select(
         (Seq(col("_k"), col("_t"), col("_side")) ++ leftCols.map(col) :+

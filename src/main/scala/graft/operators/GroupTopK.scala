@@ -35,8 +35,15 @@ object GroupTopK {
       saltFrom: Column,
       saltBuckets: Int = 32,
       rankCol: String = "rank"): DataFrame = {
-    val salt = "_gtk_salt"
-    val local = "_gtk_r"
+    require(!df.columns.contains(rankCol),
+      s"rank column '$rankCol' already exists in the input; pass a free name")
+    // withColumn silently replaces a same-named column, so the internal
+    // columns must probe for a collision-free name (same rule as
+    // Sharding.twoPassScan / Skyline).
+    def free(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(df.columns.contains).next()
+    val salt = free("_gtk_salt")
+    val local = free("_gtk_r")
     val w1 = Window.partitionBy(groupCols.map(col) :+ col(salt): _*).orderBy(order: _*)
     val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
     df.withColumn(salt, pmod(hash(saltFrom), lit(saltBuckets)))

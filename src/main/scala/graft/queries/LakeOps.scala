@@ -19,11 +19,18 @@ object LakeOps {
     * layout time — the 100 TB answer to "this join runs every hour").
     * OperatorSpec pins the plan property: no ShuffleExchange under the join.
     * The oracle computes the same aggregate straight from the source
-    * parquet, proving the bucketed layout is lossless. */
+    * parquet, proving the bucketed layout is lossless.
+    *
+    * Hermetic by construction: table names carry a per-run nonce, so a
+    * stale warehouse directory from a prior session can never be read or
+    * collided with; `sweepManagedTables` bounds residue by deleting all
+    * previous runs' tables on entry. (The returned DataFrame is lazy, so
+    * the tables must outlive this call — cleanup happens on the NEXT run,
+    * not in a finally.) */
   val joinBucketed: Q = (s, dir) => {
-    val sig = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val oName = s"graft_b_orders$sig"; val lName = s"graft_b_lineitem$sig"
-    Seq(oName, lName).foreach(freshManagedTable(s, _))
+    sweepManagedTables(s, "graft_b_")
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val oName = s"graft_b_o_$nonce"; val lName = s"graft_b_l_$nonce"
     table(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
       .write.mode("overwrite").format("parquet")
       .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(oName)

@@ -334,18 +334,24 @@ object TpchOps {
       .join(broadcast(table(s, dir, "customer").select("c_custkey", "c_name")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("price"), col("total_qty"))
-      .orderBy(col("price").desc, col("o_orderkey"))
+        // floor-cents, not round(_, 2): Spark rounds via BigDecimal HALF_UP
+        // while DuckDB rounds doubles half-away-from-zero in float math, so
+        // a knife-edge value can flip both the hash and the top-100 cut.
+        // floor(x*100) as a long is exact in both engines (house rule).
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("total_qty"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
       .limit(100)
   }
   val q18BigOrdersSql =
-    """SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS price, total_qty
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents, total_qty
       |FROM (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
       |      FROM lineitem GROUP BY l_orderkey
       |      HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
       |JOIN orders ON o_orderkey = l_orderkey
       |JOIN customer ON o_custkey = c_custkey
-      |ORDER BY price DESC, o_orderkey LIMIT 100""".stripMargin
+      |ORDER BY price_cents DESC, o_orderkey LIMIT 100""".stripMargin
 
   /** TPC-H Q20: dominant suppliers. Proxy for the partsupp availability
     * test: a supplier "dominates" a STANDARD part if it shipped more than

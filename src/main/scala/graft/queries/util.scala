@@ -37,15 +37,38 @@ object Util {
   /** Make `name` safe for `saveAsTable`: drop any catalog entry AND remove
     * an orphaned warehouse location — the in-memory catalog forgets tables
     * across JVMs while the warehouse directory persists, so a bare
-    * overwrite refuses the name with LOCATION_ALREADY_EXISTS. */
+    * overwrite refuses the name with LOCATION_ALREADY_EXISTS.
+    *
+    * The name is lowercased first (saveAsTable lowercases identifiers, so
+    * the on-disk location is always lowercase) and must be a plain
+    * identifier — this method recursively deletes a directory, so a
+    * path-like name must never reach it. */
   def freshManagedTable(s: SparkSession, name: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS $name")
+    val id = name.toLowerCase(java.util.Locale.ROOT)
+    require(id.matches("[a-z0-9_]+"), s"unsafe managed-table name: $name")
+    s.sql(s"DROP TABLE IF EXISTS $id")
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
       f.delete(): Unit
     }
-    rm(new java.io.File(wh, name))
+    rm(new java.io.File(wh, id))
+  }
+
+  /** Drop every managed table (catalog entry + warehouse directory) whose
+    * name starts with `prefix`. Nonce-named queries call this on entry so
+    * each run is hermetic — stale tables from prior sessions can neither
+    * collide (fresh nonce) nor accumulate (previous runs' residue is swept
+    * here). */
+  def sweepManagedTables(s: SparkSession, prefix: String): Unit = {
+    require(prefix.matches("[a-z0-9_]+"), s"unsafe table-name prefix: $prefix")
+    val wh = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val onDisk = Option(wh.listFiles()).toSeq.flatten.map(_.getName)
+    val inCatalog = s.catalog.listTables().collect().toSeq.map(_.name)
+    (onDisk ++ inCatalog).distinct
+      .filter(n => n.startsWith(prefix) && n.matches("[a-z0-9_]+"))
+      .foreach(freshManagedTable(s, _))
   }
 
   /** Polynomial rolling hash over the characters of a string column:
