@@ -59,28 +59,61 @@ object VectorOps {
       |  FROM scored)
       |SELECT q_id, c_id, rank, round(cos, 4) AS cosine FROM ranked WHERE rank <= 5""".stripMargin
 
-  /** Embedding-cosine near-duplicate detection, blocked by label (the IVF
-    * idea: compare only within a coarse partition). */
+  /** Embedding-cosine near-duplicate detection — the banded sign-LSH shape
+    * (the embedding twin of `dedup_minhash_lsh`): candidates are pairs
+    * sharing ANY of 4 bands of an 8-bit hyperplane-sign signature (bit j of
+    * band b = sign of the fixed contrast v[8b+j] − v[8b+j+32]; deterministic,
+    * so the oracle computes the identical candidate set). Exact cosine runs
+    * ONLY on candidates. No input cap and no all-pairs anywhere: candidate
+    * volume is bounded by band-bucket co-occupancy (≤ n²/256 per band for
+    * adversarially uniform data, collapses to near-linear on real near-dup
+    * corpora), and a pair sharing many bands is deduplicated BEFORE the
+    * vector join — at 100 TB the shuffles carry (band, bucket, id) triples
+    * and (a_id, b_id) pairs, never n² vectors. */
   val dedupEmbedding: Q = (s, dir) => {
-    val emb = table(s, dir, "embeddings").filter(col("vec_id") < 2000)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val a = emb.select(col("label"), col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-    val b = emb.select(col("label"), col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
-    a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+    def bucket(b: Int): Column = (0 until 8).map { j =>
+      val k = 8 * b + j
+      when(element_at(col("v"), k + 1) - element_at(col("v"), k + 33) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val banded = emb.select(col("vec_id"), explode(array((0 until 4).map(b =>
+      struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
+      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("b_id")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(emb.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an")), Seq("a_id"))
+      .join(emb.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")), Seq("b_id"))
       .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cos") > 0.3)
-      .select(col("label"), col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
   }
-  val dedupEmbeddingSql =
-    """WITH emb AS (
-      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM embeddings WHERE vec_id < 2000)
-      |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
-      |  round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cosine
-      |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) > 0.3""".stripMargin
+  val dedupEmbeddingSql = {
+    val bits = (0 until 8).map { j =>
+      s"CASE WHEN v[band*8 + ${j + 1}] - v[band*8 + ${j + 33}] > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, band, CAST($bits AS BIGINT) AS bucket
+       |  FROM emb, (SELECT unnest(range(0, 4)) AS band)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id,
+       |  round(list_sum(list_transform(list_zip(qa.v, qb.v), p -> p[1] * p[2])) / (qa.nrm * qb.nrm), 4) AS cosine
+       |FROM cand JOIN emb qa ON qa.vec_id = a_id JOIN emb qb ON qb.vec_id = b_id
+       |WHERE list_sum(list_transform(list_zip(qa.v, qb.v), p -> p[1] * p[2])) / (qa.nrm * qb.nrm) > 0.3""".stripMargin
+  }
 
   /** Sign-LSH bucketing: 8-bit signature from the signs of fixed coordinate
     * contrasts (a deterministic stand-in for random hyperplanes — portable to
