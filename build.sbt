@@ -10,12 +10,15 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 // The DuckDB JDBC driver is loaded reflectively by the K2 sink (prod ships
-// it alongside the app jar). For the sink's e2e spec, pick it up from the
-// local cache if present; the spec self-cancels when it is absent.
-Test / unmanagedJars ++= {
+// it alongside the app jar). For the sink's e2e spec AND the
+// k2_duckdb_roundtrip oracle entry (runMain), pick it up from the local
+// cache if present; the spec self-cancels when it is absent.
+val duckdbJdbcJars = Def.setting {
   val cache = file(sys.props("user.home")) / ".cache" / "coursier"
   (cache ** "duckdb_jdbc-*.jar").get.map(Attributed.blank(_))
 }
+Test / unmanagedJars ++= duckdbJdbcJars.value
+Runtime / unmanagedJars ++= duckdbJdbcJars.value
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -63,6 +63,89 @@ object SinkOps {
        |  CAST(floor((row_number() OVER (ORDER BY 'docs/doc' || doc_id || '.wav') - 1) / $FilesPerShard) AS INT) AS shard_id
        |FROM (SELECT doc_id FROM documents WHERE doc_id < $NDocs)""".stripMargin
 
+  /** K2 inside the oracle gate: run the REAL pipeline with `--format duckdb`
+    * (same WAV corpus as K1 plus a JSONL sidecar carrying a String AND a
+    * List-typed key), then read every shard `.duckdb` file back over JDBC —
+    * one task per shard, the exact read shape a downstream consumer uses —
+    * and emit the reference-pinned facts: in-shard `id` = 0-based row index
+    * (src/main.rs:807-809), path-first audio struct (src/main.rs:395), and
+    * List→VARCHAR JSON text (src/main.rs:406, 835-837). The oracle
+    * reconstructs every column from the documents table, so K2's output now
+    * has the same hash-gate evidence as K1. The JDBC driver is loaded
+    * reflectively from the runtime classpath (prod ships it beside the app
+    * jar). */
+  private def duckMeta(s: SparkSession, dir: String): (String, String, String) = {
+    val (in, _) = fixture(s, dir)
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft-duck-" + dir.replaceAll("[^a-zA-Z0-9.]", "_"))
+    val metaF = new java.io.File(base, "metadata.jsonl")
+    val doneMark = new java.io.File(base, s"_meta_$NDocs")
+    if (!doneMark.exists()) {
+      base.mkdirs()
+      val lines = (0 until NDocs).map { id =>
+        s"""{"file_name":"doc$id.wav","transcription":"t$id","tags":["doc$id","x"]}"""
+      }
+      java.nio.file.Files.write(metaF.toPath, lines.mkString("\n").getBytes("UTF-8"))
+      doneMark.createNewFile(): Unit
+    }
+    (in, metaF.getAbsolutePath, new java.io.File(base, "out").getAbsolutePath)
+  }
+
+  val duckdbRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val (in, metaFile, out) = duckMeta(s, dir)
+    AudioToDataset.run(s, AudioToDataset.Config(
+      input = in, output = out, metadataFile = Some(metaFile),
+      format = "duckdb", filesPerShard = FilesPerShard))
+    val shardFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".duckdb")).map(_.getAbsolutePath).toSeq.sorted
+    val rows = s.createDataset(shardFiles)
+      .repartition(math.max(1, shardFiles.size)) // one reader task per shard
+      .flatMap { p =>
+        Class.forName("org.duckdb.DuckDBDriver")
+        val shardId = new java.io.File(p).getName.stripSuffix(".duckdb").toInt
+        val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$p")
+        try {
+          val rs = conn.createStatement().executeQuery(
+            """SELECT id, duration, struct_extract(audio, 'path'),
+              |  struct_extract(audio, 'sampling_rate'),
+              |  octet_length(struct_extract(audio, 'bytes')), transcription, tags
+              |FROM files""".stripMargin)
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Double, String, Long, Long, String, String)]
+          while (rs.next()) buf += ((shardId, rs.getLong(1), rs.getDouble(2),
+            rs.getString(3), rs.getLong(4), rs.getLong(5), rs.getString(6),
+            rs.getString(7)))
+          buf.toSeq // materialize before the connection closes
+        } finally conn.close()
+      }
+      .toDF("shard_id", "in_db_id", "duration", "path",
+        "sampling_rate", "byte_len", "transcription", "tags_json")
+    rows.select(
+      regexp_extract(col("path"), "doc(\\d+)\\.wav", 1).cast("long").as("doc_id"),
+      col("shard_id"), col("in_db_id"), col("duration"),
+      col("sampling_rate"), col("byte_len"), col("transcription"), col("tags_json"))
+  }
+  // Reconstruction: lexicographic relative-path order chunks into shards of
+  // 20; in-shard id restarts at 0 per shard; 0.5 s of mono 16-bit PCM at
+  // rate sr is 44 + sr bytes; tags round-trip as compact JSON text.
+  val duckdbRoundtripSql =
+    s"""SELECT doc_id,
+       |  CAST(floor((rn - 1) / $FilesPerShard) AS INT) AS shard_id,
+       |  CAST((rn - 1) % $FilesPerShard AS BIGINT) AS in_db_id,
+       |  0.5 AS duration,
+       |  CAST(sr AS BIGINT) AS sampling_rate,
+       |  CAST(44 + sr AS BIGINT) AS byte_len,
+       |  't' || doc_id AS transcription,
+       |  '["doc' || doc_id || '","x"]' AS tags_json
+       |FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN 8000 WHEN doc_id % 4 = 1 THEN 16000
+       |         WHEN doc_id % 4 = 2 THEN 22050 ELSE 44100 END AS sr,
+       |    row_number() OVER (ORDER BY 'docs/doc' || doc_id || '.wav') AS rn
+       |  FROM documents WHERE doc_id < $NDocs)""".stripMargin
+
   /** Structured Streaming INSIDE the oracle gate: availableNow tumbling-window
     * counts over the events parquet must hash-match the batch SQL oracle.
     * Mechanics (same as the StreamingSpec equivalence test): the events are
@@ -404,6 +487,7 @@ object SinkOps {
 
   def defs: Map[String, (Q, Option[String])] = Map(
     "k1_sink_roundtrip" -> (k1SinkRoundtrip, Some(k1SinkRoundtripSql)),
+    "k2_duckdb_roundtrip" -> (duckdbRoundtrip, Some(duckdbRoundtripSql)),
     "events_tumbling_stream" -> (eventsTumblingStream, Some(eventsTumblingStreamSql)),
     "events_dedup_stream" -> (eventsDedupStream, Some(eventsDedupStreamSql)),
     "events_stateful_stream" -> (eventsStatefulStream, Some(eventsStatefulStreamSql)),
