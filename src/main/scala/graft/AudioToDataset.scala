@@ -29,7 +29,14 @@ object AudioToDataset {
       filesPerShard: Int = Sharding.DefaultFilesPerShard, // --files-per-db, 500
       maxDepth: Int = AudioScan.DefaultMaxDepth,    // --max-depth-size, 50
       checkMimeType: Boolean = false,               // --check-mime-type
-      parquetCompression: String = "snappy")        // --parquet-compression
+      parquetCompression: String = "snappy",        // --parquet-compression
+      // Engine extensions beyond the reference CLI:
+      // F2 opt-out (--follow-symlinks) — the canonical-path check is
+      // local-fs-only; on object stores it self-disables, and name-based
+      // pruning is available on ANY scheme via --path-glob (binaryFile's
+      // listing-time pathGlobFilter).
+      excludeSymlinks: Boolean = true,              // --follow-symlinks clears
+      pathGlobFilter: Option[String] = None)        // --path-glob
 
   /** The logical plan up to (but excluding) the sink: returns the dataframe
     * with columns `audio, duration, <metadata keys sorted>, shard_id` and the
@@ -43,7 +50,8 @@ object AudioToDataset {
         (None, Metadata.MetaSchema(
           scala.collection.immutable.TreeMap("transcription" -> (MString: MetadataType))))
     }
-    val files = AudioScan.scan(spark, cfg.input, cfg.maxDepth, cfg.metadataFile, cfg.checkMimeType)
+    val files = AudioScan.scan(spark, cfg.input, cfg.maxDepth, cfg.metadataFile,
+      cfg.checkMimeType, cfg.excludeSymlinks, cfg.pathGlobFilter)
       .withColumn("wav", Wav.parseCol(col("content"))) // P5
 
     val joined = metaDf match {
@@ -73,7 +81,9 @@ object AudioToDataset {
     val metaTypes = metaSchema.types.toSeq
     // shard count from a content-pruned scan (binaryFile only reads bytes
     // for plans that project `content`) — avoids a wide pass in the sink
-    val nFiles = AudioScan.scan(spark, cfg.input, cfg.maxDepth, cfg.metadataFile, checkMimeType = false)
+    val nFiles = AudioScan.scan(spark, cfg.input, cfg.maxDepth, cfg.metadataFile,
+      checkMimeType = false, excludeSymlinks = cfg.excludeSymlinks,
+      pathGlobFilter = cfg.pathGlobFilter)
       .select("path").count()
     val nShards = Some(math.max(1, math.ceil(nFiles.toDouble / cfg.filesPerShard).toInt))
     cfg.format match {
@@ -100,7 +110,9 @@ object AudioToDataset {
       filesPerShard = arg("files-per-db").map(_.toInt).getOrElse(Sharding.DefaultFilesPerShard),
       maxDepth = arg("max-depth-size").map(_.toInt).getOrElse(AudioScan.DefaultMaxDepth),
       checkMimeType = args.contains("--check-mime-type"),
-      parquetCompression = arg("parquet-compression").getOrElse("snappy"))
+      parquetCompression = arg("parquet-compression").getOrElse("snappy"),
+      excludeSymlinks = !args.contains("--follow-symlinks"),
+      pathGlobFilter = arg("path-glob"))
     // --num-threads mirrors the reference's rayon pool size (src/main.rs:79-81);
     // in Spark terms it sizes local parallelism + shuffle partitions.
     val numThreads = arg("num-threads").map(_.toInt)

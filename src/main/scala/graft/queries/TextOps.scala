@@ -288,6 +288,21 @@ object TextOps {
        |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
        |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin
 
+  /** The same clusters via the alternating large-star/small-star CC variant
+    * ([[graft.operators.ConnectedComponents.runStar]] — O(log n) rounds on
+    * ANY graph, the path for pathological diameters where min-label's
+    * O(diameter) rounds lose). Same candidate edges, same output contract,
+    * same oracle as [[dedupClusters]], so the two formulations are
+    * hash-pinned to agree. */
+  val dedupClustersStar: Q = (s, dir) => {
+    val edges = dedupNgramJaccard(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = table(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id").as("id"))
+    graft.operators.ConnectedComponents.runStar(nodes, edges)
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+  }
+
   /** Deterministic train/val/test split: bucket = content hash mod 100 →
     * 80/10/10. Content-keyed (not row-keyed) so duplicates land in the same
     * split — the leakage-safe way to split training corpora; fully
@@ -1120,6 +1135,7 @@ object TextOps {
     "shard_by_size" -> (shardBySize, Some(shardBySizeSql)),
     "text_normalize" -> (textNormalize, Some(textNormalizeSql)),
     "dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
+    "dedup_clusters_star" -> (dedupClustersStar, Some(dedupClustersSql)),
     "dedup_sha256" -> (dedupSha256, Some(dedupSha256Sql)),
     "text_tokens" -> (textTokens, Some(textTokensSql)),
     "text_bpe" -> (textBpe, Some(textBpeSql)),

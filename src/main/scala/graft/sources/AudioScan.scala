@@ -43,20 +43,30 @@ object AudioScan {
     canonCache.computeIfAbsent(dir.getPath, p => new java.io.File(p).getCanonicalPath)
   }
 
+  /** @param excludeSymlinks F2 — per-row canonical-path check, LOCAL
+    *   FILESYSTEM ONLY (skipped automatically for non-`file:` schemes:
+    *   object stores have no symlinks). Cluster users scanning shared
+    *   storage who want name-based pruning instead should pass
+    *   `pathGlobFilter` — it is applied at LISTING time by the data source
+    *   on any scheme, so excluded files are never opened at all.
+    * @param pathGlobFilter binaryFile `pathGlobFilter` option (e.g.
+    *   `*.wav`) — the scheme-independent escape hatch for pruning by name. */
   def scan(
       spark: SparkSession,
       input: String,
       maxDepth: Int = DefaultMaxDepth,
       metadataFile: Option[String] = None,
       checkMimeType: Boolean = false,
-      excludeSymlinks: Boolean = true): DataFrame = {
+      excludeSymlinks: Boolean = true,
+      pathGlobFilter: Option[String] = None): DataFrame = {
     // Hadoop Path form (unencoded) — File.toURI percent-encodes spaces and
     // would never match binaryFile's raw `path` column
     val inputHPath = new org.apache.hadoop.fs.Path(new java.io.File(input).toURI)
     val inputUri = inputHPath.toString.stripSuffix("/")
-    val raw = spark.read.format("binaryFile")
+    val reader = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
-      .load(input)
+    pathGlobFilter.foreach(reader.option("pathGlobFilter", _))
+    val raw = reader.load(input)
     // relative path: strip the input prefix; empty → bare file name
     // (reference: src/main.rs:743-758)
     val rel0 = regexp_replace(col("path"), java.util.regex.Pattern.quote(inputUri + "/"), "")

@@ -299,6 +299,35 @@ class PipelineSpec extends SparkSpec {
     assert(noFilter.length > withFilter.length, s"binaryFile followed no links: ${noFilter.toSeq}")
   }
 
+  test("symlink opt-out and pathGlobFilter flow through Config to the scan") {
+    // the F2 canonical-path check is local-fs-only; Config exposes the
+    // opt-out (--follow-symlinks) and the scheme-independent name-pruning
+    // alternative (--path-glob → binaryFile pathGlobFilter) for clusters
+    import java.nio.file.{Files, Paths}
+    val in = tmpDir("graft-optout-in")
+    val wav = Wav.synthWav(16000, 8000)
+    writeFile(in, "real/a.wav", wav)
+    writeFile(in, "real/skip.txt", Array[Byte](1, 2, 3))
+    Files.createSymbolicLink(
+      Paths.get(in.getAbsolutePath, "alias"), Paths.get(in.getAbsolutePath, "real"))
+    // glob prunes by name on ANY scheme, at listing time
+    val globOnly = graft.sources.AudioScan.scan(spark, in.getAbsolutePath,
+      pathGlobFilter = Some("*.wav"))
+      .select("relative_path").collect().map(_.getString(0)).sorted
+    assert(globOnly.toSeq == Seq("real/a.wav"))
+    // Config-level opt-out: the pipeline plan ingests through the symlink
+    val (planned, _) = AudioToDataset.plan(spark, AudioToDataset.Config(
+      in.getAbsolutePath, "/unused", excludeSymlinks = false,
+      pathGlobFilter = Some("*.wav")))
+    val rels = planned.select("audio.path").collect().map(_.getString(0)).sorted
+    assert(rels.toSeq == Seq("alias/a.wav", "real/a.wav"))
+    // default Config keeps the exclusion
+    val (strict, _) = AudioToDataset.plan(spark, AudioToDataset.Config(
+      in.getAbsolutePath, "/unused", pathGlobFilter = Some("*.wav")))
+    assert(strict.select("audio.path").collect().map(_.getString(0)).toSeq ==
+      Seq("real/a.wav"))
+  }
+
   test("duckdb sink SQL generation matches the reference DDL/INSERT shape") {
     val types = Seq(
       "snr" -> MFloat64, "tags" -> MList(MString),
