@@ -39,16 +39,27 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def dict(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // the driver captures only the tail of the sbt log, which can truncate
-    // the metric line — always ALSO write the complete JSON to a file
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results)},"sf":"$sfDir"}"""
+    // The COMPLETE per-query record goes to a file: the driver captures only
+    // the last ~2000 chars of the sbt log, and 150 query names alone exceed
+    // that, so a full dict on stdout can never survive the tail window.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stdout gets a line SIZED TO PARSE from the tail window (~1.9k budget):
+    // the TPC-H headline dict + the slowest 25 queries (the regression
+    // signal) + a pointer to the complete record. Rounded to ms.
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val headline = results.filter { case (n, _) => n.matches("^q\\d+_.*") }
+      .map { case (n, v) => n -> ms(v) }
+    val slowest = results.sortBy(-_._2).take(25).map { case (n, v) => n -> ms(v) }
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec"""" +
+      s""","queries":${dict(headline)},"slowest":${dict(slowest)}""" +
+      s""","n_queries":${results.size},"full_record":"$outPath","sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }
