@@ -169,14 +169,19 @@ object SinkOps {
     val evDir = new java.io.File(stage, "events").getAbsolutePath
     val doneMark = new java.io.File(stage, "_staged")
     if (!doneMark.exists()) {
+      // coalesce(8): the staged dir is re-listed and re-opened by EVERY
+      // streaming entry's every micro-batch (the stream-stream join scans
+      // it twice per batch) — 8 larger files beat 32+ slivers on fixed
+      // per-file costs, and bench-scale events are a few MB total
       val src = Util.eventsWithTs(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))
+        .coalesce(8)
       src.write.mode("overwrite").parquet(evDir)
       if (duplicate) {
         // read back the staged data (not the source twice — one scan) and
         // append it verbatim: every event present exactly TWICE
-        s.read.parquet(evDir).write.mode("append").parquet(evDir)
+        s.read.parquet(evDir).coalesce(8).write.mode("append").parquet(evDir)
       }
       // read the max back from the just-written staged copy — no second
       // scan of the source, and the staged data is what the stream consumes
@@ -195,7 +200,24 @@ object SinkOps {
     evDir
   }
 
-  val eventsTumblingStream: Q = (s, dir) => {
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered:
+    * a streaming query's STATE STORE count per stateful operator is fixed
+    * to the shuffle-partition count at query start, and every store pays
+    * per-micro-batch open/commit/fsync — at the session's 32 partitions
+    * that fixed cost, not the data, dominates these availableNow entries
+    * (the events table is a few MB at bench scale). 8 stores keeps all
+    * entries' state tiny-per-store while quartering the startup floor. At
+    * real scale this knob is sized to state volume, not driver cores — the
+    * operators themselves are unchanged. */
+  private def withStreamParallelism[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val n = math.min(8, prev.toInt)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  val eventsTumblingStream: Q = (s, dir) => withStreamParallelism(s) {
     val evDir = stagedEventsDir(s, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-oracle")
     cleanupAtExit(tmp)
@@ -226,7 +248,7 @@ object SinkOps {
     * emit each event exactly ONCE, and the oracle is simply the events
     * table. Duplicates are full-row identical, so whichever copy survives,
     * the output is byte-identical — no ordering sensitivity. */
-  val eventsDedupStream: Q = (s, dir) => {
+  val eventsDedupStream: Q = (s, dir) => withStreamParallelism(s) {
     val evDir = stagedEventsDir(s, dir, duplicate = true)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
     cleanupAtExit(tmp)
@@ -255,7 +277,7 @@ object SinkOps {
     * identical sessions with the lag/cumsum SQL (strict `>` gap rule, same
     * as the batch twin events_sessionize). This gates arbitrary
     * user-defined streaming state, not just built-in windows/dedup. */
-  val eventsStatefulStream: Q = (s, dir) => {
+  val eventsStatefulStream: Q = (s, dir) => withStreamParallelism(s) {
     import s.implicits._
     val evDir = stagedEventsDir(s, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-state")
@@ -304,7 +326,7 @@ object SinkOps {
     * value) is genuinely exercised; the oracle is the plain batch GROUP
     * BY. Unwatermarked agg state is bounded by key cardinality (event
     * types), the right trade for a low-cardinality serving view. */
-  val streamUpsertMv: Q = (s, dir) => {
+  val streamUpsertMv: Q = (s, dir) => withStreamParallelism(s) {
     val evDir = stagedEventsDir(s, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-mv")
     cleanupAtExit(tmp)
@@ -339,7 +361,7 @@ object SinkOps {
     * state stores at the horizon). Inner-join matches emit eagerly, so
     * availableNow drains every pair; the oracle is the equivalent batch
     * join. Raw value pass-through (no accumulation) — float-exact. */
-  val eventsCorrelateStream: Q = (s, dir) => {
+  val eventsCorrelateStream: Q = (s, dir) => withStreamParallelism(s) {
     val evDir = stagedEventsDir(s, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-corr")
     cleanupAtExit(tmp)
@@ -380,7 +402,7 @@ object SinkOps {
     * events_sessionize — keeps an exact-30-minute gap in the SAME session
     * (oracle rule `>`). Each entry is gated against its own rule; they are
     * NOT interchangeable on knife-edge data. */
-  val eventsSessionWindowStream: Q = (s, dir) => {
+  val eventsSessionWindowStream: Q = (s, dir) => withStreamParallelism(s) {
     val evDir = stagedEventsDir(s, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sw")
     cleanupAtExit(tmp)
