@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   *     candidate counts scale N×, not N² (verbatim-copied text would make
   *     every doc a near-duplicate of its 9 clones and turn the LSH bench
   *     into an everything-matches-everything graph that no real corpus has);
-  *   - embeddings are unchanged per copy: vector queries are anchored on
-  *     copy-0 ids (vec_id < k filters), so candidate sets scale N× linearly.
+  *   - embeddings go through a per-copy ISOMETRY (dimension rotation +
+  *     sign flip) — within-copy cosine/near-dup structure is preserved
+  *     exactly, cross-copy vectors decorrelate, so capless embedding dedup
+  *     scales N× in candidates, not N² (see [[copyVec]]).
   */
 object ScaleGen {
 
@@ -47,6 +49,25 @@ object ScaleGen {
   private def copyText(text: Column, k: Int): Column =
     if (k == 0) text
     else translate(translate(text, Alpha1, rot(Alpha1, k % 10)), Alpha2, rot(Alpha2, (k / 10) % 10))
+
+  /** Per-copy embedding ISOMETRY (the vector twin of the text bijection):
+    * rotate the 64 dimensions by (k/2) mod 64 and negate every coordinate
+    * for odd k — both preserve dot products and norms WITHIN a copy, so
+    * each copy mirrors the original's cosine/near-dup structure exactly,
+    * while cross-copy pairs decorrelate (different sign-LSH buckets).
+    * Verbatim copies would give every vector N−1 exact clones and make any
+    * capless embedding-dedup bench quadratic BY CONSTRUCTION of the data —
+    * the same pathology the text bijection exists to avoid. (parity,
+    * rotation) pairs are distinct for k < 128 > MaxFactor. */
+  private def copyVec(v: Column, k: Int): Column = {
+    if (k == 0) v
+    else {
+      val r = (k / 2) % 64
+      val rotated =
+        if (r == 0) v else concat(slice(v, r + 1, 64 - r), slice(v, 1, r))
+      if (k % 2 == 1) transform(rotated, x => -x) else rotated
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -113,6 +134,8 @@ object ScaleGen {
     out(scaled(documents)((d, k) => d
       .withColumn("doc_id", shift("doc_id", dOff, k))
       .withColumn("text", copyText(col("text"), k))), "documents")
-    out(scaled(embeddings)((d, k) => d.withColumn("vec_id", shift("vec_id", vOff, k))), "embeddings")
+    out(scaled(embeddings)((d, k) => d
+      .withColumn("vec_id", shift("vec_id", vOff, k))
+      .withColumn("embedding", copyVec(col("embedding"), k))), "embeddings")
   }
 }

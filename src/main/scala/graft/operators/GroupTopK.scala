@@ -41,7 +41,8 @@ object GroupTopK {
     // columns must probe for a collision-free name (same rule as
     // Sharding.twoPassScan / Skyline).
     def free(base: String): String =
-      Iterator.iterate(base)(_ + "_").dropWhile(df.columns.contains).next()
+      Iterator.iterate(base)(_ + "_")
+        .dropWhile(n => df.columns.contains(n) || n == rankCol).next()
     val salt = free("_gtk_salt")
     val local = free("_gtk_r")
     val w1 = Window.partitionBy(groupCols.map(col) :+ col(salt): _*).orderBy(order: _*)

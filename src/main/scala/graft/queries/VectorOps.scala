@@ -61,25 +61,35 @@ object VectorOps {
 
   /** Embedding-cosine near-duplicate detection — the banded sign-LSH shape
     * (the embedding twin of `dedup_minhash_lsh`): candidates are pairs
-    * sharing ANY of 4 bands of an 8-bit hyperplane-sign signature (bit j of
-    * band b = sign of the fixed contrast v[8b+j] − v[8b+j+32]; deterministic,
-    * so the oracle computes the identical candidate set). Exact cosine runs
-    * ONLY on candidates. No input cap and no all-pairs anywhere: candidate
-    * volume is bounded by band-bucket co-occupancy (≤ n²/256 per band for
-    * adversarially uniform data, collapses to near-linear on real near-dup
-    * corpora), and a pair sharing many bands is deduplicated BEFORE the
-    * vector join — at 100 TB the shuffles carry (band, bucket, id) triples
-    * and (a_id, b_id) pairs, never n² vectors. */
+    * sharing ANY of [[DedupBands]] bands of a [[DedupBits]]-bit
+    * hyperplane-sign signature; exact cosine runs ONLY on candidates.
+    * Contrast pairs (the deterministic hyperplane stand-in, identical in
+    * the oracle) are spread via a fixed affine map so no two bits share a
+    * dimension pair. No input cap and no all-pairs anywhere: BUCKET WIDTH
+    * IS THE SCALE KNOB — 12-bit bands bound uniform-data collisions at
+    * ~n²/4096 per band (measured: the 8-bit variant went 1191× at a 100×
+    * blow-up because 256 buckets collide at n²/256; 4096 buckets hold the
+    * 100× ratio under the data ratio), and real near-dup corpora
+    * concentrate collisions on true duplicates. A pair sharing many bands
+    * is deduplicated BEFORE the vector join — the shuffles carry
+    * (band, bucket, id) triples and (a_id, b_id) pairs, never n² vectors. */
+  val DedupBands = 5
+  val DedupBits = 12
+  /** bit m's contrast dims (1-based): v[i1] − v[i2]; the affine second
+    * index is collision-free for m < 64 (6m ≡ −13 and 48a ≡ 24 have no
+    * solutions mod 64, so no self-pairs and no repeated pairs). */
+  private def contrastDims(m: Int): (Int, Int) = (m + 1, (m * 7 + 13) % 64 + 1)
+
   val dedupEmbedding: Q = (s, dir) => {
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    def bucket(b: Int): Column = (0 until 8).map { j =>
-      val k = 8 * b + j
-      when(element_at(col("v"), k + 1) - element_at(col("v"), k + 33) > 0,
+    def bucket(b: Int): Column = (0 until DedupBits).map { j =>
+      val (i1, i2) = contrastDims(DedupBits * b + j)
+      when(element_at(col("v"), i1) - element_at(col("v"), i2) > 0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val banded = emb.select(col("vec_id"), explode(array((0 until 4).map(b =>
+    val banded = emb.select(col("vec_id"), explode(array((0 until DedupBands).map(b =>
       struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = banded.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
@@ -95,16 +105,19 @@ object VectorOps {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
   }
   val dedupEmbeddingSql = {
-    val bits = (0 until 8).map { j =>
-      s"CASE WHEN v[band*8 + ${j + 1}] - v[band*8 + ${j + 33}] > 0 THEN ${1L << j} ELSE 0 END"
-    }.mkString(" + ")
+    val bands = (0 until DedupBands).map { b =>
+      val bits = (0 until DedupBits).map { j =>
+        val (i1, i2) = contrastDims(DedupBits * b + j)
+        s"CASE WHEN v[$i1] - v[$i2] > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, CAST($bits AS BIGINT) AS bucket FROM emb"
+    }.mkString("\nUNION ALL\n")
     s"""WITH emb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
        |  FROM embeddings),
        |sig AS (
-       |  SELECT vec_id, band, CAST($bits AS BIGINT) AS bucket
-       |  FROM emb, (SELECT unnest(range(0, 4)) AS band)),
+       |$bands),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket

@@ -51,4 +51,23 @@ class ScaleGenSpec extends SparkSpec {
     assert(docs.filter(col("doc_id") < n).select("text").distinct().count() ==
       k1.select("t1").distinct().count())
   }
+
+  test("embedding isometry: copies share coordinate multisets up to sign, not raw vectors") {
+    // the vector twin of the text-bijection property: rotation+negation is
+    // an exact isometry (same floats, reordered/sign-flipped), so the
+    // |coordinate| multiset is bit-identical per copy — but the raw vector
+    // must differ, or capless embedding dedup benches go quadratic on
+    // cross-copy exact clones
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = src.count()
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+    val k1 = emb.filter(col("vec_id") >= n && col("vec_id") < 2 * n)
+      .select((col("vec_id") - n).as("vec_id"), col("embedding").as("e1"))
+    val joined = src.select(col("vec_id"), col("embedding").as("e0")).join(k1, "vec_id")
+    assert(joined.count() == n)
+    def absSorted(c: org.apache.spark.sql.Column) =
+      sort_array(transform(c, x => abs(x)))
+    assert(joined.filter(absSorted(col("e0")) =!= absSorted(col("e1"))).count() == 0)
+    assert(joined.filter(col("e0") === col("e1")).count() == 0)
+  }
 }
