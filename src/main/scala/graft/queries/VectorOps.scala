@@ -230,6 +230,85 @@ object VectorOps {
        |SELECT q_id, c_id, rank, round(cos, 4) AS cosine FROM ranked WHERE rank <= 3""".stripMargin
   }
 
+  /** The IVF SEARCH path (the missing third of the IVF lifecycle next to
+    * [[ivfCentroidResiduals]]'s maintenance stats and [[annPqRerank]]'s
+    * compressed scoring): coarse lists = label partitions with INTEGER
+    * centroids (vectors fixed-point-quantized first, centroid = sum div n —
+    * order-free, bit-identical in the oracle, same rule as
+    * [[kmeansQuantized]]); each query probes its 2 nearest lists by integer
+    * L2, and exact cosine re-ranks ONLY candidates from those lists.
+    *
+    * Scale shape: the K×64 centroid table is a broadcast; probing is a
+    * narrow ×K expansion ranked by a (query)-partitioned window (3 rows per
+    * query survive); candidates shuffle ∝ probed-list sizes (n·probes/K,
+    * never n); the final top-k is row_number ≤ k → WindowGroupLimit. */
+  val annIvfTopk: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    // +1e7 offset: keeps sums non-negative so Spark's truncating `div`
+    // agrees with DuckDB's flooring `//` (see kmeansQuantized)
+    val qint = emb.select(col("vec_id"), col("label"),
+      transform(col("v"),
+        x => floor(x * lit(1000000.0)).cast("long") + lit(10000000L)).as("q"))
+    val dims = 0 until 64
+    val cents = qint.groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        dims.map(i => sum(element_at(col("q"), i + 1)).as(s"s$i")): _*)
+      .select(col("label").as("c_label"),
+        array(dims.map(i => expr(s"s$i div n")): _*).as("c"))
+    val probed = qint.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("q"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("d2", aggregate(zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("c_label"))
+    val lists = probed.withColumn("rk", row_number().over(wp)).filter(col("rk") <= 2)
+      .select(col("q_id"), col("c_label").as("label"))
+    val full = emb.withColumn("nrm", norm(col("v")))
+    val scored = lists
+      .join(full.select(col("label"), col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cn")), Seq("label"))
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(full.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))), Seq("q_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val we = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(we)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("cos"), 4).as("cosine"))
+  }
+  val annIvfTopkSql = {
+    val sums = (0 until 64).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")
+    val means = (0 until 64).map(i => s"s$i // n").mkString(", ")
+    """WITH emb AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |qint AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 10000000) AS q
+      |  FROM embeddings),
+      |s AS (SELECT label, CAST(count(*) AS BIGINT) AS n, SUMS FROM qint GROUP BY label),
+      |c AS (SELECT label AS c_label, [MEANS] AS c FROM s),
+      |probe AS (SELECT q_id, c_label FROM (
+      |  SELECT qq.vec_id AS q_id, c.c_label,
+      |    row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(qq.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))), c.c_label) AS rk
+      |  FROM qint qq, c WHERE qq.vec_id < 3) WHERE rk <= 2),
+      |scored AS (
+      |  SELECT p.q_id, e.vec_id AS c_id,
+      |    list_sum(list_transform(list_zip(qe.v, e.v), pp -> pp[1] * pp[2])) / (qe.nrm * e.nrm) AS cos
+      |  FROM probe p
+      |  JOIN emb e ON e.label = p.c_label
+      |  JOIN emb qe ON qe.vec_id = p.q_id
+      |  WHERE e.vec_id <> p.q_id)
+      |SELECT q_id, c_id, rank, round(cos, 4) AS cosine FROM (
+      |  SELECT q_id, c_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      |  FROM scored) WHERE rank <= 3""".stripMargin
+      .replace("SUMS", sums).replace("[MEANS]", "[" + means + "]")
+  }
+
   /** Scalar int8 quantization (the ANN compression step: 4× smaller vectors
     * before indexing): per-vector scale = max |x|, symmetric half-up
     * quantize to [-127, 127]. Shape: posexplode → per-vector max via a
@@ -518,6 +597,7 @@ object VectorOps {
     "embed_pq" -> (embedPq, Some(embedPqSql)),
     "embed_quantize_int8" -> (embedQuantize, Some(embedQuantizeSql)),
     "ann_lsh_topk" -> (annLshTopk, Some(annLshTopkSql)),
+    "ann_ivf_topk" -> (annIvfTopk, Some(annIvfTopkSql)),
     "ann_brute_cosine" -> (annBruteCosine, Some(annBruteCosineSql)),
     "dedup_embedding" -> (dedupEmbedding, Some(dedupEmbeddingSql)),
     "ann_lsh_buckets" -> (annLshBuckets, Some(annLshBucketsSql)),

@@ -335,6 +335,21 @@ class OperatorSpec extends SparkSpec {
     assert(w1.map(_.toList).toList == tok.map(_.toList).toList)
   }
 
+  test("sql extension arg validation: clear analysis errors, not raw casts") {
+    val s = spark
+    graft.GraftExtensions.register(s)
+    // BIGINT width literal is accepted (was a raw ClassCastException)
+    assert(s.sql("SELECT span_hashes('a b c', CAST(2 AS BIGINT))")
+      .head().getSeq[Long](0).length == 2)
+    def analysisMsg(q: String): String =
+      intercept[org.apache.spark.sql.AnalysisException](s.sql(q).collect()).getMessage
+    assert(analysisMsg("SELECT span_hashes('a b c')").contains("exactly 2"))
+    assert(analysisMsg("SELECT span_hashes('a b c', 'x')").contains("width"))
+    assert(analysisMsg("SELECT span_hashes(t, length(t)) FROM (SELECT 'a b' AS t)")
+      .contains("constant"))
+    assert(analysisMsg("SELECT char_fold_hash('a', 'b')").contains("exactly 1"))
+  }
+
   test("cumMaxBy: exclusive distributed prefix max equals the sequential scan") {
     val s = spark
     import s.implicits._
