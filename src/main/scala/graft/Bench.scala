@@ -41,8 +41,12 @@ object Bench {
     }
     def dict(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // paths are interpolated into JSON — escape them (a dir with a quote
+    // or backslash must not produce an unparseable round record)
+    def jstr(v: String): String =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results)},"sf":${jstr(sfDir)}}"""
     // The COMPLETE per-query record goes to a file: the driver captures only
     // the last ~2000 chars of the sbt log, and 150 query names alone exceed
     // that, so a full dict on stdout can never survive the tail window.
@@ -58,7 +62,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(25).map { case (n, v) => n -> ms(v) }
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec"""" +
       s""","queries":${dict(headline)},"slowest":${dict(slowest)}""" +
-      s""","n_queries":${results.size},"full_record":"$outPath","sf":"$sfDir"}"""
+      s""","n_queries":${results.size},"full_record":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
     println(line)
     spark.stop()
   }

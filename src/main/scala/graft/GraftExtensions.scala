@@ -39,13 +39,17 @@ object GraftExtensions {
   private def foldableInt(name: String, arg: String, e: Expression): Int = {
     if (!e.foldable)
       analysisError(s"$name: $arg must be a constant integer, got non-foldable ${e.sql}")
-    e.eval() match {
+    val v = e.eval() match {
       case i: java.lang.Integer => i.intValue()
       case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
       case other =>
         analysisError(s"$name: $arg must be an INT or BIGINT literal, got " +
           (if (other == null) "NULL" else s"${e.dataType.sql} ($other)"))
     }
+    // range-check here too: a raw require() from the expression's
+    // constructor would otherwise escape the builder un-wrapped
+    if (v < 1) analysisError(s"$name: $arg must be >= 1, got $v")
+    v
   }
 
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

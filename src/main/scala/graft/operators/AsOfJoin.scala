@@ -72,6 +72,16 @@ object AsOfJoin {
       forward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
+    // withColumn/select silently replace same-named columns, so the five
+    // internal columns probe for collision-free names against the left
+    // frame (same rule as GroupTopK/Sharding/Skyline), and the asof_
+    // output names must be free
+    def free(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(leftCols.contains).next()
+    val (kC, tC, sideC, rC, bestC) =
+      (free("_k"), free("_t"), free("_side"), free("_r"), free("_rbest"))
+    payload.foreach(p => require(!leftCols.contains(s"asof_$p"),
+      s"output column 'asof_$p' already exists in the left frame"))
     // forward = backward over negated time (see asOfForward doc); from here
     // on the composition is uniformly "backward": running frame + last()
     val negate: Column => Column = if (forward) c => -c else identity
@@ -86,24 +96,24 @@ object AsOfJoin {
     val payloadType = StructType(payload.map(p =>
       StructField(p, right.schema(p).dataType, nullable = true)))
     val l = left
-      .withColumn("_t", negate(col(leftTime)))
-      .withColumn("_side", lit(leftSide))
-      .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
-        leftCols.map(col) :+ lit(null).cast(payloadType).as("_r"): _*)
+      .withColumn(tC, negate(col(leftTime)))
+      .withColumn(sideC, lit(leftSide))
+      .select(Seq(col(key).as(kC), col(tC), col(sideC)) ++
+        leftCols.map(col) :+ lit(null).cast(payloadType).as(rC): _*)
     val r = right
-      .withColumn("_t", negate(col(rightTime)))
-      .withColumn("_side", lit(rightSide))
-      .select(Seq(col(key).as("_k"), col("_t"), col("_side")) ++
+      .withColumn(tC, negate(col(rightTime)))
+      .withColumn(sideC, lit(rightSide))
+      .select(Seq(col(key).as(kC), col(tC), col(sideC)) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(payload.map(col): _*).as("_r"): _*)
-    val ordered = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+        struct(payload.map(col): _*).as(rC): _*)
+    val ordered = Window.partitionBy(col(kC)).orderBy(col(tC), col(sideC))
     val w = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pick = last(col("_r"), ignoreNulls = true)
+    val pick = last(col(rC), ignoreNulls = true)
     val carried = l.unionByName(r)
       .select(
-        (Seq(col("_k"), col("_t"), col("_side")) ++ leftCols.map(col) :+
-          pick.over(w).as("_rbest")): _*)
-    carried.filter(col("_side") === leftSide)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"_rbest.$p").as(s"asof_$p")): _*)
+        (Seq(col(kC), col(tC), col(sideC)) ++ leftCols.map(col) :+
+          pick.over(w).as(bestC)): _*)
+    carried.filter(col(sideC) === leftSide)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"$bestC.$p").as(s"asof_$p")): _*)
   }
 }

@@ -95,6 +95,11 @@ object SinkOps {
   val duckdbRoundtrip: Q = (s, dir) => {
     import s.implicits._
     val (in, metaFile, out) = duckMeta(s, dir)
+    // the sink only delete-then-writes the shards it produces; a prior run
+    // with different constants (or a crashed partial run) could leave
+    // stale shard files the read-back below would silently include
+    Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".duckdb")).foreach(_.delete())
     AudioToDataset.run(s, AudioToDataset.Config(
       input = in, output = out, metadataFile = Some(metaFile),
       format = "duckdb", filesPerShard = FilesPerShard))

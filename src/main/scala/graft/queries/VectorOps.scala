@@ -239,9 +239,10 @@ object VectorOps {
     * L2, and exact cosine re-ranks ONLY candidates from those lists.
     *
     * Scale shape: the K×64 centroid table is a broadcast; probing is a
-    * narrow ×K expansion ranked by a (query)-partitioned window (3 rows per
-    * query survive); candidates shuffle ∝ probed-list sizes (n·probes/K,
-    * never n); the final top-k is row_number ≤ k → WindowGroupLimit. */
+    * narrow ×K expansion ranked by a (query)-partitioned window (2 probed
+    * lists per query survive); candidates shuffle ∝ probed-list sizes
+    * (n·probes/K, never n); the final top-k is row_number ≤ k →
+    * WindowGroupLimit. */
   val annIvfTopk: Q = (s, dir) => {
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))

@@ -348,6 +348,8 @@ class OperatorSpec extends SparkSpec {
     assert(analysisMsg("SELECT span_hashes(t, length(t)) FROM (SELECT 'a b' AS t)")
       .contains("constant"))
     assert(analysisMsg("SELECT char_fold_hash('a', 'b')").contains("exactly 1"))
+    // range too: SpanHashes' own require() must not escape the builder raw
+    assert(analysisMsg("SELECT span_hashes('a b', 0)").contains(">= 1"))
   }
 
   test("cumMaxBy: exclusive distributed prefix max equals the sequential scan") {
