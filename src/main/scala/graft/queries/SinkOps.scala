@@ -165,9 +165,17 @@ object SinkOps {
     * silently streaming stale events. Each consumer's checkpoint/out dirs
     * stay unique per run (a reused completed checkpoint would make
     * availableNow a no-op resume). */
+  /** @param onlyType stage ONLY this event type (no sentinel appended —
+    *   used by the stream-stream join, whose inner-join matches emit
+    *   eagerly and need no watermark flush; a sentinel row would join
+    *   with the other side's sentinel and fabricate a match). Each side
+    *   then scans its own slice per micro-batch instead of re-filtering
+    *   the full staged source. */
   private def stagedEventsDir(s: SparkSession, dir: String,
-                              duplicate: Boolean = false): String = {
-    val prefix = if (duplicate) "graft-stream-dup-" else "graft-stream-src-"
+                              duplicate: Boolean = false,
+                              onlyType: Option[String] = None): String = {
+    val prefix = "graft-stream-" +
+      (if (duplicate) "dup-" else onlyType.map(t => s"$t-").getOrElse("src-"))
     val stage = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       prefix + sourceSignature(s"$dir/events.parquet"))
@@ -178,11 +186,17 @@ object SinkOps {
       // streaming entry's every micro-batch (the stream-stream join scans
       // it twice per batch) — 8 larger files beat 32+ slivers on fixed
       // per-file costs, and bench-scale events are a few MB total
-      val src = Util.eventsWithTs(s, dir)
+      val all = Util.eventsWithTs(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"), col("props"))
+      val src = onlyType.map(t => all.filter(col("event_type") === t))
+        .getOrElse(all)
         .coalesce(8)
       src.write.mode("overwrite").parquet(evDir)
+      if (onlyType.isDefined) {
+        doneMark.createNewFile()
+        return evDir
+      }
       if (duplicate) {
         // read back the staged data (not the source twice — one scan) and
         // append it verbatim: every event present exactly TWICE
@@ -367,15 +381,15 @@ object SinkOps {
     * availableNow drains every pair; the oracle is the equivalent batch
     * join. Raw value pass-through (no accumulation) — float-exact. */
   val eventsCorrelateStream: Q = (s, dir) => withStreamParallelism(s) {
-    val evDir = stagedEventsDir(s, dir)
+    val clickDir = stagedEventsDir(s, dir, onlyType = Some("click"))
+    val viewDir = stagedEventsDir(s, dir, onlyType = Some("view"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-corr")
     cleanupAtExit(tmp)
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
     val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
-    val src = graft.streaming.EventStream.readEvents(s, evDir)
     val q = graft.streaming.EventStream
-      .correlate(src.filter(col("event_type") === "click"),
-        src.filter(col("event_type") === "view"))
+      .correlate(graft.streaming.EventStream.readEvents(s, clickDir),
+        graft.streaming.EventStream.readEvents(s, viewDir))
       .select(col("click_id"), col("view_id"), col("user_id"),
         unix_micros(col("click_ts")).as("click_us"),
         unix_micros(col("view_ts")).as("view_us"), col("click_value"))
