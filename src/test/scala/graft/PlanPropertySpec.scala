@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Pins the PLAN properties the 100 TB design claims rest on (PLANS.md) as
+  * executable assertions, so a regression that silently un-pushes a filter,
+  * widens a scan, or adds a shuffle fails the suite instead of only
+  * degrading a bench number. Queries run at sf0.001 through the same
+  * registry entries the oracle gate uses.
+  */
+class PlanPropertySpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan, fully materialized. */
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+  }
+
+  /** All nodes in the final plan, descending into AQE query stages and
+    * reused exchanges (their sub-plans are not `children`). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val direct = p.collect { case n => n }
+    direct.flatMap {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        s +: allNodes(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r +: allNodes(r.child)
+      case n => Seq(n)
+    }.distinct
+  }
+
+  private def shuffles(p: SparkPlan): Seq[SparkPlan] =
+    allNodes(p).filter(_.getClass.getSimpleName.startsWith("ShuffleExchange"))
+
+  private def query(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, Sf)
+
+  test("q6: every predicate reaches the parquet scan; only 4 columns read") {
+    val scans = allNodes(executed(query("q6_filter_agg")))
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val li = scans.find(_.metadata.getOrElse("Location", "").contains("lineitem")).get
+    val pushed = li.metadata("PushedFilters")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"missing pushdown: $pushed")
+    assert(li.requiredSchema.fieldNames.toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"scan not pruned: ${li.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("topk_per_group: rank limit runs below AND above the exchange (WindowGroupLimit)") {
+    val plan = executed(query("topk_per_group"))
+    val limits = allNodes(plan)
+      .filter(_.getClass.getSimpleName.startsWith("WindowGroupLimit"))
+    assert(limits.size >= 2, s"expected partial+final WindowGroupLimit, got ${limits.size}\n$plan")
+  }
+
+  test("text_repetition: narrow scan, zero shuffles") {
+    val plan = executed(query("text_repetition"))
+    assert(shuffles(plan).isEmpty, s"expected no exchange:\n$plan")
+  }
+
+  test("dedup_minhash: the span hashes cross ONE exchange as partial aggregates") {
+    val plan = executed(query("dedup_minhash"))
+    val ex = shuffles(plan)
+    assert(ex.size == 1, s"expected exactly one exchange, got ${ex.size}:\n$plan")
+    val aggs = allNodes(plan).filter(_.getClass.getSimpleName.startsWith("HashAggregate"))
+    assert(aggs.size >= 2, "expected partial+final HashAggregate pair")
+  }
+
+  test("j1 metadata join: all three levels broadcast, corpus side never shuffles") {
+    val plan = executed(query("j1_priority_join"))
+    assert(shuffles(plan).isEmpty,
+      s"metadata join must be broadcast-only:\n$plan")
+    val bcasts = allNodes(plan)
+      .filter(_.getClass.getSimpleName.startsWith("BroadcastHashJoin"))
+    assert(bcasts.size == 3, s"expected 3 broadcast joins, got ${bcasts.size}")
+  }
+}
