@@ -352,6 +352,22 @@ class OperatorSpec extends SparkSpec {
     assert(analysisMsg("SELECT span_hashes('a b', 0)").contains(">= 1"))
   }
 
+  test("sweepManagedTables: deletes prefixed warehouse residue, rejects unsafe names") {
+    val s = spark
+    val wh = new java.io.File(s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val stale = new java.io.File(wh, "graft_spec_sweep_stale")
+    stale.mkdirs()
+    new java.io.File(stale, "junk.parquet").createNewFile()
+    graft.queries.Util.sweepManagedTables(s, "graft_spec_sweep_")
+    assert(!stale.exists(), "stale prefixed residue must be deleted")
+    // both entry points recursively delete under the warehouse — a
+    // path-like name must never reach the filesystem
+    intercept[IllegalArgumentException](
+      graft.queries.Util.sweepManagedTables(s, "../evil"))
+    intercept[IllegalArgumentException](
+      graft.queries.Util.freshManagedTable(s, "bad/name"))
+  }
+
   test("cumMaxBy: exclusive distributed prefix max equals the sequential scan") {
     val s = spark
     import s.implicits._
