@@ -99,7 +99,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(VectorOps.annPqRerank(spark, emptyDir).count() == 0)
     assert(VectorOps.kmeansQuantized(spark, emptyDir).count() == 0)
     assert(VectorOps.arrayHof(spark, emptyDir).count() == 0)
+    assert(VectorOps.dedupEmbedding(spark, emptyDir).count() == 0)
+    assert(VectorOps.annIvfTopk(spark, emptyDir).count() == 0)
     assert(graft.operators.ConnectedComponents.run(
+      spark.range(0).select(col("id")),
+      spark.range(0).select(col("id").as("src"), col("id").as("dst"))).count() == 0)
+    assert(graft.operators.ConnectedComponents.runStar(
       spark.range(0).select(col("id")),
       spark.range(0).select(col("id").as("src"), col("id").as("dst"))).count() == 0)
   }
