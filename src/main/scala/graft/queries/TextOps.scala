@@ -865,6 +865,44 @@ object TextOps {
        |FROM documents GROUP BY lang, source""".stripMargin
   }
 
+  /** Mixture balancing (the data-MIXING shape next to
+    * [[sampleQualityWeighted]]'s per-doc weighting): temperature-style
+    * down-sampling of over-represented languages toward the smallest one —
+    * acceptance rate per lang = sqrt(min_count / n_lang) (τ = 0.5 on the
+    * count distribution), materialized as an integer ppm threshold so the
+    * hash acceptance is exact. sqrt and one division are IEEE
+    * correctly-rounded, hence bit-portable where a general pow() is not.
+    * Content-hash acceptance: reproducible across runs, engines, and
+    * partitionings. Scale shape: per-lang counts are a tiny agg (broadcast
+    * back), the corpus pass is one narrow scan with map-side aggregation —
+    * the 100 TB corpus is never shuffled. */
+  val sampleMixtureBalance: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minC = counts.agg(min(col("n_lang")).as("m"))
+    val rates = counts.crossJoin(broadcast(minC))
+      .withColumn("thr",
+        floor(sqrt(col("m").cast("double") / col("n_lang").cast("double")) * 1000000.0).cast("long"))
+      .select(col("lang"), col("n_lang"), col("thr"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("keep", pmod(charFoldHash(col("text")), lit(1000000L)) < col("thr"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_lang")).as("n_docs"),
+        max(col("thr")).as("accept_ppm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+  }
+  val sampleMixtureBalanceSql =
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang),
+       |r AS (SELECT lang, n_lang,
+       |  CAST(floor(sqrt(CAST((SELECT min(n_lang) FROM c) AS DOUBLE) / CAST(n_lang AS DOUBLE)) * 1000000) AS BIGINT) AS thr
+       |  FROM c)
+       |SELECT d.lang, max(r.n_lang) AS n_docs, max(r.thr) AS accept_ppm,
+       |  CAST(sum(CASE WHEN (${charFoldHashSql("d.text")}) % 1000000 < r.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN (${charFoldHashSql("d.text")}) % 1000000 < r.thr THEN d.doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+       |FROM documents d JOIN r ON d.lang = r.lang
+       |GROUP BY d.lang""".stripMargin
+
   /** Prefix-duplicate detection: docs whose text is a strict-or-equal prefix
     * of another doc (truncated/extended near-copies — a dedup family LSH
     * misses when the suffix dominates the shingle set). Blocking key = hash
@@ -1120,6 +1158,7 @@ object TextOps {
     "decontaminate_bloom" -> (decontaminateBloom, Some(decontaminateBloomSql)),
     "bpe_pair_counts" -> (bpePairCounts, Some(bpePairCountsSql)),
     "sample_quality_weighted" -> (sampleQualityWeighted, Some(sampleQualityWeightedSql)),
+    "sample_mixture_balance" -> (sampleMixtureBalance, Some(sampleMixtureBalanceSql)),
     "dedup_prefix" -> (dedupPrefix, Some(dedupPrefixSql)),
     "text_block_dedup" -> (textBlockDedup, Some(textBlockDedupSql)),
     "text_bm25" -> (textBm25, Some(textBm25Sql)),
