@@ -154,21 +154,22 @@ object TextOps {
 
   /** MinHash signatures: k=8 permutations over word-3-gram shingle hashes.
     * Signature verified bit-for-bit against DuckDB — possible because the
-    * span hash is engine-portable. Shingle hashes come from the fused
-    * [[graft.functions.SpanHashes]] pass (tokenize + char-fold +
-    * window-fold in one compiled loop): no posexplode+lead window — the
-    * previous formulation's only full-corpus shuffle+sort — and no shingle
-    * STRINGS ever materialize. No per-doc distinct either: duplicated
-    * shingles produce identical transformed values, so min over the
-    * multiset IS min over the set. The groupBy gets map-side partial
-    * aggregation — the shape that scales. */
+    * span hash is engine-portable. The whole signature comes from ONE
+    * fused pass ([[graft.functions.MinHashSig]]: tokenize + char-fold +
+    * window-fold + k running minima in a single compiled loop): no shingle
+    * strings, no span array, no explode, and — unlike the previous
+    * explode+groupBy formulation — NO exchange at all: the plan is a
+    * narrow scan + projection (PlanPropertySpec pins it). Duplicated
+    * shingles are harmless: min over the multiset IS min over the set.
+    * Docs with fewer than 3 tokens have no shingles → NULL signature →
+    * filtered, matching the oracle's `WHERE len(hs) > 0`. */
   val dedupMinhash: Q = (s, dir) => {
-    val hashed = table(s, dir, "documents")
-      .select(col("doc_id"), explode(graft.functions.SpanHashes(col("text"), 3)).as("h"))
-    val sigCols = (0 until MinhashK).map { j =>
-      min((col("h") * lit(minhashA(j)) + lit(minhashB(j))) % lit(MinhashP)).as(s"sig$j")
-    }
-    hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sig = table(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), 3, MinhashK).as("sig"))
+      .filter(col("sig").isNotNull)
+    sig.select(col("doc_id") +:
+      (0 until MinhashK).map(j => col(s"sig.sig$j").as(s"sig$j")): _*)
   }
   val dedupMinhashSql = {
     val sigs = (0 until MinhashK).map { j =>

@@ -104,10 +104,11 @@ object Util {
       s"i -> list_reduce(list_slice(th, i, i + ${width - 1}), " +
       "(a, b) -> (a * 31 + b) % 1000000007))"
 
-  /** MinHash permutation parameters: k independent affine maps (a*h+b) mod P.
-    * Fixed odd multipliers/offsets; P = 1e9+7 (same in both engines). */
+  /** MinHash permutation parameters — single source of truth lives in
+    * [[graft.functions.MinHashSig]] (the fused signature expression);
+    * these delegates feed the DuckDB oracle SQL. */
   val MinhashK = 8
-  val MinhashP = 1000000007L
-  def minhashA(j: Int): Long = 2L * j + 3
-  def minhashB(j: Int): Long = 1000 * j + 7
+  val MinhashP: Long = graft.functions.MinHashSig.P
+  def minhashA(j: Int): Long = graft.functions.MinHashSig.a(j)
+  def minhashB(j: Int): Long = graft.functions.MinHashSig.b(j)
 }

@@ -352,6 +352,36 @@ class OperatorSpec extends SparkSpec {
     assert(analysisMsg("SELECT span_hashes('a b', 0)").contains(">= 1"))
   }
 
+  test("minhash sig: fused expression == explode+min over SpanHashes, incl. short docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"),                       // < 3 tokens: no shingles → absent
+      (3L, "x y z"),                     // exactly one shingle
+      (4L, "dup dup dup dup dup"),       // duplicated shingles
+      (5L, "")).toDF("doc_id", "text")
+    val k = 8
+    val fusedDf = docs.select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), 3, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +: (0 until k).map(j => col(s"sig.sig$j")): _*)
+    val exploded = docs
+      .select(col("doc_id"), explode(graft.functions.SpanHashes(col("text"), 3)).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min((col("h") * lit(graft.functions.MinHashSig.a(0)) +
+          lit(graft.functions.MinHashSig.b(0))) % lit(graft.functions.MinHashSig.P)),
+        (1 until k).map(j =>
+          min((col("h") * lit(graft.functions.MinHashSig.a(j)) +
+            lit(graft.functions.MinHashSig.b(j))) % lit(graft.functions.MinHashSig.P))): _*)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until k + 1).map(r.getLong).toList).sortBy(_.head).toList
+    assert(rows(fusedDf) == rows(exploded))
+    // docs 2 ("a b") and 5 ("" = one empty token) have < 3 tokens → no shingles
+    assert(rows(fusedDf).map(_.head) == List(1L, 3L, 4L))
+  }
+
   test("sweepManagedTables: deletes prefixed warehouse residue, rejects unsafe names") {
     val s = spark
     val wh = new java.io.File(s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))

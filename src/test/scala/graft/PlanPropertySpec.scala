@@ -68,12 +68,10 @@ class PlanPropertySpec extends SparkSpec {
     assert(shuffles(plan).isEmpty, s"expected no exchange:\n$plan")
   }
 
-  test("dedup_minhash: the span hashes cross ONE exchange as partial aggregates") {
+  test("dedup_minhash: fused signature = pure narrow scan, zero exchanges") {
     val plan = executed(query("dedup_minhash"))
-    val ex = shuffles(plan)
-    assert(ex.size == 1, s"expected exactly one exchange, got ${ex.size}:\n$plan")
-    val aggs = allNodes(plan).filter(_.getClass.getSimpleName.startsWith("HashAggregate"))
-    assert(aggs.size >= 2, "expected partial+final HashAggregate pair")
+    assert(shuffles(plan).isEmpty,
+      s"expected scan-only plan (MinHashSig fuses the signature):\n$plan")
   }
 
   test("j1 metadata join: all three levels broadcast, corpus side never shuffles") {
