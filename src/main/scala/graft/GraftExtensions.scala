@@ -72,6 +72,14 @@ object GraftExtensions {
           requireArity("span_hashes", args, 2)
           graft.functions.SpanHashes(args(0),
             foldableInt("span_hashes", "width", args(1)))
+        }),
+      (FunctionIdentifier("min_hash_sig"),
+        new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "min_hash_sig"),
+        (args: Seq[Expression]) => {
+          requireArity("min_hash_sig", args, 3)
+          graft.functions.MinHashSig(args(0),
+            foldableInt("min_hash_sig", "width", args(1)),
+            foldableInt("min_hash_sig", "k", args(2)))
         }))
 
   /** Imperative registration for an already-built session (tests, REPL). */
