@@ -15,7 +15,15 @@ libraryDependencies ++= Seq(
 // cache if present; the spec self-cancels when it is absent.
 val duckdbJdbcJars = Def.setting {
   val cache = file(sys.props("user.home")) / ".cache" / "coursier"
-  (cache ** "duckdb_jdbc-*.jar").get.map(Attributed.blank(_))
+  // keep ONLY the newest match: with two cached versions the winning driver
+  // class would be classpath-order-dependent (version ordered numerically)
+  def ver(f: File): (Int, Int, Int) = {
+    val ns = "\\d+".r.findAllIn(f.getName.stripPrefix("duckdb_jdbc-"))
+      .map(_.toInt).toList
+    (ns.headOption.getOrElse(0), ns.lift(1).getOrElse(0), ns.lift(2).getOrElse(0))
+  }
+  (cache ** "duckdb_jdbc-*.jar").get
+    .sortBy(ver).lastOption.toSeq.map(Attributed.blank(_))
 }
 Test / unmanagedJars ++= duckdbJdbcJars.value
 Runtime / unmanagedJars ++= duckdbJdbcJars.value

@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // process-private managed tables (see graft.core.EphemeralWarehouse)
+      .config("spark.sql.warehouse.dir", graft.core.EphemeralWarehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: touch every table (footer read + full scan) so per-query

@@ -11,6 +11,11 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Plan invariants (e.g. the bucketed join's zero-input-shuffle shape)
+    // are asserted inside the query paths under THIS session's config — a
+    // config/AQE drift that re-introduces an exchange fails the row loudly
+    // instead of silently regressing.
+    System.setProperty("graft.assertPlans", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,6 +24,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as ns-long (converted
       // to µs in graft.queries.Util.eventsWithTs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // per-process managed-table warehouse: concurrent sibling JVMs must
+      // never share (or sweep) each other's tables — see EphemeralWarehouse
+      .config("spark.sql.warehouse.dir", graft.core.EphemeralWarehouse.dir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

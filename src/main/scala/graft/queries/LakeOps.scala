@@ -21,14 +21,17 @@ object LakeOps {
     * The oracle computes the same aggregate straight from the source
     * parquet, proving the bucketed layout is lossless.
     *
-    * Hermetic by construction: table names carry a per-run nonce, so a
-    * stale warehouse directory from a prior session can never be read or
-    * collided with; `sweepManagedTables` bounds residue by deleting all
-    * previous runs' tables on entry. (The returned DataFrame is lazy, so
-    * the tables must outlive this call — cleanup happens on the NEXT run,
-    * not in a finally.) */
+    * Hermetic by construction: the warehouse dir is process-private
+    * ([[graft.core.EphemeralWarehouse]], deleted on JVM exit) and table
+    * names carry a per-run nonce, so neither a stale prior session nor a
+    * concurrently-running sibling JVM can collide with — or delete — these
+    * tables. (The returned DataFrame is lazy, so the tables must outlive
+    * this call; the shutdown hook is the cleanup.)
+    *
+    * Under `-Dgraft.assertPlans=true` (set by Verify) the zero-input-shuffle
+    * property is asserted in the SAME session configuration the driver
+    * runs — config/AQE drift that re-introduces an exchange fails loudly. */
   val joinBucketed: Q = (s, dir) => {
-    sweepManagedTables(s, "graft_b_")
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
     val oName = s"graft_b_o_$nonce"; val lName = s"graft_b_l_$nonce"
     table(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
@@ -38,12 +41,26 @@ object LakeOps {
       .select("l_orderkey", "l_extendedprice", "l_discount")
       .write.mode("overwrite").format("parquet")
       .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lName)
-    s.table(lName)
+    val out = s.table(lName)
       .join(s.table(oName), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
           .as("revenue_cents"))
+    if (sys.props.get("graft.assertPlans").contains("true")) {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exec = out.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+      // the final groupBy legitimately exchanges once; the bucketed JOIN
+      // INPUTS must contribute zero
+      require(shuffles.size <= 1,
+        s"bucketed join inputs must not shuffle (${shuffles.size} exchanges):\n$exec")
+    }
+    out
   }
   val joinBucketedSql =
     """SELECT o_orderpriority, count(*) AS n_lines,

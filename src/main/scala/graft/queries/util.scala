@@ -55,22 +55,6 @@ object Util {
     rm(new java.io.File(wh, id))
   }
 
-  /** Drop every managed table (catalog entry + warehouse directory) whose
-    * name starts with `prefix`. Nonce-named queries call this on entry so
-    * each run is hermetic — stale tables from prior sessions can neither
-    * collide (fresh nonce) nor accumulate (previous runs' residue is swept
-    * here). */
-  def sweepManagedTables(s: SparkSession, prefix: String): Unit = {
-    require(prefix.matches("[a-z0-9_]+"), s"unsafe table-name prefix: $prefix")
-    val wh = new java.io.File(
-      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-    val onDisk = Option(wh.listFiles()).toSeq.flatten.map(_.getName)
-    val inCatalog = s.catalog.listTables().collect().toSeq.map(_.name)
-    (onDisk ++ inCatalog).distinct
-      .filter(n => n.startsWith(prefix) && n.matches("[a-z0-9_]+"))
-      .foreach(freshManagedTable(s, _))
-  }
-
   /** Polynomial rolling hash over the characters of a string column:
     * fold(acc = 7; acc = (acc * 31 + code(char)) mod 1e9+7).
     * Implemented as a native codegen'd Catalyst expression

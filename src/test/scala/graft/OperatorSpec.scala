@@ -382,18 +382,15 @@ class OperatorSpec extends SparkSpec {
     assert(rows(fusedDf).map(_.head) == List(1L, 3L, 4L))
   }
 
-  test("sweepManagedTables: deletes prefixed warehouse residue, rejects unsafe names") {
+  test("warehouse: process-private dir under tmp; freshManagedTable rejects unsafe names") {
     val s = spark
-    val wh = new java.io.File(s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-    val stale = new java.io.File(wh, "graft_spec_sweep_stale")
-    stale.mkdirs()
-    new java.io.File(stale, "junk.parquet").createNewFile()
-    graft.queries.Util.sweepManagedTables(s, "graft_spec_sweep_")
-    assert(!stale.exists(), "stale prefixed residue must be deleted")
-    // both entry points recursively delete under the warehouse — a
+    // the spec session (like Verify/Bench) must use the per-process
+    // ephemeral warehouse — never a CWD spark-warehouse shared across JVMs
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    assert(wh == graft.core.EphemeralWarehouse.dir, s"unexpected warehouse: $wh")
+    assert(new java.io.File(wh).getName.startsWith("graft-wh-"))
+    // freshManagedTable recursively deletes under the warehouse — a
     // path-like name must never reach the filesystem
-    intercept[IllegalArgumentException](
-      graft.queries.Util.sweepManagedTables(s, "../evil"))
     intercept[IllegalArgumentException](
       graft.queries.Util.freshManagedTable(s, "bad/name"))
   }

@@ -33,5 +33,7 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // process-private managed tables (see graft.core.EphemeralWarehouse)
+    .config("spark.sql.warehouse.dir", graft.core.EphemeralWarehouse.dir)
     .getOrCreate()
 }
