@@ -47,12 +47,20 @@ object Multimodal {
   }
 
   /** Full kernel: WAV payloads decode for real (PCM sample RMS + header
-    * info); anything else takes the byte-level stub with zeroed audio fields. */
+    * info); FLAC payloads get a real STREAMINFO parse (sampling rate +
+    * exact duration, no sample decode — rms stays the byte-level stat);
+    * anything else takes the byte-level stub with zeroed audio fields. */
   def decodeKernel(bytes: Array[Byte]): (Int, Long, Int, Int, Double, Int, Double) = {
     val (n, ck, w, h, byteRms) = stubDecode(bytes)
     graft.functions.Wav.pcm16Rms(bytes) match {
       case Some((rms, sr, dur)) => (n, ck, w, h, rms, sr, dur)
-      case None                 => (n, ck, w, h, byteRms, 0, 0.0)
+      case None =>
+        graft.functions.Flac.parse(bytes) match {
+          case Some(fi) =>
+            (n, ck, w, h, byteRms, fi.sampleRate,
+              fi.totalSamples.toDouble / fi.sampleRate)
+          case None => (n, ck, w, h, byteRms, 0, 0.0)
+        }
     }
   }
 

@@ -64,6 +64,32 @@ object MultimodalOps {
       |             CAST(50 + doc_id % 64 AS INT) AS len
       |      FROM documents WHERE doc_id < 200)""".stripMargin
 
+  /** REAL FLAC STREAMINFO decode through the multimodal kernel: synthesize
+    * header-only FLAC payloads in-query (rate and total samples derived from
+    * doc_id), decode via mapPartitions, and verify the parsed rate and the
+    * exact duration = total_samples / rate. Integer header fields → the
+    * oracle recomputes bit-exactly (the double division is IEEE-identical
+    * in both engines, as in mm_decode_wav). */
+  val mmDecodeFlac: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("sr"),
+        (lit(1000) + (col("doc_id") * 37) % 100000).cast("long").as("total"))
+    val flac = docs.select(col("doc_id"),
+      graft.functions.Flac.synthUdf(col("sr"), col("total")).as("payload"))
+    Multimodal.decodeBinary(flac, "payload")
+      .select(col("doc_id"),
+        col("decoded.n_bytes").as("n_bytes"),
+        col("decoded.sampling_rate").as("sampling_rate"),
+        round(col("decoded.duration"), 6).as("duration"))
+  }
+  val mmDecodeFlacSql =
+    """SELECT doc_id, 42 AS n_bytes, sr AS sampling_rate,
+      |  round(CAST(total AS DOUBLE)/sr, 6) AS duration
+      |FROM (SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
+      |             CAST(1000 + (doc_id * 37) % 100000 AS BIGINT) AS total
+      |      FROM documents WHERE doc_id < 200)""".stripMargin
+
   /** Audio frame-energy segmentation over REAL PCM16 WAV payloads: per-doc
     * 16-sample frame |amplitude| sums, silent-frame count (sum below
     * 16·16384), and mean |sample| — the silence-detection / segmentation
@@ -113,6 +139,7 @@ object MultimodalOps {
   def defs: Map[String, (Q, Option[String])] = Map(
     "mm_decode" -> (mmDecode, Some(mmDecodeSql)),
     "mm_decode_wav" -> (mmDecodeWav, Some(mmDecodeWavSql)),
+    "mm_decode_flac" -> (mmDecodeFlac, Some(mmDecodeFlacSql)),
     "audio_frame_energy" -> (audioFrameEnergy, Some(audioFrameEnergySql)),
     "mm_frame_sample" -> (mmFrameSample, Some(mmFrameSampleSql)),
   )

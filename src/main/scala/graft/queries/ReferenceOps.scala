@@ -62,6 +62,40 @@ object ReferenceOps {
     """SELECT doc_id, source || '/' || doc_id || '.wav' AS relpath FROM documents
       |WHERE source || '/' || doc_id || '.wav' <> 'src0/0.wav'""".stripMargin
 
+  /** F2: symlink exclusion (reference: src/main.rs:664 — WalkDir NoSymlink).
+    * Stages a corpus under a fresh tmp root derived from `documents`
+    * (doc_id < 32): for each doc a REAL file `real/f{id}.wav`, plus three
+    * symlink routes that must all be dropped — a symlinked sibling file
+    * (`link_f{id}.wav`), a second route through a symlinked DIRECTORY
+    * (`linkdir/f{id}.wav`), and a link escaping the root (`ext.wav`). The
+    * scan with `excludeSymlinks = true` must keep exactly the real paths,
+    * which the oracle recomputes from `documents`. Fixture staging is
+    * driver-side by construction (32 tiny files per process). */
+  val f2Symlink: Q = (s, dir) => {
+    import java.nio.file.{Files, Paths}
+    val ids = table(s, dir, "documents").filter(col("doc_id") < 32)
+      .select(col("doc_id")).collect()
+      .map(_.get(0).asInstanceOf[Number].longValue()).sorted
+    val root = Files.createTempDirectory("graft-f2-")
+    val real = Files.createDirectory(root.resolve("real"))
+    val outside = Files.createTempDirectory("graft-f2-outside-")
+    val extTarget = outside.resolve("x.wav")
+    Files.write(extTarget, "RIFFoutside".getBytes)
+    ids.foreach { id =>
+      val f = real.resolve(s"f$id.wav")
+      Files.write(f, s"RIFF$id".getBytes)
+      if (id % 4 == 0)
+        Files.createSymbolicLink(root.resolve(s"link_f$id.wav"), f)
+    }
+    Files.createSymbolicLink(root.resolve("linkdir"), real)
+    Files.createSymbolicLink(root.resolve("ext.wav"), extTarget)
+    graft.sources.AudioScan
+      .scan(s, root.toString, excludeSymlinks = true)
+      .select(col("relative_path"))
+  }
+  val f2SymlinkSql =
+    "SELECT 'real/f' || doc_id || '.wav' AS relative_path FROM documents WHERE doc_id < 32"
+
   /** F5: MIME sniffing semantics over synthetic magic-byte payloads. Each doc
     * takes one of 6 deterministic headers; the sniffer must classify them and
     * keep only allow-listed audio (reference: src/main.rs:97-110, 695-707). */
@@ -230,6 +264,7 @@ object ReferenceOps {
     "p1_path_normalize" -> (p1PathNormalize, Some(p1PathNormalizeSql)),
     "f3_depth_filter" -> (f3DepthFilter, Some(f3DepthFilterSql)),
     "f4_exclusion" -> (f4Exclusion, Some(f4ExclusionSql)),
+    "f2_symlink" -> (f2Symlink, Some(f2SymlinkSql)),
     "f5_mime_sniff" -> (f5MimeSniff, Some(f5MimeSniffSql)),
     "p5_wav_parse" -> (p5WavParse, Some(p5WavParseSql)),
     "p7_string_coercion" -> (p7StringCoercion, Some(p7StringCoercionSql)),

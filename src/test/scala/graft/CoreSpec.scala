@@ -41,6 +41,27 @@ class CoreSpec extends AnyFunSuite {
     assert(Wav.parse(truncated) == Wav.WavInfo(0.0, 0))
   }
 
+  test("flac streaminfo: synth round-trip, incl. 36-bit totals and edge rates") {
+    import graft.functions.Flac
+    for ((sr, total) <- Seq((8000, 1000L), (44100, 123456L), (96000, 0L),
+                            (192000, (1L << 35) + 7))) {
+      val info = Flac.parse(Flac.synthFlacHeader(sr, total))
+      assert(info.contains(Flac.FlacInfo(sr, 1, 16, total)), s"sr=$sr total=$total")
+    }
+  }
+
+  test("flac streaminfo: non-FLAC, corrupt, and WAV bytes → None") {
+    import graft.functions.Flac
+    assert(Flac.parse(Array[Byte]()).isEmpty)
+    assert(Flac.parse(null).isEmpty)
+    assert(Flac.parse("fLaCbut way too short".getBytes).isEmpty)
+    assert(Flac.parse(Wav.synthWav(16000, 100)).isEmpty)
+    // wrong first-block type must not parse (STREAMINFO is required first)
+    val b = Flac.synthFlacHeader(16000, 100)
+    b(4) = 0x84.toByte // type 4 = VORBIS_COMMENT
+    assert(Flac.parse(b).isEmpty)
+  }
+
   test("metadata type lattice: merge semantics") {
     assert(MFloat64.merge(MFloat64) == MFloat64)
     assert(MBool.merge(MFloat64) == MString)
