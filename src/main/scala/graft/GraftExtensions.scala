@@ -47,8 +47,13 @@ object GraftExtensions {
           (if (other == null) "NULL" else s"${e.dataType.sql} ($other)"))
     }
     // range-check here too: a raw require() from the expression's
-    // constructor would otherwise escape the builder un-wrapped
+    // constructor would otherwise escape the builder un-wrapped.
+    // Upper bound: these parameters size per-row work and struct width
+    // (min_hash_sig builds a k-field struct and does O(k) per shingle) — an
+    // unbounded SQL literal like k = 100000000 would hang or OOM execution
+    // from a single query string. 1024 is far above any real signature.
     if (v < 1) analysisError(s"$name: $arg must be >= 1, got $v")
+    if (v > 1024) analysisError(s"$name: $arg must be <= 1024, got $v")
     v
   }
 

@@ -80,15 +80,14 @@ object SinkOps {
       System.getProperty("java.io.tmpdir"),
       "graft-duck-" + dir.replaceAll("[^a-zA-Z0-9.]", "_"))
     val metaF = new java.io.File(base, "metadata.jsonl")
-    val doneMark = new java.io.File(base, s"_meta_$NDocs")
-    if (!doneMark.exists()) {
-      base.mkdirs()
-      val lines = (0 until NDocs).map { id =>
-        s"""{"file_name":"doc$id.wav","transcription":"t$id","tags":["doc$id","x"]}"""
-      }
-      java.nio.file.Files.write(metaF.toPath, lines.mkString("\n").getBytes("UTF-8"))
-      doneMark.createNewFile(): Unit
+    // always rewrite: it is ~NDocs tiny lines, and a done-mark keyed on
+    // anything less than the full content would silently serve a stale
+    // sidecar from tmp after a template change
+    base.mkdirs()
+    val lines = (0 until NDocs).map { id =>
+      s"""{"file_name":"doc$id.wav","transcription":"t$id","tags":["doc$id","x"]}"""
     }
+    java.nio.file.Files.write(metaF.toPath, lines.mkString("\n").getBytes("UTF-8"))
     (in, metaF.getAbsolutePath, new java.io.File(base, "out").getAbsolutePath)
   }
 

@@ -350,6 +350,10 @@ class OperatorSpec extends SparkSpec {
     assert(analysisMsg("SELECT char_fold_hash('a', 'b')").contains("exactly 1"))
     // range too: SpanHashes' own require() must not escape the builder raw
     assert(analysisMsg("SELECT span_hashes('a b', 0)").contains(">= 1"))
+    // upper bound: k sizes a struct and O(k)-per-shingle work — a huge SQL
+    // literal must fail analysis, not hang/OOM execution
+    assert(analysisMsg("SELECT min_hash_sig('a b c', 3, 100000000)").contains("<= 1024"))
+    assert(analysisMsg("SELECT span_hashes('a b', 100000)").contains("<= 1024"))
   }
 
   test("minhash sig: fused expression == explode+min over SpanHashes, incl. short docs") {
