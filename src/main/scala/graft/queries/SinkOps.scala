@@ -227,12 +227,37 @@ object SinkOps {
     * entries' state tiny-per-store while quartering the startup floor. At
     * real scale this knob is sized to state volume, not driver cores — the
     * operators themselves are unchanged. */
-  private def withStreamParallelism[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    val n = math.min(8, prev.toInt)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+  /** Await an availableNow query; under `-Dgraft.streamDebug=true` dump each
+    * micro-batch's duration breakdown (addBatch/getBatch/commit/state ms) —
+    * the floor-profiling aid for the streaming entries. */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    if (sys.props.get("graft.streamDebug").contains("true"))
+      q.recentProgress.foreach { p =>
+        // scalastyle:off println
+        println(s"[streamDebug] ${q.name} batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs} stateRows=${p.stateOperators.map(_.numRowsTotal).mkString(",")}")
+        // scalastyle:on println
+      }
+  }
+
+  /** @param needsWatermarkFlush false for entries whose results do NOT
+    *   depend on a final watermark-advancing micro-batch — eager inner
+    *   joins and update-mode aggregations emit within the data batch, so
+    *   the ~1 s no-data batch (state-store open/commit across every store,
+    *   zero rows) is pure overhead and is disabled for them. Append-mode
+    *   windowed/session/stateful entries MUST keep it: their results only
+    *   flush when the watermark passes the window end. */
+  private def withStreamParallelism[T](s: SparkSession,
+                                       needsWatermarkFlush: Boolean = true)(body: => T): T = {
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    val prev = keys.map(k => k -> s.conf.get(k))
+    val n = math.min(sys.props.getOrElse("graft.streamParts", "8").toInt,
+      s.conf.get(keys.head).toInt)
+    s.conf.set(keys.head, n.toString)
+    s.conf.set(keys(1), needsWatermarkFlush.toString)
+    try body finally prev.foreach { case (k, v) => s.conf.set(k, v) }
   }
 
   val eventsTumblingStream: Q = (s, dir) => withStreamParallelism(s) {
@@ -249,7 +274,7 @@ object SinkOps {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    drain(q)
     s.read.parquet(outDir)
       .filter(col("event_type") =!= "sentinel")
       .select(unix_timestamp(col("hour")).as("hour_epoch"), col("event_type"), col("n"))
@@ -279,7 +304,7 @@ object SinkOps {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    drain(q)
     s.read.parquet(outDir)
       .filter(col("event_type") =!= "sentinel")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -311,7 +336,7 @@ object SinkOps {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    drain(q)
     s.read.parquet(outDir)
       .filter(col("user_id") =!= -1L) // the sentinel's own never-closed state
       .select(col("user_id"), col("start_us"), col("n_events").cast("long").as("n_events"),
@@ -344,7 +369,7 @@ object SinkOps {
     * value) is genuinely exercised; the oracle is the plain batch GROUP
     * BY. Unwatermarked agg state is bounded by key cardinality (event
     * types), the right trade for a low-cardinality serving view. */
-  val streamUpsertMv: Q = (s, dir) => withStreamParallelism(s) {
+  val streamUpsertMv: Q = (s, dir) => withStreamParallelism(s, needsWatermarkFlush = false) {
     val evDir = stagedEventsDir(s, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-mv")
     cleanupAtExit(tmp)
@@ -362,7 +387,7 @@ object SinkOps {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    drain(q)
     graft.streaming.EventStream.materializeLatest(s.read.parquet(logDir))
       .filter(col("event_type") =!= "sentinel")
       .select(col("event_type"), col("n"), (col("cents") / 100.0).as("total"))
@@ -379,7 +404,7 @@ object SinkOps {
     * state stores at the horizon). Inner-join matches emit eagerly, so
     * availableNow drains every pair; the oracle is the equivalent batch
     * join. Raw value pass-through (no accumulation) — float-exact. */
-  val eventsCorrelateStream: Q = (s, dir) => withStreamParallelism(s) {
+  val eventsCorrelateStream: Q = (s, dir) => withStreamParallelism(s, needsWatermarkFlush = false) {
     val clickDir = stagedEventsDir(s, dir, onlyType = Some("click"))
     val viewDir = stagedEventsDir(s, dir, onlyType = Some("view"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-corr")
@@ -397,7 +422,7 @@ object SinkOps {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    drain(q)
     s.read.parquet(outDir)
   }
   val eventsCorrelateStreamSql =
@@ -438,7 +463,7 @@ object SinkOps {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    drain(q)
     s.read.parquet(outDir)
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"), col("start_us"), col("n_events"),
