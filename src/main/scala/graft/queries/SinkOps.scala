@@ -290,8 +290,10 @@ object SinkOps {
     * TWICE (two parquet copies) plus the watermark sentinel; the stream must
     * emit each event exactly ONCE, and the oracle is simply the events
     * table. Duplicates are full-row identical, so whichever copy survives,
-    * the output is byte-identical — no ordering sensitivity. */
-  val eventsDedupStream: Q = (s, dir) => withStreamParallelism(s) {
+    * the output is byte-identical — no ordering sensitivity. Emission is
+    * immediate (the watermark only bounds dedup STATE, never delays
+    * output), so the watermark-flush no-data batch is skipped. */
+  val eventsDedupStream: Q = (s, dir) => withStreamParallelism(s, needsWatermarkFlush = false) {
     val evDir = stagedEventsDir(s, dir, duplicate = true)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
     cleanupAtExit(tmp)
