@@ -1149,7 +1149,57 @@ object TextOps {
     """SELECT DISTINCT doc_id FROM documents
       |WHERE ' ' || text || ' ' LIKE '% hash join %'""".stripMargin
 
+  /** End-to-end corpus-curation composition — the "whole pipeline" a
+    * training-data user runs as ONE declarative plan: language-ID filter →
+    * Gopher-style quality rules → exact dedup (keep-lowest per identical
+    * text) → deterministic content-hash sampling. All pre-dedup stages are
+    * narrow transforms that fuse into a single scan stage; the dedup window
+    * on the text fingerprint is the only shuffle, and the sample filter is
+    * hash-deterministic (no RNG — reproducible at any parallelism). Shows
+    * the individually-gated operators COMPOSE without extra exchanges. */
+  val pipelineQualityFilter: Q = (s, dir) => {
+    val toks = split(col("text"), " ")
+    val kept = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        toks.as("toks"), size(toks).as("n_words"))
+      .withColumn("mean_word_len",
+        round((length(col("text")) - col("n_words") + 1).cast("double") / col("n_words"), 4))
+      .withColumn("alpha_frac",
+        round(size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") / col("n_words"), 4))
+      .filter( // language-ID: en markers strictly beat db markers
+        size(filter(col("toks"), t => t.isin("the", "a", "fast"))) >
+          size(filter(col("toks"), t => t.isin("data", "table", "row"))))
+      .filter( // Gopher rules (same thresholds as text_gopher)
+        col("n_words").between(5, 100000) && col("mean_word_len").between(2.0, 12.0) &&
+          col("alpha_frac") >= 0.8 &&
+          size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "to"))) >= 1)
+      .withColumn("fp", charFoldHash(col("text")))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("fp") % 10 < 7) // deterministic 70% content-hash sample
+      .select(col("doc_id"), col("source"), col("n_words"), col("fp"))
+  }
+  val pipelineQualityFilterSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, text, len(toks) AS n_words,
+       |    round(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 4) AS mean_word_len,
+       |    round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks), 4) AS alpha_frac,
+       |    len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS stop_hits,
+       |    len(list_filter(toks, t -> t IN ('the','a','fast'))) AS en_score,
+       |    len(list_filter(toks, t -> t IN ('data','table','row'))) AS db_score
+       |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents)),
+       |kept AS (
+       |  SELECT doc_id, source, n_words, ${charFoldHashSql("text")} AS fp
+       |  FROM scored
+       |  WHERE en_score > db_score AND n_words BETWEEN 5 AND 100000
+       |    AND mean_word_len BETWEEN 2.0 AND 12.0 AND alpha_frac >= 0.8 AND stop_hits >= 1),
+       |deduped AS (
+       |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept)
+       |  WHERE rn = 1)
+       |SELECT doc_id, source, n_words, fp FROM deduped WHERE fp % 10 < 7""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "pipeline_quality_filter" -> (pipelineQualityFilter, Some(pipelineQualityFilterSql)),
     "phrase_search" -> (phraseSearch, Some(phraseSearchSql)),
     "link_fuzzy_edit" -> (linkFuzzyEdit, Some(linkFuzzyEditSql)),
     "pack_sequences" -> (packSequences, Some(packSequencesSql)),

@@ -560,6 +560,87 @@ object VectorOps {
       .replace("SUMS", sums).replace("[MEANS]", "[" + means + "]")
   }
 
+  /** SemDeDup-shaped semantic dedup: k-means cluster the embeddings, then
+    * look for near-duplicates ONLY within each cluster — the blocking that
+    * makes embedding dedup tractable at corpus scale (candidates ∝ n²/K and
+    * K grows with n, vs. the LSH-banded blocking of `dedup_embedding`).
+    * Assignment runs on quantized int64 coordinates (one refinement round,
+    * integer centroid means — engine-portable exactly like
+    * `kmeans_quantized`); the in-cluster verify computes exact double
+    * cosine. A vector is dropped when a LOWER-id vector in its cluster has
+    * cosine above the threshold (deterministic keep-lowest representative);
+    * output is the dropped set with its representative and the max
+    * duplicate cosine. */
+  val dedupSemantic: Q = (s, dir) => {
+    val K = 64
+    val Tau = 0.3
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000.0)).cast("long") + lit(10000000L)).as("q"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    def assign(cents: DataFrame): DataFrame = emb.select(col("vec_id"), col("q"))
+      .join(broadcast(cents.select(col("cid"), col("c"))), lit(true))
+      .withColumn("d2", aggregate(zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"), first(col("q")).as("q"))
+      .select(col("vec_id"), col("q"), col("best.cid").as("cid"))
+    val dims = 0 until 64
+    val init = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("q").as("c"))
+    val cents1 = assign(init)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        dims.map(i => sum(element_at(col("q"), i + 1)).as(s"s$i")): _*)
+      .select(col("cid"), array(dims.map(i => expr(s"s$i div n")): _*).as("c"))
+    val asg = assign(cents1)
+      .join(emb.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+    val a = asg.select(col("cid"), col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = asg.select(col("cid"), col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, Seq("cid")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cos") > Tau)
+      .groupBy(col("b_id").as("vec_id"), col("cid"))
+      .agg(min(col("a_id")).as("dup_of"), round(max(col("cos")), 4).as("max_cosine"))
+  }
+  val dedupSemanticSql = {
+    val sums = (0 until 64).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")
+    val means = (0 until 64).map(i => s"s$i // n").mkString(", ")
+    """WITH emb AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 10000000) AS q,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, q AS c FROM emb WHERE vec_id < 64),
+      |a1 AS (SELECT vec_id, q, cid FROM (
+      |  SELECT e.vec_id, e.q, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(e.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rk
+      |  FROM emb e, c0 c) WHERE rk = 1),
+      |s1 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n, SUMS FROM a1 GROUP BY cid),
+      |c1 AS (SELECT cid, [MEANS] AS c FROM s1),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |  SELECT e.vec_id, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(e.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rk
+      |  FROM emb e, c1 c) WHERE rk = 1)
+      |SELECT b.vec_id AS vec_id, a.cid AS cid, min(a.vec_id) AS dup_of,
+      |  round(max(list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1]*p[2]))
+      |    / (ea.nrm * eb.nrm)), 4) AS max_cosine
+      |FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |JOIN emb ea ON ea.vec_id = a.vec_id
+      |JOIN emb eb ON eb.vec_id = b.vec_id
+      |WHERE list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1]*p[2]))
+      |  / (ea.nrm * eb.nrm) > 0.3
+      |GROUP BY b.vec_id, a.cid""".stripMargin
+      .replace("SUMS", sums).replace("[MEANS]", "[" + means + "]")
+  }
+
   /** Higher-order array functions over the embedding column — transform /
     * filter / aggregate / zip_with / array_position, the codegen'd
     * `functions._` kernels a vector pipeline composes instead of UDFs.
@@ -601,6 +682,7 @@ object VectorOps {
     "ann_ivf_topk" -> (annIvfTopk, Some(annIvfTopkSql)),
     "ann_brute_cosine" -> (annBruteCosine, Some(annBruteCosineSql)),
     "dedup_embedding" -> (dedupEmbedding, Some(dedupEmbeddingSql)),
+    "dedup_semantic" -> (dedupSemantic, Some(dedupSemanticSql)),
     "ann_lsh_buckets" -> (annLshBuckets, Some(annLshBucketsSql)),
     "ivf_centroid_residuals" -> (ivfCentroidResiduals, Some(ivfCentroidResidualsSql)),
   )

@@ -59,7 +59,8 @@ class EmptyInputSpec extends SparkSpec {
       "bpe_pair_counts" -> TextOps.bpePairCounts,
       "sample_quality_weighted" -> TextOps.sampleQualityWeighted,
       "link_fuzzy_edit" -> TextOps.linkFuzzyEdit,
-      "phrase_search" -> TextOps.phraseSearch)
+      "phrase_search" -> TextOps.phraseSearch,
+      "pipeline_quality_filter" -> TextOps.pipelineQualityFilter)
     ops.foreach { case (name, q) =>
       assert(q(spark, emptyDir).count() == 0, s"$name not empty-safe")
     }
@@ -100,6 +101,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(VectorOps.kmeansQuantized(spark, emptyDir).count() == 0)
     assert(VectorOps.arrayHof(spark, emptyDir).count() == 0)
     assert(VectorOps.dedupEmbedding(spark, emptyDir).count() == 0)
+    assert(VectorOps.dedupSemantic(spark, emptyDir).count() == 0)
     assert(VectorOps.annIvfTopk(spark, emptyDir).count() == 0)
     assert(graft.operators.ConnectedComponents.run(
       spark.range(0).select(col("id")),

@@ -74,6 +74,12 @@ class PlanPropertySpec extends SparkSpec {
       s"expected scan-only plan (MinHashSig fuses the signature):\n$plan")
   }
 
+  test("pipeline_quality_filter: all pre-dedup stages fuse; exactly one exchange") {
+    val plan = executed(query("pipeline_quality_filter"))
+    assert(shuffles(plan).size == 1,
+      s"language+quality+sample must fuse around ONE dedup exchange:\n$plan")
+  }
+
   test("j1 metadata join: all three levels broadcast, corpus side never shuffles") {
     val plan = executed(query("j1_priority_join"))
     assert(shuffles(plan).isEmpty,
