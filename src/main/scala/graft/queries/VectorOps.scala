@@ -561,16 +561,23 @@ object VectorOps {
   }
 
   /** SemDeDup-shaped semantic dedup: k-means cluster the embeddings, then
-    * look for near-duplicates ONLY within each cluster — the blocking that
-    * makes embedding dedup tractable at corpus scale (candidates ∝ n²/K and
-    * K grows with n, vs. the LSH-banded blocking of `dedup_embedding`).
+    * look for near-duplicates ONLY within each cluster, with the banded
+    * sign-LSH as a SECOND blocking layer inside the cluster — the hybrid
+    * that keeps candidates ∝ collision pairs at any cluster size (a bare
+    * within-cluster pairwise would be n²/K and blow up the 100× ScaleGen
+    * run the way the first 8-bit dedup_embedding cut did; SCALING.md).
+    * Effective buckets per band = K·2^SemBits = 64·64 = 4096 — the SAME
+    * uniform-data collision bound (~n²/4096 per band) as dedup_embedding's
+    * measured 100×-safe 12-bit knob, just factored as cluster × sub-band.
     * Assignment runs on quantized int64 coordinates (one refinement round,
-    * integer centroid means — engine-portable exactly like
-    * `kmeans_quantized`); the in-cluster verify computes exact double
-    * cosine. A vector is dropped when a LOWER-id vector in its cluster has
-    * cosine above the threshold (deterministic keep-lowest representative);
-    * output is the dropped set with its representative and the max
-    * duplicate cosine. */
+    * integer centroid means, K=64 centroids broadcast — engine-portable
+    * exactly like `kmeans_quantized`); candidates share (cluster, band,
+    * bucket); the verify computes exact double cosine. A vector is dropped
+    * when a LOWER-id candidate in its cluster has cosine above the
+    * threshold (deterministic keep-lowest representative); output is the
+    * dropped set with its representative and the max duplicate cosine. */
+  val SemBands = 8
+  val SemBits = 6
   val dedupSemantic: Q = (s, dir) => {
     val K = 64
     val Tau = 0.3
@@ -597,9 +604,27 @@ object VectorOps {
       .select(col("cid"), array(dims.map(i => expr(s"s$i div n")): _*).as("c"))
     val asg = assign(cents1)
       .join(emb.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
-    val a = asg.select(col("cid"), col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-    val b = asg.select(col("cid"), col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
-    a.join(b, Seq("cid")).filter(col("a_id") < col("b_id"))
+    // in-cluster bands are WIDER than dedup_embedding's (6 bits, 8 bands):
+    // the cluster already blocks the space, so the second layer trades
+    // selectivity for recall while candidates stay ∝ bucket collisions
+    def bucket(b: Int): Column = (0 until SemBits).map { j =>
+      val (i1, i2) = contrastDims(SemBits * b + j)
+      when(element_at(col("v"), i1) - element_at(col("v"), i2) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val banded = asg.select(col("cid"), col("vec_id"),
+        explode(array((0 until SemBands).map(b =>
+          struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
+      .select(col("cid"), col("vec_id"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.select(col("cid"), col("band"), col("bucket"), col("vec_id").as("a_id"))
+      .join(banded.select(col("cid"), col("band"), col("bucket"), col("vec_id").as("b_id")),
+        Seq("cid", "band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("cid", "a_id", "b_id").distinct()
+    cand
+      .join(asg.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an")), Seq("a_id"))
+      .join(asg.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")), Seq("b_id"))
       .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cos") > Tau)
       .groupBy(col("b_id").as("vec_id"), col("cid"))
@@ -608,6 +633,14 @@ object VectorOps {
   val dedupSemanticSql = {
     val sums = (0 until 64).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")
     val means = (0 until 64).map(i => s"s$i // n").mkString(", ")
+    val bands = (0 until SemBands).map { b =>
+      val bits = (0 until SemBits).map { j =>
+        val (i1, i2) = contrastDims(SemBits * b + j)
+        s"CASE WHEN e.v[$i1] - e.v[$i2] > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT a2.cid, a2.vec_id, $b AS band, CAST($bits AS BIGINT) AS bucket " +
+        "FROM a2 JOIN emb e ON e.vec_id = a2.vec_id"
+    }.mkString("\nUNION ALL\n")
     """WITH emb AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
@@ -628,17 +661,24 @@ object VectorOps {
       |  SELECT e.vec_id, c.cid,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      list_sum(list_transform(list_zip(e.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rk
-      |  FROM emb e, c1 c) WHERE rk = 1)
-      |SELECT b.vec_id AS vec_id, a.cid AS cid, min(a.vec_id) AS dup_of,
+      |  FROM emb e, c1 c) WHERE rk = 1),
+      |sig AS (
+      |BANDS),
+      |cand AS (
+      |  SELECT DISTINCT a.cid, a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM sig a JOIN sig b ON a.cid = b.cid AND a.band = b.band
+      |    AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT cand.b_id AS vec_id, cand.cid AS cid, min(cand.a_id) AS dup_of,
       |  round(max(list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1]*p[2]))
       |    / (ea.nrm * eb.nrm)), 4) AS max_cosine
-      |FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-      |JOIN emb ea ON ea.vec_id = a.vec_id
-      |JOIN emb eb ON eb.vec_id = b.vec_id
+      |FROM cand
+      |JOIN emb ea ON ea.vec_id = cand.a_id
+      |JOIN emb eb ON eb.vec_id = cand.b_id
       |WHERE list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1]*p[2]))
       |  / (ea.nrm * eb.nrm) > 0.3
-      |GROUP BY b.vec_id, a.cid""".stripMargin
+      |GROUP BY cand.b_id, cand.cid""".stripMargin
       .replace("SUMS", sums).replace("[MEANS]", "[" + means + "]")
+      .replace("BANDS", bands)
   }
 
   /** Higher-order array functions over the embedding column — transform /
