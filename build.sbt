@@ -29,6 +29,17 @@ Test / unmanagedJars ++= duckdbJdbcJars.value
 Runtime / unmanagedJars ++= duckdbJdbcJars.value
 Test / fork := true
 run / fork := true
+// The driver parses the TAIL of `sbt "runMain graft.Bench"` output for the
+// one-line metric JSON (BENCH_r{N}.json "parsed" was null r1-r8). Two sbt
+// artifacts broke it: the logger's "[info] "/"[error] " prefixes on every
+// forked-process line, and the "[success] Total time: ..." trailer printed
+// AFTER the metric line. StdoutOutput passes the forked JVM's stdout/stderr
+// through verbatim (no prefixes), and showSuccess drops the trailer — so the
+// metric line Bench prints last is the literal last line of output.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// (showSuccess IS consumed — by the command engine, which lintUnused can't see)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -139,6 +139,9 @@ object Bench {
     val line = s"""{"metric":"total","value":${ms(medTotal)},"unit":"sec"""" +
       s""","queries":${dict(headline)},"median_over":${history.size}""" +
       s""","n_queries":${results.size},"full_record":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
+    // Belt and braces for the driver's tail parse: the same line also goes
+    // to a FIXED file, immune to anything the log stream interleaves.
+    write(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)

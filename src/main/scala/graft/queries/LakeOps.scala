@@ -30,7 +30,15 @@ object LakeOps {
     *
     * Under `-Dgraft.assertPlans=true` (set by Verify) the zero-input-shuffle
     * property is asserted in the SAME session configuration the driver
-    * runs — config/AQE drift that re-introduces an exchange fails loudly. */
+    * runs — config/AQE drift that re-introduces an exchange fails loudly.
+    *
+    * The EMITTED rows are computed straight from the immutable source
+    * parquet; the bucketed-table aggregate is executed alongside and
+    * `require`d bit-equal in-process. The layout-losslessness property is
+    * therefore still exercised on every run, but the values the driver
+    * hashes no longer transit mutable scratch disk (managed tables written
+    * and re-read mid-verify) — the one thing that distinguished this query
+    * from the rest of the surface during the r4-r8 driver-only hash reds. */
   val joinBucketed: Q = (s, dir) => {
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
     val oName = s"graft_b_o_$nonce"; val lName = s"graft_b_l_$nonce"
@@ -41,16 +49,17 @@ object LakeOps {
       .select("l_orderkey", "l_extendedprice", "l_discount")
       .write.mode("overwrite").format("parquet")
       .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lName)
-    val out = s.table(lName)
-      .join(s.table(oName), col("l_orderkey") === col("o_orderkey"))
+    def aggregate(l: DataFrame, o: DataFrame): DataFrame = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
           .as("revenue_cents"))
+    val bucketed = aggregate(s.table(lName), s.table(oName))
     if (sys.props.get("graft.assertPlans").contains("true")) {
       import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      val exec = out.queryExecution.executedPlan match {
+      val exec = bucketed.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
@@ -60,7 +69,19 @@ object LakeOps {
       require(shuffles.size <= 1,
         s"bucketed join inputs must not shuffle (${shuffles.size} exchanges):\n$exec")
     }
-    out
+    val fromSource = aggregate(
+      table(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      table(s, dir, "orders").filter(col("o_orderkey") % 4 === 0))
+    // Losslessness gate: 5 priority rows per side — the collect is constant-
+    // size at any data scale (group count is bounded by the key domain).
+    def rows(df: DataFrame): Seq[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    val (b, src) = (rows(bucketed), rows(fromSource))
+    require(b == src,
+      s"bucketed layout lost rows: bucketed=$b source=$src")
+    fromSource
   }
   val joinBucketedSql =
     """SELECT o_orderpriority, count(*) AS n_lines,

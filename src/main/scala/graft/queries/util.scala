@@ -29,6 +29,12 @@ object Util {
         // floor(ts / 1000) would be off by up to 1 µs
         df.withColumn("ts_us", expr("ts div 1000"))
           .withColumn("ts", timestamp_micros(col("ts_us")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // some SF dirs carry µs-precision NTZ timestamps; the session tz is
+        // pinned UTC, so the NTZ→TZ cast is the identity DuckDB's naive
+        // epoch_us applies
+        df.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_us", unix_micros(col("ts")))
       case _ =>
         df.withColumn("ts_us", unix_micros(col("ts")))
     }
