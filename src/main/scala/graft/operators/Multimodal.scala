@@ -47,21 +47,37 @@ object Multimodal {
   }
 
   /** Full kernel: WAV payloads decode for real (PCM sample RMS + header
-    * info); FLAC payloads get a real STREAMINFO parse (sampling rate +
-    * exact duration, no sample decode — rms stays the byte-level stat);
-    * anything else takes the byte-level stub with zeroed audio fields. */
+    * info); FLAC payloads get a real STREAMINFO parse, OGG/Vorbis a real
+    * page + identification-header parse, MP3 a real frame-chain walk
+    * (sampling rate + exact duration each, no sample decode — rms stays
+    * the byte-level stat); anything else takes the byte-level stub with
+    * zeroed audio fields. Covers every audio family in the ported 12-type
+    * MIME allow-list that has a deterministic header story. */
   def decodeKernel(bytes: Array[Byte]): (Int, Long, Int, Int, Double, Int, Double) = {
     val (n, ck, w, h, byteRms) = stubDecode(bytes)
     graft.functions.Wav.pcm16Rms(bytes) match {
-      case Some((rms, sr, dur)) => (n, ck, w, h, rms, sr, dur)
-      case None =>
-        graft.functions.Flac.parse(bytes) match {
-          case Some(fi) =>
-            (n, ck, w, h, byteRms, fi.sampleRate,
-              fi.totalSamples.toDouble / fi.sampleRate)
-          case None => (n, ck, w, h, byteRms, 0, 0.0)
-        }
+      case Some((rms, sr, dur)) => return (n, ck, w, h, rms, sr, dur)
+      case None => ()
     }
+    graft.functions.Flac.parse(bytes) match {
+      case Some(fi) =>
+        return (n, ck, w, h, byteRms, fi.sampleRate,
+          fi.totalSamples.toDouble / fi.sampleRate)
+      case None => ()
+    }
+    graft.functions.Ogg.parse(bytes) match {
+      case Some(oi) =>
+        return (n, ck, w, h, byteRms, oi.sampleRate,
+          oi.totalSamples.toDouble / oi.sampleRate)
+      case None => ()
+    }
+    graft.functions.Mp3.parse(bytes) match {
+      case Some(mi) =>
+        return (n, ck, w, h, byteRms, mi.sampleRate,
+          mi.frames * 1152.0 / mi.sampleRate)
+      case None => ()
+    }
+    (n, ck, w, h, byteRms, 0, 0.0)
   }
 
   /** Decode a binary column batch-wise. Output: input columns + `decoded`

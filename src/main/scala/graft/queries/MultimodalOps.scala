@@ -90,6 +90,61 @@ object MultimodalOps {
       |             CAST(1000 + (doc_id * 37) % 100000 AS BIGINT) AS total
       |      FROM documents WHERE doc_id < 200)""".stripMargin
 
+  /** REAL OGG/Vorbis header decode through the multimodal kernel:
+    * synthesize header-only OGG payloads in-query (rate and total samples
+    * derived from doc_id), decode via mapPartitions, and verify the parsed
+    * rate and the exact duration = last-page granule / rate. Integer header
+    * fields → the oracle recomputes bit-exactly (fixture is always 85
+    * bytes: BOS page + Vorbis id header + empty EOS page). */
+  val mmDecodeOgg: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("sr"),
+        (lit(1000) + (col("doc_id") * 53) % 100000).cast("long").as("total"))
+    val ogg = docs.select(col("doc_id"),
+      graft.functions.Ogg.synthUdf(col("sr"), col("total")).as("payload"))
+    Multimodal.decodeBinary(ogg, "payload")
+      .select(col("doc_id"),
+        col("decoded.n_bytes").as("n_bytes"),
+        col("decoded.sampling_rate").as("sampling_rate"),
+        round(col("decoded.duration"), 6).as("duration"))
+  }
+  val mmDecodeOggSql =
+    """SELECT doc_id, 85 AS n_bytes, sr AS sampling_rate,
+      |  round(CAST(total AS DOUBLE)/sr, 6) AS duration
+      |FROM (SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
+      |             CAST(1000 + (doc_id * 53) % 100000 AS BIGINT) AS total
+      |      FROM documents WHERE doc_id < 200)""".stripMargin
+
+  /** REAL MP3 frame-chain decode through the multimodal kernel: synthesize
+    * mono 128 kbps MPEG-1 Layer III streams in-query (rate cycling the
+    * MPEG-1 table, frame count derived from doc_id), walk the chain via
+    * mapPartitions, and verify total bytes (n_frames · 144·128000/rate)
+    * and exact duration (n_frames · 1152 / rate) — the oracle recomputes
+    * both from the same integer parameters. */
+  val mmDecodeMp3: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        element_at(array(lit(44100), lit(48000), lit(32000)),
+          (col("doc_id") % 3 + 1).cast("int")).as("sr"),
+        (lit(1) + col("doc_id") % 40).cast("int").as("nf"))
+    val mp3 = docs.select(col("doc_id"),
+      graft.functions.Mp3.synthUdf(col("sr"), col("nf")).as("payload"))
+    Multimodal.decodeBinary(mp3, "payload")
+      .select(col("doc_id"),
+        col("decoded.n_bytes").as("n_bytes"),
+        col("decoded.sampling_rate").as("sampling_rate"),
+        round(col("decoded.duration"), 6).as("duration"))
+  }
+  val mmDecodeMp3Sql =
+    """SELECT doc_id, CAST(nf * ((144*128000) // sr) AS INT) AS n_bytes,
+      |  sr AS sampling_rate,
+      |  round(CAST(nf * 1152 AS DOUBLE)/sr, 6) AS duration
+      |FROM (SELECT doc_id,
+      |        ([44100, 48000, 32000])[CAST(doc_id % 3 AS INT) + 1] AS sr,
+      |        CAST(1 + doc_id % 40 AS INT) AS nf
+      |      FROM documents WHERE doc_id < 200)""".stripMargin
+
   /** Audio frame-energy segmentation over REAL PCM16 WAV payloads: per-doc
     * 16-sample frame |amplitude| sums, silent-frame count (sum below
     * 16·16384), and mean |sample| — the silence-detection / segmentation
@@ -140,6 +195,8 @@ object MultimodalOps {
     "mm_decode" -> (mmDecode, Some(mmDecodeSql)),
     "mm_decode_wav" -> (mmDecodeWav, Some(mmDecodeWavSql)),
     "mm_decode_flac" -> (mmDecodeFlac, Some(mmDecodeFlacSql)),
+    "mm_decode_ogg" -> (mmDecodeOgg, Some(mmDecodeOggSql)),
+    "mm_decode_mp3" -> (mmDecodeMp3, Some(mmDecodeMp3Sql)),
     "audio_frame_energy" -> (audioFrameEnergy, Some(audioFrameEnergySql)),
     "mm_frame_sample" -> (mmFrameSample, Some(mmFrameSampleSql)),
   )

@@ -62,6 +62,61 @@ class CoreSpec extends AnyFunSuite {
     assert(Flac.parse(b).isEmpty)
   }
 
+  test("ogg header: synth round-trip at every fixture rate, incl. zero total") {
+    import graft.functions.Ogg
+    for ((sr, total) <- Seq((8000, 1000L), (16000, 99999L), (44100, 0L),
+                            (48000, 1234567890L))) {
+      val info = Ogg.parse(Ogg.synthOggHeader(sr, total))
+      assert(info.contains(Ogg.OggInfo(sr, 1, total)), s"sr=$sr total=$total")
+    }
+    // single-page stream (no EOS page): the BOS page's own granule (0) wins
+    val solo = Ogg.synthOggHeader(16000, 500L).take(27 + 1 + 30)
+    assert(Ogg.parse(solo).contains(Ogg.OggInfo(16000, 1, 0L)))
+  }
+
+  test("ogg header: non-OGG, corrupt, and cross-codec bytes → None") {
+    import graft.functions.{Flac, Ogg}
+    assert(Ogg.parse(Array[Byte]()).isEmpty)
+    assert(Ogg.parse(null).isEmpty)
+    assert(Ogg.parse("OggSbut far too short".getBytes).isEmpty)
+    assert(Ogg.parse(Wav.synthWav(16000, 100)).isEmpty)
+    assert(Ogg.parse(Flac.synthFlacHeader(16000, 100)).isEmpty)
+    // non-BOS first page must not parse
+    val b = Ogg.synthOggHeader(16000, 100)
+    b(5) = 0x00
+    assert(Ogg.parse(b).isEmpty)
+    // first packet not a Vorbis identification header must not parse
+    val c = Ogg.synthOggHeader(16000, 100)
+    c(28) = 0x03 // comment-header packet type
+    assert(Ogg.parse(c).isEmpty)
+  }
+
+  test("mp3 frame chain: synth round-trip across the MPEG-1 rate table") {
+    import graft.functions.Mp3
+    for (sr <- Seq(44100, 48000, 32000); nf <- Seq(1, 7, 40)) {
+      val info = Mp3.parse(Mp3.synthMp3(sr, nf))
+      assert(info.contains(Mp3.Mp3Info(sr, 1, nf.toLong)), s"sr=$sr nf=$nf")
+    }
+  }
+
+  test("mp3 frame chain: non-MP3, truncated, and cross-codec bytes → None") {
+    import graft.functions.{Flac, Mp3, Ogg}
+    assert(Mp3.parse(Array[Byte]()).isEmpty)
+    assert(Mp3.parse(null).isEmpty)
+    assert(Mp3.parse("definitely not mpeg".getBytes).isEmpty)
+    assert(Mp3.parse(Wav.synthWav(16000, 100)).isEmpty)
+    assert(Mp3.parse(Flac.synthFlacHeader(16000, 100)).isEmpty)
+    assert(Mp3.parse(Ogg.synthOggHeader(16000, 100)).isEmpty)
+    // a truncated final frame breaks the chain
+    val b = Mp3.synthMp3(44100, 3)
+    assert(Mp3.parse(b.take(b.length - 1)).isEmpty)
+    // a mid-stream rate flip breaks the chain (frame 2 re-labeled 48 kHz)
+    val c = Mp3.synthMp3(44100, 3)
+    val len = 144 * 128000 / 44100
+    c(len + 2) = ((9 << 4) | (1 << 2)).toByte
+    assert(Mp3.parse(c).isEmpty)
+  }
+
   test("metadata type lattice: merge semantics") {
     assert(MFloat64.merge(MFloat64) == MFloat64)
     assert(MBool.merge(MFloat64) == MString)
