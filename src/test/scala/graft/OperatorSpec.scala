@@ -23,6 +23,37 @@ class OperatorSpec extends SparkSpec {
     assert(out.map(_.getString(2)).head == "Він хотів стягти її з вагончика.")
   }
 
+  test("eventsWithTs: identical ts_us for ns-long and µs-NTZ event tables") {
+    // The driver has shipped events.parquet as TIMESTAMP(NANOS) (read as ns
+    // long under nanosAsLong) in rounds ≤6 and as µs TIMESTAMP_NTZ from
+    // round 7 — the silent representation flip that dropped 26 queries from
+    // the r7/r8 correctness records. Pin both paths to the same µs output.
+    val s = spark
+    import s.implicits._
+    val micros = Seq(0L, 1_000_000L, 1_700_000_000_123_456L)
+    val dir = tmpDir("evts")
+    Seq(("ns", micros.map(_ * 1000L)), ("ntz", micros)).foreach {
+      case ("ns", vals) =>
+        vals.toDF("ts").write.mode("overwrite")
+          .parquet(s"$dir/ns/events.parquet")
+      case (_, vals) =>
+        vals.toDF("us")
+          .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+          .write.mode("overwrite").parquet(s"$dir/ntz/events.parquet")
+    }
+    val fromNs = graft.queries.Util.eventsWithTs(s, s"$dir/ns")
+      .select("ts_us").as[Long].collect().sorted.toSeq
+    val fromNtz = graft.queries.Util.eventsWithTs(s, s"$dir/ntz")
+      .select("ts_us").as[Long].collect().sorted.toSeq
+    assert(fromNs == micros)
+    assert(fromNtz == micros)
+    // and the normalized `ts` column is a plain TIMESTAMP in both
+    Seq(s"$dir/ns", s"$dir/ntz").foreach { d =>
+      assert(graft.queries.Util.eventsWithTs(s, d).schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, d)
+    }
+  }
+
   test("path rewriter: explicit base dir wins over LCP") {
     val s = spark
     import s.implicits._
