@@ -41,9 +41,10 @@ object Verify {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.delete)
       }
-    SparkEntry.queries
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       rmTree(Paths.get(s"$outDir/$name"))
       Files.deleteIfExists(Paths.get(s"$outDir/${name}_ERROR"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -53,10 +54,15 @@ object Verify {
         rmTree(Paths.get(s"$outDir/$name"))
         Files.writeString(Paths.get(s"$outDir/${name}_ERROR"),
           s"${e.getClass.getName}: ${e.getMessage}\n")
+        failed += name
       }
       // free per-query persisted intermediates (see Bench.scala)
       spark.catalog.clearCache()
     }
+    // One loud, tail-surviving summary: a partial dump must never read as
+    // a complete one in the driver's captured log window.
+    println(s"[verify] ${selected.size - failed.size}/${selected.size} queries dumped" +
+      (if (failed.isEmpty) "" else s"; FAILED: ${failed.mkString(",")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
