@@ -124,9 +124,13 @@ object Bench {
     // that, so a full dict on stdout can never survive the tail window.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")
     write(java.nio.file.Paths.get(outPath), full + "\n")
+    // A custom SPARK_GRAFT_BENCH_OUT marks a side run (ScaleGen sf1/sf10
+    // sweeps): those must NOT clobber the driver-facing round artifacts.
+    val driverRun = !sys.env.contains("SPARK_GRAFT_BENCH_OUT")
     // Archive the full record per round so later rounds can diff medians
     // without regex-mining overwritten BENCH.out files.
-    write(java.nio.file.Paths.get(f"bench/r$round%02d_per_query.json"), full + "\n")
+    if (driverRun)
+      write(java.nio.file.Paths.get(f"bench/r$round%02d_per_query.json"), full + "\n")
 
     // ---- stdout: ONE short line, LAST, nothing after it --------------------
     // The driver parses the tail of the sbt log (~2000 chars). Two historical
@@ -141,7 +145,8 @@ object Bench {
       s""","n_queries":${results.size},"full_record":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
     // Belt and braces for the driver's tail parse: the same line also goes
     // to a FIXED file, immune to anything the log stream interleaves.
-    write(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+    if (driverRun)
+      write(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)

@@ -847,15 +847,26 @@ object Analytics {
     * longs; the oracle proves the join semantics the watermarked streaming
     * version implements incrementally. */
   val eventsCorrelate: Q = (s, dir) => {
+    val W = 1800000000L // 30-minute window, µs
     val ev = eventsWithTs(s, dir)
     val buys = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("buy_id"), col("user_id"), col("ts_us").as("buy_us"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts_us").as("click_us"))
-    buys.join(clicks,
-        col("user_id") === col("c_user") &&
+    // Range-join bucketing: without it the only equi-key is user_id, and
+    // per-user work is buys×clicks — quadratic as event DENSITY grows (the
+    // sf1→sf10 sweep measured 15.3× for 10× rows). Bucket time by the
+    // window width: a buy at t can only pair with clicks in buckets
+    // {⌊t/W⌋−1, ⌊t/W⌋}, so exploding the buy side to those two buckets and
+    // equi-joining on (user, bucket) bounds each join group by per-window
+    // density; the exact interval predicate stays as the residual filter.
+    val buysB = buys.withColumn("b_bkt",
+      explode(array(floor(col("buy_us") / W) - 1, floor(col("buy_us") / W))))
+    val clicksB = clicks.withColumn("c_bkt", floor(col("click_us") / W))
+    buysB.join(clicksB,
+        col("user_id") === col("c_user") && col("b_bkt") === col("c_bkt") &&
           col("click_us") <= col("buy_us") &&
-          col("click_us") >= col("buy_us") - 1800000000L)
+          col("click_us") >= col("buy_us") - W)
       .groupBy(col("buy_id"), col("user_id"))
       .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
   }

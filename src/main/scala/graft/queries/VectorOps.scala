@@ -79,16 +79,44 @@ object VectorOps {
     * index is collision-free for m < 64 (6m ≡ −13 and 48a ≡ 24 have no
     * solutions mod 64, so no self-pairs and no repeated pairs). */
   private def contrastDims(m: Int): (Int, Int) = (m + 1, (m * 7 + 13) % 64 + 1)
+  /** Adaptive bucket width — the actual 100 TB knob. The fixed-bit floor
+    * (12 bits here, K·2^6 in dedup_semantic) is the oracle-pinned contract
+    * and stays bit-identical for every n ≤ LoadTarget·baseBuckets (covers
+    * sf0.01 verify and sf0.1/sf1 bench). Past that, each DOUBLING of n adds
+    * one sign bit, holding expected bucket load ≤ LoadTarget — so collision
+    * pairs per band stay ∝ n·LoadTarget instead of n²/buckets (the term the
+    * sf1→sf10 sweep measured going 27× for 10× rows at fixed width).
+    * Recall is the documented LSH trade: wider signatures only drop pairs
+    * whose cosine is low enough to flip one of the added sign bits. */
+  private val DedupLoadTarget = 16L
+  private[graft] def extraBitsFor(n: Long, baseBuckets: Long): Int = {
+    var extra = 0
+    while (extra < 16 && (n >> extra) > DedupLoadTarget * baseBuckets) extra += 1
+    extra
+  }
+  /** second contrast family for adaptive bits (the affine family above is
+    * only collision-free for m < 64): fixed stride 31 mod 64 ⇒ i1 ≠ i2. */
+  private[graft] def contrastDims2(m: Int): (Int, Int) = {
+    val a = (m * 7 + 1) % 64
+    (a + 1, (a + 31) % 64 + 1)
+  }
+  private[graft] def extraBitCols(v: Column, band: Int, extra: Int, shift: Int): Seq[Column] =
+    (0 until extra).map { j =>
+      val (i1, i2) = contrastDims2(band * 16 + j)
+      when(element_at(v, i1) - element_at(v, i2) > 0,
+        lit(1L << (shift + j))).otherwise(lit(0L))
+    }
 
   val dedupEmbedding: Q = (s, dir) => {
+    val extra = extraBitsFor(table(s, dir, "embeddings").count(), 1L << DedupBits)
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    def bucket(b: Int): Column = (0 until DedupBits).map { j =>
+    def bucket(b: Int): Column = ((0 until DedupBits).map { j =>
       val (i1, i2) = contrastDims(DedupBits * b + j)
       when(element_at(col("v"), i1) - element_at(col("v"), i2) > 0,
         lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    } ++ extraBitCols(col("v"), b, extra, DedupBits)).reduce(_ + _)
     val banded = emb.select(col("vec_id"), explode(array((0 until DedupBands).map(b =>
       struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -581,6 +609,9 @@ object VectorOps {
   val dedupSemantic: Q = (s, dir) => {
     val K = 64
     val Tau = 0.3
+    // same adaptive-width schedule as dedup_embedding, over the factored
+    // base bucket count K·2^SemBits = 4096 (cluster × sub-band)
+    val extra = extraBitsFor(table(s, dir, "embeddings").count(), K.toLong << SemBits)
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -619,11 +650,11 @@ object VectorOps {
     // in-cluster bands are WIDER than dedup_embedding's (6 bits, 8 bands):
     // the cluster already blocks the space, so the second layer trades
     // selectivity for recall while candidates stay ∝ bucket collisions
-    def bucket(b: Int): Column = (0 until SemBits).map { j =>
+    def bucket(b: Int): Column = ((0 until SemBits).map { j =>
       val (i1, i2) = contrastDims(SemBits * b + j)
       when(element_at(col("v"), i1) - element_at(col("v"), i2) > 0,
         lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    } ++ extraBitCols(col("v"), b, extra, SemBits)).reduce(_ + _)
     val banded = asg.select(col("cid"), col("vec_id"),
         explode(array((0 until SemBands).map(b =>
           struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
