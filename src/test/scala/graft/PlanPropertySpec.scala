@@ -80,6 +80,21 @@ class PlanPropertySpec extends SparkSpec {
       s"language+quality+sample must fuse around ONE dedup exchange:\n$plan")
   }
 
+  test("events_correlate: interval join is hash-keyed (user, bucket), never nested-loop") {
+    val plan = executed(query("events_correlate"))
+    val nodes = allNodes(plan).map(_.getClass.getSimpleName)
+    assert(!nodes.exists(n => n.startsWith("BroadcastNestedLoopJoin") ||
+      n.startsWith("CartesianProduct")),
+      s"interval join fell back to a product shape:\n$plan")
+    val joins = allNodes(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.size
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.size
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.size
+    }
+    assert(joins.exists(_ >= 2),
+      s"expected an equi-join keyed on (user_id, time-bucket):\n$plan")
+  }
+
   test("j1 metadata join: all three levels broadcast, corpus side never shuffles") {
     val plan = executed(query("j1_priority_join"))
     assert(shuffles(plan).isEmpty,
