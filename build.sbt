@@ -61,3 +61,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 26s at the tail of a full run).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Extra -D flags for the forked run/test JVMs (e.g. the harness knobs
+// -Dgraft.stateStore=rocksdb, -Dgraft.streamDebug=true) without editing
+// the build: SPARK_GRAFT_JAVA_OPTS="-Dgraft.stateStore=rocksdb" sbt ...
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

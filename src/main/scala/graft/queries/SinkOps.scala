@@ -251,13 +251,29 @@ object SinkOps {
   private def withStreamParallelism[T](s: SparkSession,
                                        needsWatermarkFlush: Boolean = true)(body: => T): T = {
     val keys = Seq("spark.sql.shuffle.partitions",
-      "spark.sql.streaming.noDataMicroBatches.enabled")
-    val prev = keys.map(k => k -> s.conf.get(k))
+      "spark.sql.streaming.noDataMicroBatches.enabled",
+      "spark.sql.streaming.stateStore.providerClass")
+    val prev = keys.map(k => k -> s.conf.getOption(k))
     val n = math.min(sys.props.getOrElse("graft.streamParts", "8").toInt,
       s.conf.get(keys.head).toInt)
     s.conf.set(keys.head, n.toString)
     s.conf.set(keys(1), needsWatermarkFlush.toString)
-    try body finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+    // State-store provider knob (-Dgraft.stateStore=hdfs|rocksdb). The
+    // default HDFSBackedStateStoreProvider keeps every version of every
+    // store in executor HEAP — the one streaming component that cannot
+    // survive 100 TB state. RocksDB spills to local disk with bounded
+    // memtables; each entry here creates a fresh checkpoint, so the
+    // provider can be swapped per run (it is fixed per checkpoint).
+    sys.props.get("graft.stateStore").foreach {
+      case "rocksdb" => s.conf.set(keys(2),
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => () // hdfs = Spark default
+    }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
   }
 
   val eventsTumblingStream: Q = (s, dir) => withStreamParallelism(s) {

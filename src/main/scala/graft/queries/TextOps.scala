@@ -1106,13 +1106,30 @@ object TextOps {
     * is where the time goes. DuckDB's unbounded `levenshtein` agrees
     * exactly on every surviving pair. */
   val linkFuzzyEdit: Q = (s, dir) => {
+    // Length banding: ed(pa,pb) ≤ 12 ⇒ |len(pa)−len(pb)| ≤ 12, so pairs
+    // can only meet the threshold inside adjacent width-13 length bands.
+    // (lang, tok1) alone has a FIXED block count — vocabulary-bounded — so
+    // its block sizes grow ∝ n and pair generation is quadratic; the band
+    // key multiplies the block count by the occupied-band count, and drops
+    // only pairs the levenshtein filter would reject anyway (identical
+    // output, provably). Side A explodes to its 3 neighboring bands; each
+    // surviving pair matches on exactly one band, so no dedup is needed.
+    val W = 13
     val pref = table(s, dir, "documents").select(
       col("doc_id"), col("lang"),
       element_at(split(col("text"), " "), 1).as("tok1"),
       concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("p"))
-    pref.select(col("lang"), col("tok1"), col("doc_id").as("doc_a"), col("p").as("pa"))
-      .join(pref.select(col("lang"), col("tok1"), col("doc_id").as("doc_b"), col("p").as("pb")),
-        Seq("lang", "tok1"))
+      .withColumn("lb", floor(length(col("p")) / W))
+    // NOTE a packed char-histogram L1 prefilter (L1 ≤ 2·ed bound, native
+    // codegen'd expression) was built, measured at sf10, and REJECTED: the
+    // corpus's within-block true-pair rate is ~26% (ed ≤ 12 is loose), the
+    // bound pruned only 17% of candidates, and the operator is output-bound
+    // at scale — see SCALING.md "link_fuzzy_edit: output-bound".
+    pref.select(col("lang"), col("tok1"), col("doc_id").as("doc_a"), col("p").as("pa"),
+        explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lbk"))
+      .join(pref.select(col("lang"), col("tok1"), col("doc_id").as("doc_b"),
+          col("p").as("pb"), col("lb").as("lbk")),
+        Seq("lang", "tok1", "lbk"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("ed", expr("levenshtein(pa, pb, 12)"))
       .filter(col("ed") >= 0) // -1 = early-exited above the threshold
