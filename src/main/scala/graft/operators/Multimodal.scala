@@ -48,11 +48,13 @@ object Multimodal {
 
   /** Full kernel: WAV payloads decode for real (PCM sample RMS + header
     * info); FLAC payloads get a real STREAMINFO parse, OGG/Vorbis a real
-    * page + identification-header parse, MP3 a real frame-chain walk
-    * (sampling rate + exact duration each, no sample decode — rms stays
-    * the byte-level stat); anything else takes the byte-level stub with
-    * zeroed audio fields. Covers every audio family in the ported 12-type
-    * MIME allow-list that has a deterministic header story. */
+    * page + identification-header parse, MP3 and ADTS-AAC real
+    * frame-chain walks, AIFF a real COMM-chunk parse (sampling rate +
+    * exact duration each, no sample decode — rms stays the byte-level
+    * stat); anything else takes the byte-level stub with zeroed audio
+    * fields. That is EVERY audio family in the ported 12-type MIME
+    * allow-list (wav/wave, flac, ogg, mpeg, aiff, aac): each now has a
+    * real deterministic header decode. */
   def decodeKernel(bytes: Array[Byte]): (Int, Long, Int, Int, Double, Int, Double) = {
     val (n, ck, w, h, byteRms) = stubDecode(bytes)
     graft.functions.Wav.pcm16Rms(bytes) match {
@@ -75,6 +77,18 @@ object Multimodal {
       case Some(mi) =>
         return (n, ck, w, h, byteRms, mi.sampleRate,
           mi.frames * 1152.0 / mi.sampleRate)
+      case None => ()
+    }
+    graft.functions.Adts.parse(bytes) match {
+      case Some(ai) =>
+        return (n, ck, w, h, byteRms, ai.sampleRate,
+          ai.totalSamples.toDouble / ai.sampleRate)
+      case None => ()
+    }
+    graft.functions.Aiff.parse(bytes) match {
+      case Some(fi) =>
+        return (n, ck, w, h, byteRms, fi.sampleRate,
+          fi.totalFrames.toDouble / fi.sampleRate)
       case None => ()
     }
     (n, ck, w, h, byteRms, 0, 0.0)

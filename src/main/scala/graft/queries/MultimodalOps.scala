@@ -145,6 +145,60 @@ object MultimodalOps {
       |        CAST(1 + doc_id % 40 AS INT) AS nf
       |      FROM documents WHERE doc_id < 200)""".stripMargin
 
+  /** REAL AIFF COMM-chunk decode through the multimodal kernel: synthesize
+    * header-only FORM/AIFF/COMM payloads in-query (rate and total frames
+    * derived from doc_id, rate encoded as the 80-bit extended float the
+    * format mandates), decode via mapPartitions, and verify the parsed
+    * rate and the exact duration = frames / rate. Fixture is always 38
+    * bytes; integer header fields → bit-exact oracle recompute. */
+  val mmDecodeAiff: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("sr"),
+        (lit(1000) + (col("doc_id") * 41) % 100000).cast("long").as("total"))
+    val aiff = docs.select(col("doc_id"),
+      graft.functions.Aiff.synthUdf(col("sr"), col("total")).as("payload"))
+    Multimodal.decodeBinary(aiff, "payload")
+      .select(col("doc_id"),
+        col("decoded.n_bytes").as("n_bytes"),
+        col("decoded.sampling_rate").as("sampling_rate"),
+        round(col("decoded.duration"), 6).as("duration"))
+  }
+  val mmDecodeAiffSql =
+    """SELECT doc_id, 38 AS n_bytes, sr AS sampling_rate,
+      |  round(CAST(total AS DOUBLE)/sr, 6) AS duration
+      |FROM (SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
+      |             CAST(1000 + (doc_id * 41) % 100000 AS BIGINT) AS total
+      |      FROM documents WHERE doc_id < 200)""".stripMargin
+
+  /** REAL AAC ADTS frame-chain decode through the multimodal kernel:
+    * synthesize mono AAC-LC header-only frame chains in-query (rate
+    * cycling the MPEG-4 table, frame count derived from doc_id), walk the
+    * chain via mapPartitions, and verify total bytes (7·n_frames) and
+    * exact duration (n_frames · 1024 / rate) — the oracle recomputes both
+    * from the same integer parameters. */
+  val mmDecodeAdts: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        element_at(array(lit(48000), lit(44100), lit(24000), lit(16000), lit(8000)),
+          (col("doc_id") % 5 + 1).cast("int")).as("sr"),
+        (lit(1) + col("doc_id") % 40).cast("int").as("nf"))
+    val adts = docs.select(col("doc_id"),
+      graft.functions.Adts.synthUdf(col("sr"), col("nf")).as("payload"))
+    Multimodal.decodeBinary(adts, "payload")
+      .select(col("doc_id"),
+        col("decoded.n_bytes").as("n_bytes"),
+        col("decoded.sampling_rate").as("sampling_rate"),
+        round(col("decoded.duration"), 6).as("duration"))
+  }
+  val mmDecodeAdtsSql =
+    """SELECT doc_id, CAST(nf * 7 AS INT) AS n_bytes, sr AS sampling_rate,
+      |  round(CAST(nf * 1024 AS DOUBLE)/sr, 6) AS duration
+      |FROM (SELECT doc_id,
+      |        ([48000, 44100, 24000, 16000, 8000])[CAST(doc_id % 5 AS INT) + 1] AS sr,
+      |        CAST(1 + doc_id % 40 AS INT) AS nf
+      |      FROM documents WHERE doc_id < 200)""".stripMargin
+
   /** Audio frame-energy segmentation over REAL PCM16 WAV payloads: per-doc
     * 16-sample frame |amplitude| sums, silent-frame count (sum below
     * 16·16384), and mean |sample| — the silence-detection / segmentation
@@ -197,6 +251,8 @@ object MultimodalOps {
     "mm_decode_flac" -> (mmDecodeFlac, Some(mmDecodeFlacSql)),
     "mm_decode_ogg" -> (mmDecodeOgg, Some(mmDecodeOggSql)),
     "mm_decode_mp3" -> (mmDecodeMp3, Some(mmDecodeMp3Sql)),
+    "mm_decode_aiff" -> (mmDecodeAiff, Some(mmDecodeAiffSql)),
+    "mm_decode_adts" -> (mmDecodeAdts, Some(mmDecodeAdtsSql)),
     "audio_frame_energy" -> (audioFrameEnergy, Some(audioFrameEnergySql)),
     "mm_frame_sample" -> (mmFrameSample, Some(mmFrameSampleSql)),
   )

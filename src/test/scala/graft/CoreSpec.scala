@@ -117,6 +117,63 @@ class CoreSpec extends AnyFunSuite {
     assert(Mp3.parse(c).isEmpty)
   }
 
+  test("aiff comm chunk: synth round-trip, incl. extended-float rate decode") {
+    import graft.functions.Aiff
+    for ((sr, frames) <- Seq((8000, 1000L), (12000, 99999L), (16000, 1L),
+                             (44100, 1234567890L), (192000, 0L))) {
+      val info = Aiff.parse(Aiff.synthAiff(sr, frames))
+      assert(info.contains(Aiff.AiffInfo(sr, 1, frames)), s"sr=$sr frames=$frames")
+    }
+  }
+
+  test("aiff comm chunk: non-AIFF, corrupt, and cross-codec bytes → None") {
+    import graft.functions.{Aiff, Flac, Mp3, Ogg}
+    assert(Aiff.parse(Array[Byte]()).isEmpty)
+    assert(Aiff.parse(null).isEmpty)
+    assert(Aiff.parse("FORMxxxxWAVE not aiff at all".getBytes).isEmpty)
+    assert(Aiff.parse(Wav.synthWav(16000, 100)).isEmpty)
+    assert(Aiff.parse(Flac.synthFlacHeader(16000, 100)).isEmpty)
+    assert(Aiff.parse(Ogg.synthOggHeader(16000, 100)).isEmpty)
+    assert(Aiff.parse(Mp3.synthMp3(44100, 2)).isEmpty)
+    // a negative (sign-bit) rate must not parse
+    val b = Aiff.synthAiff(16000, 100)
+    b(28) = (b(28) | 0x80).toByte
+    assert(Aiff.parse(b).isEmpty)
+    // a COMM chunk declared shorter than the spec's 18 bytes must not parse
+    val c = Aiff.synthAiff(16000, 100)
+    c(19) = 17
+    assert(Aiff.parse(c).isEmpty)
+  }
+
+  test("adts frame chain: synth round-trip across the MPEG-4 rate table") {
+    import graft.functions.Adts
+    for (sr <- Seq(96000, 48000, 44100, 16000, 8000, 7350); nf <- Seq(1, 7, 40)) {
+      val info = Adts.parse(Adts.synthAdts(sr, nf))
+      assert(info.contains(Adts.AdtsInfo(sr, 1, 1024L * nf)), s"sr=$sr nf=$nf")
+    }
+  }
+
+  test("adts frame chain: non-AAC, truncated, and cross-codec bytes → None") {
+    import graft.functions.{Adts, Aiff, Flac, Mp3, Ogg}
+    assert(Adts.parse(Array[Byte]()).isEmpty)
+    assert(Adts.parse(null).isEmpty)
+    assert(Adts.parse("definitely not adts".getBytes).isEmpty)
+    assert(Adts.parse(Wav.synthWav(16000, 100)).isEmpty)
+    assert(Adts.parse(Flac.synthFlacHeader(16000, 100)).isEmpty)
+    assert(Adts.parse(Ogg.synthOggHeader(16000, 100)).isEmpty)
+    assert(Adts.parse(Aiff.synthAiff(16000, 100)).isEmpty)
+    // the 0xFFF-sync twins are mutually exclusive BOTH ways (layer field)
+    assert(Adts.parse(Mp3.synthMp3(44100, 2)).isEmpty)
+    assert(Mp3.parse(Adts.synthAdts(44100, 2)).isEmpty)
+    // a truncated final frame breaks the chain
+    val b = Adts.synthAdts(48000, 3)
+    assert(Adts.parse(b.take(b.length - 1)).isEmpty)
+    // a mid-stream rate flip breaks the chain
+    val c = Adts.synthAdts(48000, 3)
+    c(7 + 2) = ((1 << 6) | (4 << 2)).toByte // frame 2 re-labeled 44.1 kHz
+    assert(Adts.parse(c).isEmpty)
+  }
+
   test("metadata type lattice: merge semantics") {
     assert(MFloat64.merge(MFloat64) == MFloat64)
     assert(MBool.merge(MFloat64) == MString)
