@@ -66,13 +66,15 @@ object VectorOps {
     * Contrast pairs (the deterministic hyperplane stand-in, identical in
     * the oracle) are spread via a fixed affine map so no two bits share a
     * dimension pair. No input cap and no all-pairs anywhere: BUCKET WIDTH
-    * IS THE SCALE KNOB — 12-bit bands bound uniform-data collisions at
-    * ~n²/4096 per band (measured: the 8-bit variant went 1191× at a 100×
-    * blow-up because 256 buckets collide at n²/256; 4096 buckets hold the
-    * 100× ratio under the data ratio), and real near-dup corpora
-    * concentrate collisions on true duplicates. A pair sharing many bands
-    * is deduplicated BEFORE the vector join — the shuffles carry
-    * (band, bucket, id) triples and (a_id, b_id) pairs, never n² vectors. */
+    * IS THE SCALE KNOB, and it is ADAPTIVE (see [[extraBitsFor]]) — the
+    * 12-bit floor bounds uniform-data collisions at ~n²/4096 per band
+    * (measured: the 8-bit variant went 1191× at a 100× blow-up because 256
+    * buckets collide at n²/256), and past 65 536 rows each doubling of n
+    * adds a sign bit so collision pairs grow O(n), not n² (measured: fixed
+    * width went 27× for 10× rows sf1→sf10; adaptive is linear). A pair
+    * sharing many bands is deduplicated BEFORE the vector join — the
+    * shuffles carry (band, bucket, id) triples and (a_id, b_id) pairs,
+    * never n² vectors. */
   val DedupBands = 5
   val DedupBits = 12
   /** bit m's contrast dims (1-based): v[i1] − v[i2]; the affine second
