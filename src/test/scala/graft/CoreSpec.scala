@@ -174,6 +174,23 @@ class CoreSpec extends AnyFunSuite {
     assert(Adts.parse(c).isEmpty)
   }
 
+  test("decode kernel: every synth fixture routes to ITS codec; stub for the rest") {
+    import graft.functions.{Adts, Aiff, Flac, Mp3, Ogg}
+    import graft.operators.Multimodal.decodeKernel
+    def srDur(b: Array[Byte]): (Int, Double) = {
+      val r = decodeKernel(b); (r._6, r._7)
+    }
+    assert(srDur(Wav.synthWav(16000, 16000)) == ((16000, 1.0)))
+    assert(srDur(Flac.synthFlacHeader(22050, 44100)) == ((22050, 2.0)))
+    assert(srDur(Ogg.synthOggHeader(8000, 4000)) == ((8000, 0.5)))
+    assert(srDur(Mp3.synthMp3(44100, 5)) == ((44100, 5 * 1152.0 / 44100)))
+    assert(srDur(Adts.synthAdts(48000, 3)) == ((48000, 3 * 1024.0 / 48000)))
+    assert(srDur(Aiff.synthAiff(12000, 6000)) == ((12000, 0.5)))
+    // unknown bytes fall through to the byte-level stub: zeroed audio fields
+    assert(srDur("just some text payload".getBytes) == ((0, 0.0)))
+    assert(srDur(Array[Byte]()) == ((0, 0.0)))
+  }
+
   test("metadata type lattice: merge semantics") {
     assert(MFloat64.merge(MFloat64) == MFloat64)
     assert(MBool.merge(MFloat64) == MString)

@@ -110,4 +110,8 @@ class EmptyInputSpec extends SparkSpec {
       spark.range(0).select(col("id")),
       spark.range(0).select(col("id").as("src"), col("id").as("dst"))).count() == 0)
   }
+
+  test("bucketed interval join returns cleanly on an empty events table") {
+    assert(Analytics.eventsCorrelate(spark, emptyDir).count() == 0)
+  }
 }
