@@ -666,7 +666,13 @@ object VectorOps {
       .join(banded.select(col("cid"), col("band"), col("bucket"), col("vec_id").as("b_id")),
         Seq("cid", "band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("cid", "a_id", "b_id").distinct()
+      // no distinct: the terminal groupBy(b_id, cid) aggregation absorbs
+      // multi-band duplicate pairs exactly (min/max are
+      // duplicate-insensitive), so the full pair-set exchange a distinct
+      // would cost is saved — duplicated pairs just recompute one cosine
+      // each, bounded by the band count (measured no worse at sf10, and
+      // one exchange fewer is the scale-dominant term)
+      .select("cid", "a_id", "b_id")
     cand
       .join(asg.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an")), Seq("a_id"))
       .join(asg.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")), Seq("b_id"))
