@@ -1215,7 +1215,160 @@ object TextOps {
        |  WHERE rn = 1)
        |SELECT doc_id, source, n_words, fp FROM deduped WHERE fp % 10 < 7""".stripMargin
 
+  /** Domain-level curation (the C4/RefinedWeb blocklist shape): derive each
+    * document's host, aggregate per-domain statistics, decide keep/block at
+    * the DOMAIN level (mean length ≥ 250 chars), and combine with a
+    * per-document floor (≥ 50 chars) — then report survival per language.
+    * Two quality gates at different granularities, which is exactly what
+    * single-doc scoring cannot express.
+    *
+    * Scale shape: the domain table is corpus-cardinality-bounded (hosts ≪
+    * docs — here ~140, at 100 TB ~1e8 rows of three longs): one map-side-
+    * combining groupBy(host) builds it, it broadcasts back onto the corpus
+    * scan (at 1e8 domains this becomes a shuffle-hash join on host — still
+    * one exchange), and the per-lang rollup is a tiny final agg. The corpus
+    * itself is scanned once and never shuffled. */
+  val domainStats: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+      .withColumn("host",
+        concat(col("source"), lit("-"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.com")))
+    val domains = docs.groupBy(col("host"))
+      .agg(count(lit(1)).as("d_docs"), sum(col("n_chars")).as("d_chars"))
+      .withColumn("domain_keep", expr("d_chars div d_docs") >= 250)
+      .select(col("host"), col("domain_keep"))
+    docs.join(broadcast(domains), Seq("host"))
+      .withColumn("keep", col("domain_keep") && col("n_chars") >= 50)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+  }
+  val domainStatsSql =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    source || '-' || CAST(((doc_id % 7) + 7) % 7 AS VARCHAR) || '.example.com' AS host
+      |  FROM documents),
+      |domains AS (
+      |  SELECT host, (sum(n_chars) // count(*)) >= 250 AS domain_keep
+      |  FROM docs GROUP BY host)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN domain_keep AND n_chars >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN domain_keep AND n_chars >= 50 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM docs JOIN domains USING (host) GROUP BY lang""".stripMargin
+
+  /** Community detection over the duplicate-similarity graph via
+    * [[graft.operators.LabelPropagation]] (3 synchronous rounds, most-
+    * frequent-neighbour-label with min tie-break). Same candidate edges as
+    * [[dedupClusters]] — which finds CONNECTIVITY; LPA finds DENSITY, the
+    * distinction that matters when near-dup chains bridge unrelated
+    * clusters. The oracle unrolls the three rounds as CTEs over the same
+    * vote/argmax algebra (struct-min is lexicographic in both engines). */
+  val labelPropagation: Q = (s, dir) => {
+    val edges = dedupNgramJaccard(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = table(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id").as("id"))
+    graft.operators.LabelPropagation.run(nodes, edges, iterations = 3)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
+  }
+  val labelPropagationSql = {
+    def round(i: Int) =
+      s"""v$i AS (SELECT s.dst AS id, l.label, count(*) AS n
+         |  FROM sym s JOIN l${i - 1} l ON s.src = l.id GROUP BY 1, 2),
+         |b$i AS (SELECT id, min(struct_pack(negn := -n, l := label)) AS b FROM v$i GROUP BY id),
+         |l$i AS (SELECT nodes.id, coalesce(b$i.b.l, l${i - 1}.label) AS label
+         |  FROM nodes LEFT JOIN b$i USING (id) JOIN l${i - 1} USING (id))""".stripMargin
+    s"""WITH pairs AS (${dedupNgramJaccardSql.replace("\n", "\n  ")}),
+       |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 400),
+       |l0 AS (SELECT id, id AS label FROM nodes),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT label AS community, count(*) AS n_members, min(id) AS min_member
+       |FROM l3 GROUP BY label""".stripMargin
+  }
+
+  /** BPE TRAINING, the actual merge loop (3 rounds unrolled) — the step
+    * beyond [[bpePairCounts]]'s single-round statistics: each round counts
+    * adjacent-token pairs corpus-wide, picks the argmax pair (count desc,
+    * then lexicographic — deterministic), and APPLIES the merge to every
+    * sequence before the next round, exactly how a distributed tokenizer
+    * trainer iterates.
+    *
+    * The merge application is the subtle part: greedy leftmost
+    * non-overlapping replacement ("a a a" + merge(a,a) → ["a~a", "a"]).
+    * Both engines' literal `replace` is greedy-leftmost, so the corpus is
+    * carried as a DOUBLE-SPACED padded string (every token flanked by its
+    * own spaces); the pattern ` a  b ` consumes one flanking space per side
+    * and the replacement ` a~b ` restores it, so adjacent matches still
+    * fire and the invariant is preserved for the next round.
+    *
+    * Scale shape per round: pair build = narrow slice/zip projections (no
+    * window, no posexplode shuffle); pair counts = one map-side-combining
+    * groupBy; argmax = TakeOrdered(1) (never a global sort); merge apply =
+    * narrow map under a broadcast 1-row join. The corpus is never shuffled
+    * — the only exchanges are the pair-count aggregations. Output: per
+    * round, the merged pair, its count, and the corpus token total after
+    * the merge. */
+  val bpeTrainMerges: Q = (s, dir) => {
+    def pairCounts(d: DataFrame): DataFrame =
+      d.select(split(trim(col("s")), "  ").as("t"))
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+    def mergeRound(d: DataFrame, i: Int): (DataFrame, DataFrame) = {
+      val best = pairCounts(d).orderBy(col("n").desc, col("a"), col("b")).limit(1)
+      val next = d.crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .select(col("doc_id"),
+          expr("replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || '~' || b || ' ')").as("s"))
+      val after = next
+        .select(size(split(trim(col("s")), "  ")).cast("long").as("k"))
+        .agg(sum(col("k")).as("tokens_after"))
+      val row = best.withColumn("iter", lit(i)).crossJoin(broadcast(after))
+        .select(col("iter"), col("a").as("tok_a"), col("b").as("tok_b"),
+          col("n").as("pair_n"), col("tokens_after"))
+      (next, row)
+    }
+    val d0 = table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit(" ")).as("s"))
+    val (d1, r1) = mergeRound(d0, 1)
+    val (d2, r2) = mergeRound(d1, 2)
+    val (_, r3) = mergeRound(d2, 3)
+    r1.unionAll(r2).unionAll(r3)
+  }
+  val bpeTrainMergesSql = {
+    def round(i: Int) =
+      s"""c$i AS (SELECT p.a AS a, p.b AS b, count(*) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)),
+         |      j -> struct_pack(a := t[j], b := t[j+1]))) AS p
+         |    FROM (SELECT string_split(trim(s), '  ') AS t FROM d${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
+         |d$i AS (SELECT doc_id, replace(s,
+         |    ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+         |    ' ' || (SELECT a FROM b$i) || '~' || (SELECT b FROM b$i) || ' ') AS s FROM d${i - 1}),
+         |t$i AS (SELECT CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS tokens_after FROM d$i),
+         |r$i AS (SELECT $i AS iter, a AS tok_a, b AS tok_b, n AS pair_n,
+         |  (SELECT tokens_after FROM t$i) AS tokens_after FROM b$i)""".stripMargin
+    s"""WITH d0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS s FROM documents),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3""".stripMargin
+  }
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "domain_stats" -> (domainStats, Some(domainStatsSql)),
+    "label_propagation" -> (labelPropagation, Some(labelPropagationSql)),
+    "bpe_train_merges" -> (bpeTrainMerges, Some(bpeTrainMergesSql)),
     "pipeline_quality_filter" -> (pipelineQualityFilter, Some(pipelineQualityFilterSql)),
     "phrase_search" -> (phraseSearch, Some(phraseSearchSql)),
     "link_fuzzy_edit" -> (linkFuzzyEdit, Some(linkFuzzyEditSql)),

@@ -763,7 +763,61 @@ object VectorOps {
       |    i -> mili[i] * mili[dim + 1 - i])) AS BIGINT) AS rev_dot
       |FROM m""".stripMargin
 
+  /** Index-quality measurement: recall@3 of the IVF search
+    * ([[annIvfTopk]]: 2-probe over label-centroid lists) against the exact
+    * brute-force top-3 for the same query set — the evaluation loop every
+    * ANN deployment runs before trusting an index. Both sides are fully
+    * deterministic (integer centroids, exact cosine, id tie-breaks), so
+    * recall itself is oracle-checkable — no tolerance band needed.
+    *
+    * Scale shape: the approximate side inherits IVF's pruned-list costs;
+    * the exact side is the brute baseline over the SAME small query set
+    * (queries ≪ corpus — the standard recall-eval protocol samples a few
+    * hundred queries regardless of corpus size, so the brute join is
+    * queries × corpus with a broadcast query side, one pass). The final
+    * comparison joins two k-row-per-query sets on (q_id, c_id) — trivially
+    * broadcast at any corpus scale. */
+  val annRecallEval: Q = (s, dir) => {
+    val ivf = annIvfTopk(s, dir).select(col("q_id"), col("c_id"))
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(
+        emb.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")),
+        col("q_id") =!= col("c_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    val brute = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).select(col("q_id"), col("c_id"))
+    brute.join(ivf.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_pct", expr("(n_hits * 100) div 3"))
+  }
+  val annRecallEvalSql =
+    s"""WITH ivf AS (SELECT q_id, c_id FROM (
+       |  ${annIvfTopkSql.replace("\n", "\n  ")})),
+       |emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |brute AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) / (q.nrm * c.nrm) DESC,
+       |        c.vec_id) AS rank
+       |    FROM emb q JOIN emb c ON q.vec_id < 3 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= 3)
+       |SELECT b.q_id, CAST(sum(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  (sum(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END) * 100) // 3 AS recall_pct
+       |FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+       |GROUP BY b.q_id""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "ann_recall_eval" -> (annRecallEval, Some(annRecallEvalSql)),
     "array_hof" -> (arrayHof, Some(arrayHofSql)),
     "kmeans_quantized" -> (kmeansQuantized, Some(kmeansQuantizedSql)),
     "ann_pq_rerank" -> (annPqRerank, Some(annPqRerankSql)),

@@ -60,7 +60,10 @@ class EmptyInputSpec extends SparkSpec {
       "sample_quality_weighted" -> TextOps.sampleQualityWeighted,
       "link_fuzzy_edit" -> TextOps.linkFuzzyEdit,
       "phrase_search" -> TextOps.phraseSearch,
-      "pipeline_quality_filter" -> TextOps.pipelineQualityFilter)
+      "pipeline_quality_filter" -> TextOps.pipelineQualityFilter,
+      "domain_stats" -> TextOps.domainStats,
+      "label_propagation" -> TextOps.labelPropagation,
+      "bpe_train_merges" -> TextOps.bpeTrainMerges)
     ops.foreach { case (name, q) =>
       assert(q(spark, emptyDir).count() == 0, s"$name not empty-safe")
     }
@@ -103,6 +106,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(VectorOps.dedupEmbedding(spark, emptyDir).count() == 0)
     assert(VectorOps.dedupSemantic(spark, emptyDir).count() == 0)
     assert(VectorOps.annIvfTopk(spark, emptyDir).count() == 0)
+    assert(VectorOps.annRecallEval(spark, emptyDir).count() == 0)
     assert(graft.operators.ConnectedComponents.run(
       spark.range(0).select(col("id")),
       spark.range(0).select(col("id").as("src"), col("id").as("dst"))).count() == 0)

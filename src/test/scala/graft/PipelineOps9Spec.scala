@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{TextOps, VectorOps}
+
+/** Semantics pins for the round-9 additions (domain-level curation, label
+  * propagation communities, the BPE training loop, ANN recall evaluation).
+  * Cross-engine value equality is the oracle gate's job; these pin the
+  * operator INVARIANTS the oracle can't express. */
+class PipelineOps9Spec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("label propagation: two cliques over one bridge are TWO communities") {
+    // CC would merge them through the bridge; LPA's density bias must not.
+    val s = spark
+    import s.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val out = graft.operators.LabelPropagation.run(nodes, edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(4L) == out(5L) && out(5L) == out(6L))
+    assert(out(1L) != out(4L), "bridge edge must not merge the cliques")
+  }
+
+  test("label propagation: communities partition the nodes and respect CC") {
+    val nNodes = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 400).count()
+    val comms = TextOps.labelPropagation(spark, dir).cache()
+    assert(comms.agg(sum(col("n_members"))).head.getLong(0) == nNodes)
+    // a label spreads only along edges, so every LPA community must sit
+    // inside ONE connected component
+    val labels = {
+      val edges = TextOps.dedupNgramJaccard(spark, dir)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val nodes = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 400).select(col("doc_id").as("id"))
+      graft.operators.LabelPropagation.run(nodes, edges, iterations = 3)
+        .join(graft.operators.ConnectedComponents.run(nodes, edges), Seq("id"))
+    }
+    val split = labels.groupBy(col("label"))
+      .agg(countDistinct(col("comp")).as("ncc")).filter(col("ncc") > 1).count()
+    assert(split == 0, "an LPA community crossed a connected component")
+    // LPA refines (or equals) CC: at least as many communities as components
+    val nComms = comms.count()
+    val nCCs = labels.select(col("comp")).distinct().count()
+    assert(nComms >= nCCs)
+    comms.unpersist()
+  }
+
+  test("bpe training: three merges, token totals fall consistently") {
+    val rows = TextOps.bpeTrainMerges(spark, dir).orderBy(col("iter")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val total0 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long").as("k"))
+      .agg(sum(col("k"))).head.getLong(0)
+    var before = total0
+    rows.foreach { r =>
+      val (pairN, after) = (r.getLong(3), r.getLong(4))
+      assert(pairN >= 1)
+      val replaced = before - after
+      // greedy leftmost: replaces at most every counted pair, at least every
+      // other one (overlaps like "a a a" count 2 pairs but merge once)
+      assert(replaced >= 1 && replaced <= pairN && 2 * replaced >= pairN,
+        s"iter ${r.getInt(0)}: replaced=$replaced of pair_n=$pairN")
+      before = after
+    }
+  }
+
+  test("bpe training: replace is greedy-leftmost on overlapping pairs") {
+    // the padded-double-space invariant the merge application relies on
+    val s = spark
+    import s.implicits._
+    val out = Seq(" a  a  a ", " x  a  b  a  b  x ").toDF("s")
+      .select(expr("replace(s, ' a  a ', ' a~a ')").as("r1"),
+        expr("replace(s, ' a  b ', ' a~b ')").as("r2"))
+      .collect()
+    assert(out(0).getString(0) == " a~a  a ") // greedy: one merge, not two
+    assert(out(1).getString(1) == " x  a~b  a~b  x ") // adjacent both fire
+  }
+
+  test("domain stats: both gates bite and bounds hold") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = TextOps.domainStats(spark, dir).cache()
+    assert(out.agg(sum(col("n_docs"))).head.getLong(0) == docs.count())
+    assert(out.filter(col("n_kept") > col("n_docs")).count() == 0)
+    // every kept doc has >= 50 chars, so kept_chars >= 50 * n_kept
+    assert(out.filter(col("kept_chars") < col("n_kept") * 50).count() == 0)
+    // the domain-level gate actually blocks something at this SF
+    assert(out.agg(sum(col("n_kept"))).head.getLong(0) < docs.count())
+    out.unpersist()
+  }
+
+  test("ann recall eval: agrees with the independent brute-force baseline") {
+    val recall = VectorOps.annRecallEval(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(recall.keySet == Set(0L, 1L, 2L))
+    assert(recall.values.forall(h => h >= 0 && h <= 3))
+    // expected hits: IVF top-3 ∩ brute top-3 (annBruteCosine@k=5 truncated)
+    val ivf = VectorOps.annIvfTopk(spark, dir)
+      .select(col("q_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = VectorOps.annBruteCosine(spark, dir)
+      .filter(col("q_id") < 3 && col("rank") <= 3)
+      .select(col("q_id"), col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = brute.groupBy(_._1).map { case (q, s) =>
+      q -> s.count(ivf.contains).toLong
+    }
+    assert(recall == expected)
+  }
+}
