@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation (LPA, Raghavan et al. 2007) — community
@@ -16,16 +16,34 @@ import org.apache.spark.sql.functions._
   * LPA converges to DENSE communities, not mere connectivity — two cliques
   * joined by one bridge edge are one CC but two LPA communities.
   *
-  * Scale shape (same discipline as the other two loops): per round exactly
-  * one |E| join (labels onto edge sources, shuffled by node id) and two
-  * keyed aggregations — (node, label) vote counts with map-side partial
-  * aggregation, then the per-node argmax as a lexicographic struct-min
-  * (also map-side combinable; never a per-node window). Labels are
-  * localCheckpoint'ed each round so the lineage doesn't stack across
-  * iterations. Traffic per round is O(|E| + |V|) longs; nothing is ever
-  * collected to the driver.
+  * Scale shape (the CC/PageRank loop discipline, all three knobs):
+  *  - The symmetrized edge table is round-invariant, pre-partitioned on
+  *    the per-round join key `src`, persisted once — each round shuffles
+  *    ONLY the label table to it.
+  *  - Isolated-node bypass: only nodes touching an edge can ever change
+  *    label, so the loop's label table is |V(E)|, not |V| — the isolated
+  *    majority of a near-dup corpus short-circuits to self-labels.
+  *  - Per-round parallelism is BOUNDED by edge count (CC's rows-per-task
+  *    rule): kilobyte label tables must not pay the session's full shuffle
+  *    parallelism in scheduling per round, while 100 TB graphs still fan
+  *    out fully.
+  * Vote rows take one |E| exchange onto `id`; both vote aggregations — the
+  * per-(node,label) counts and the per-node argmax as a lexicographic
+  * struct-min (map-side combinable, never a per-node window) — run
+  * partition-local on it, because partitioning on `id` already clusters
+  * `(id, label)`. The label update joins two id-partitioned sides: no
+  * further exchange. Labels localCheckpoint each round (lineage
+  * truncation), previous blocks freed; nothing is collected to the driver.
   */
 object LabelPropagation {
+
+  private val RowsPerTask = 500000L
+
+  private def boundedParts(sessionParts: Int, rows: Long): Int =
+    math.max(1, math.min(sessionParts, (rows / RowsPerTask + 1).toInt))
+
+  private def freeCheckpoint(df: DataFrame): Unit =
+    GraftBridge.checkpointedRdd(df).foreach(_.unpersist(blocking = false))
 
   /** @param nodes one column `id`
     * @param edges columns `src`, `dst` — each undirected edge listed ONCE;
@@ -35,24 +53,71 @@ object LabelPropagation {
     * @return `(id, label)` after `iterations` synchronous rounds
     */
   def run(nodes: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    val spark = edges.sparkSession
+    val sessionParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val symFull = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true) // round-invariant; never recompute the generator
-    var labels = nodes.select(col("id"), col("id").as("label"))
-    for (_ <- 1 to iterations) {
+      .persist()
+    val nEdges = symFull.count() // materialize once; reused every round
+    val p = boundedParts(sessionParts, nEdges)
+    val sym = {
+      val s = symFull.repartition(p, col("src")).persist()
+      s.count()
+      symFull.unpersist()
+      s
+    }
+    // sym is symmetric, so distinct src covers every endpoint; selecting the
+    // partitioning key keeps the dedup exchange-free
+    val touched = sym.select(col("src").as("id")).dropDuplicates("id").persist()
+    val isolated = nodes.select(col("id")).dropDuplicates("id")
+      .join(touched, Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    var labels = nodes.select(col("id"))
+      .join(touched, Seq("id"), "left_semi")
+      .repartition(p, col("id")).dropDuplicates("id")
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var prev = labels
+    // Fixpoint short-circuit (CC's pattern): if a round leaves every label
+    // unchanged, every later round reproduces it — stopping early returns
+    // the SAME frame as running all `iterations` rounds (2-cycling graphs
+    // never trigger it and just run the full budget). The changed-flag is
+    // folded into the update row so each round is one job: the lazy
+    // localCheckpoint materializes with the changed-count aggregate.
+    var i = 0
+    var converged = nEdges == 0 // no edges → labels are already final
+    while (!converged && i < iterations) {
       val votes = sym
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
-        .groupBy(col("dst").as("id"), col("label"))
-        .agg(count(lit(1)).as("n"))
-      // argmax(label by (n desc, label asc)) as a struct-min: combinable
-      val best = votes
+        .select(col("dst").as("id"), col("label"))
+        .repartition(p, col("id")) // clusters (id, label) AND id: both
+      val counts = votes            //   aggs below stay partition-local
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("n"))
+      val best = counts
         .groupBy(col("id"))
         .agg(min(struct((-col("n")).as("negn"), col("label").as("l"))).as("b"))
         .select(col("id"), col("b.l").as("next_label"))
-      labels = labels.join(best, Seq("id"), "left")
-        .select(col("id"), coalesce(col("next_label"), col("label")).as("label"))
-        .localCheckpoint(true)
+      val upd = labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("next_label"), col("label")).as("label"),
+          (coalesce(col("next_label"), col("label")) =!= col("label")).as("chg"))
+        .localCheckpoint(false)
+      val changed = upd
+        .agg(coalesce(max(when(col("chg"), 1).otherwise(0)), lit(0)))
+        .head().getInt(0) > 0
+      labels = upd.select(col("id"), col("label"))
+      freeCheckpoint(prev)
+      prev = upd
+      converged = !changed
+      i += 1
     }
-    labels
+    // Materialize loop result ∪ isolated self-labels BEFORE dropping the
+    // caches they read from (isolated is an anti-join over sym-derived
+    // `touched`); callers get a materialized frame with truncated lineage.
+    val result = labels.unionAll(isolated).localCheckpoint()
+    sym.unpersist()
+    touched.unpersist()
+    freeCheckpoint(prev)
+    result
   }
 }

@@ -1325,9 +1325,15 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
     def mergeRound(d: DataFrame, i: Int): (DataFrame, DataFrame) = {
       val best = pairCounts(d).orderBy(col("n").desc, col("a"), col("b")).limit(1)
+      // persist the loop-carried corpus: round i+1's pair counts, this
+      // round's token total, AND the next merge chain all read it — without
+      // the cache the replace chain re-derives from the scan once per
+      // consumer (a distributed trainer checkpoints the corpus per merge
+      // round for the same reason)
       val next = d.crossJoin(broadcast(best.select(col("a"), col("b"))))
         .select(col("doc_id"),
           expr("replace(s, ' ' || a || '  ' || b || ' ', ' ' || a || '~' || b || ' ')").as("s"))
+        .persist()
       val after = next
         .select(size(split(trim(col("s")), "  ")).cast("long").as("k"))
         .agg(sum(col("k")).as("tokens_after"))
