@@ -816,7 +816,71 @@ object VectorOps {
        |FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
        |GROUP BY b.q_id""".stripMargin
 
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al. 2009):
+    * the BM25 lexical top-10 ([[TextOps.textBm25]]) and the cosine vector
+    * top-10 (query vector 0) are fused by summed reciprocal ranks —
+    * `1e6 div (60 + rank)` per system, INTEGER fixed-point so the fusion
+    * arithmetic is bit-portable and the op fully oracle-checkable. This is
+    * the standard way modern curation/retrieval stacks combine lexical and
+    * semantic signals (decontamination lookups, dedup candidate retrieval,
+    * RAG); ids follow the fixture convention `vec_id ≡ doc_id`.
+    *
+    * Scale shape: each arm produces a k-row result via its own bounded
+    * top-k (BM25's TakeOrdered; the brute arm is the recall-eval protocol's
+    * broadcast-query pass — swap in [[annIvfTopk]]'s pruned lists when the
+    * corpus outgrows it). The fusion itself joins two ≤k-row sets — the
+    * rank windows and the full-outer join run on ≤10 rows by construction,
+    * never on corpus-sized data. */
+  val rankFusion: Q = (s, dir) => {
+    val wt = Window.orderBy(col("bm25").desc, col("doc_id")) // ≤10 rows
+    val text10 = TextOps.textBm25(s, dir)
+      .withColumn("text_rank", row_number().over(wt))
+      .select(col("doc_id").as("id"), col("text_rank"))
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val top = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10) // TakeOrdered
+    val wv = Window.orderBy(col("cos").desc, col("vec_id")) // ≤10 rows
+    val vec10 = top.withColumn("vec_rank", row_number().over(wv))
+      .select(col("vec_id").as("id"), col("vec_rank"))
+    text10.join(vec10, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000 div (60 + text_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+      .orderBy(col("rrf").desc, col("id")).limit(10)
+      .select(col("id").as("doc_id"), col("text_rank"), col("vec_rank"), col("rrf"))
+  }
+  val rankFusionSql =
+    s"""WITH bm AS (${TextOps.textBm25Sql.replace("\n", "\n  ")}),
+       |t10 AS (SELECT doc_id AS id,
+       |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS text_rank FROM bm),
+       |emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |top AS (
+       |  SELECT c.vec_id,
+       |    list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])) / (q.nrm * c.nrm) AS cos
+       |  FROM emb c, (SELECT v, nrm FROM emb WHERE vec_id = 0) q
+       |  WHERE c.vec_id <> 0
+       |  ORDER BY cos DESC, c.vec_id LIMIT 10),
+       |v10 AS (SELECT vec_id AS id,
+       |  row_number() OVER (ORDER BY cos DESC, vec_id) AS vec_rank FROM top),
+       |fused AS (
+       |  SELECT coalesce(t10.id, v10.id) AS doc_id, text_rank, vec_rank,
+       |    coalesce(1000000 // (60 + text_rank), 0)
+       |      + coalesce(1000000 // (60 + vec_rank), 0) AS rrf
+       |  FROM t10 FULL OUTER JOIN v10 ON t10.id = v10.id)
+       |SELECT doc_id, text_rank, vec_rank, CAST(rrf AS BIGINT) AS rrf
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "rank_fusion" -> (rankFusion, Some(rankFusionSql)),
     "ann_recall_eval" -> (annRecallEval, Some(annRecallEvalSql)),
     "array_hof" -> (arrayHof, Some(arrayHofSql)),
     "kmeans_quantized" -> (kmeansQuantized, Some(kmeansQuantizedSql)),

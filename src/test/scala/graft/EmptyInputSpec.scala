@@ -107,6 +107,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(VectorOps.dedupSemantic(spark, emptyDir).count() == 0)
     assert(VectorOps.annIvfTopk(spark, emptyDir).count() == 0)
     assert(VectorOps.annRecallEval(spark, emptyDir).count() == 0)
+    assert(VectorOps.rankFusion(spark, emptyDir).count() == 0)
     assert(graft.operators.ConnectedComponents.run(
       spark.range(0).select(col("id")),
       spark.range(0).select(col("id").as("src"), col("id").as("dst"))).count() == 0)

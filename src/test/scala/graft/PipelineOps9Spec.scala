@@ -92,6 +92,28 @@ class PipelineOps9Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("rank fusion: rrf arithmetic consistent, both arms represented") {
+    val rows = VectorOps.rankFusion(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val tr = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val vr = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(tr.nonEmpty || vr.nonEmpty)
+      assert(tr.forall(x => x >= 1 && x <= 10) && vr.forall(x => x >= 1 && x <= 10))
+      val expected = tr.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        vr.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(3) == expected)
+    }
+    // fused order is rrf desc with id tie-break
+    val rrfs = rows.map(_.getLong(3))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    // a doc ranked first in BOTH arms would dominate; at minimum the
+    // global top fused doc must sit in some arm's top-3
+    val top = rows.head
+    assert((!top.isNullAt(1) && top.getInt(1) <= 3) ||
+      (!top.isNullAt(2) && top.getInt(2) <= 3))
+  }
+
   test("ann recall eval: agrees with the independent brute-force baseline") {
     val recall = VectorOps.annRecallEval(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
