@@ -95,6 +95,31 @@ class PlanPropertySpec extends SparkSpec {
       s"expected an equi-join keyed on (user_id, time-bucket):\n$plan")
   }
 
+  test("domain_stats: the domain table broadcasts back; no sort-merge join") {
+    val plan = executed(query("domain_stats"))
+    val names = allNodes(plan).map(_.getClass.getSimpleName)
+    assert(names.exists(_.startsWith("BroadcastHashJoin")),
+      s"domain blocklist must broadcast onto the corpus scan:\n$plan")
+    assert(!names.exists(_.startsWith("SortMergeJoin")),
+      s"corpus must not shuffle-sort against the tiny domain table:\n$plan")
+  }
+
+  test("bpe/rank_fusion/recall: broadcast arms never degrade to a cartesian product") {
+    Seq("bpe_train_merges", "rank_fusion", "ann_recall_eval").foreach { q0 =>
+      val plan = executed(query(q0))
+      val names = allNodes(plan).map(_.getClass.getSimpleName)
+      assert(!names.exists(_.startsWith("CartesianProduct")),
+        s"$q0: a broadcast arm fell back to CartesianProduct:\n$plan")
+    }
+  }
+
+  test("rank_fusion: both arms end in TakeOrdered, fusion never global-sorts the corpus") {
+    val plan = executed(query("rank_fusion"))
+    val takes = allNodes(plan)
+      .count(_.getClass.getSimpleName.startsWith("TakeOrderedAndProject"))
+    assert(takes >= 2, s"expected TakeOrdered top-k in both arms + fusion:\n$plan")
+  }
+
   test("j1 metadata join: all three levels broadcast, corpus side never shuffles") {
     val plan = executed(query("j1_priority_join"))
     assert(shuffles(plan).isEmpty,
