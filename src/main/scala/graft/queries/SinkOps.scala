@@ -164,17 +164,25 @@ object SinkOps {
     * silently streaming stale events. Each consumer's checkpoint/out dirs
     * stay unique per run (a reused completed checkpoint would make
     * availableNow a no-op resume). */
-  /** @param onlyType stage ONLY this event type (no sentinel appended —
-    *   used by the stream-stream join, whose inner-join matches emit
+  /** @param onlyType stage ONLY this event type (by default no sentinel
+    *   appended — used by the inner stream-stream join, whose matches emit
     *   eagerly and need no watermark flush; a sentinel row would join
     *   with the other side's sentinel and fabricate a match). Each side
     *   then scans its own slice per micro-batch instead of re-filtering
-    *   the full staged source. */
+    *   the full staged source.
+    * @param sentinelUser with `onlyType`, append a far-future sentinel row
+    *   carrying THIS user id — the left-outer stream-stream join needs the
+    *   watermark advanced on BOTH sides (outer-null emission waits on the
+    *   min), and distinct negative user ids per side keep the two
+    *   sentinels from fabricating a match with each other or real data. */
   private def stagedEventsDir(s: SparkSession, dir: String,
                               duplicate: Boolean = false,
-                              onlyType: Option[String] = None): String = {
+                              onlyType: Option[String] = None,
+                              sentinelUser: Option[Long] = None): String = {
     val prefix = "graft-stream-" +
-      (if (duplicate) "dup-" else onlyType.map(t => s"$t-").getOrElse("src-"))
+      (if (duplicate) "dup-"
+       else onlyType.map(t => s"$t-${sentinelUser.fold("")(u => s"sent$u-")}")
+         .getOrElse("src-"))
     val stage = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       prefix + sourceSignature(s"$dir/events.parquet"))
@@ -193,6 +201,18 @@ object SinkOps {
         .coalesce(8)
       src.write.mode("overwrite").parquet(evDir)
       if (onlyType.isDefined) {
+        sentinelUser.foreach { u =>
+          val maxTsRow = s.read.parquet(evDir).agg(max(col("ts"))).head()
+          if (!maxTsRow.isNullAt(0)) {
+            val maxTs = maxTsRow.getTimestamp(0)
+            s.range(1).select(
+              lit(-1L).as("event_id"),
+              lit(new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)).as("ts"),
+              lit(u).as("user_id"), lit("sentinel").as("event_type"),
+              lit(0.0).as("value"), lit("{}").as("props"))
+              .write.mode("append").parquet(evDir)
+          }
+        }
         doneMark.createNewFile()
         return evDir
       }
@@ -453,6 +473,48 @@ object SinkOps {
       | AND epoch_us(v.ts) <= epoch_us(c.ts)
       | AND epoch_us(v.ts) >= epoch_us(c.ts) - 1800000000""".stripMargin
 
+  /** Seventh streaming entry — watermarked LEFT-OUTER stream-stream join:
+    * the semantics inner joins cannot show. Matches emit eagerly like
+    * [[eventsCorrelateStream]]; clicks that never find a view emit with
+    * NULL view columns only when the watermark EXPIRES their state — so
+    * this entry stages a far-future sentinel on BOTH sides (distinct
+    * negative user ids; outer-null emission waits on the MIN of the two
+    * source watermarks) and keeps the final no-data micro-batch (the
+    * watermark crossing is evaluated there). The click-side sentinel
+    * surfaces as an unmatched row and is filtered by id; the view-side
+    * one can match nothing. Oracle: the equivalent batch LEFT JOIN. */
+  val eventsLeftJoinStream: Q = (s, dir) => withStreamParallelism(s) {
+    val clickDir = stagedEventsDir(s, dir, onlyType = Some("click"), sentinelUser = Some(-1L))
+    val viewDir = stagedEventsDir(s, dir, onlyType = Some("view"), sentinelUser = Some(-2L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-loj")
+    cleanupAtExit(tmp)
+    val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
+    val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
+    val q = graft.streaming.EventStream
+      .correlate(graft.streaming.EventStream.readEvents(s, clickDir),
+        graft.streaming.EventStream.readEvents(s, viewDir),
+        joinType = "left_outer")
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("view_ts")).as("view_us"), col("click_value"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    drain(q)
+    s.read.parquet(outDir).filter(col("click_id") >= 0)
+  }
+  val eventsLeftJoinStreamSql =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+      |  epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us,
+      |  c.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON v.user_id = c.user_id
+      | AND epoch_us(v.ts) <= epoch_us(c.ts)
+      | AND epoch_us(v.ts) >= epoch_us(c.ts) - 1800000000""".stripMargin
+
   /** Sixth streaming entry — NATIVE session windows in streaming: the
     * built-in SessionWindow operator (gap merging inside the stateful
     * aggregate) under a watermark, versus the oracle's lag/cumsum SQL
@@ -576,6 +638,7 @@ object SinkOps {
     "events_stateful_stream" -> (eventsStatefulStream, Some(eventsStatefulStreamSql)),
     "stream_upsert_mv" -> (streamUpsertMv, Some(streamUpsertMvSql)),
     "events_correlate_stream" -> (eventsCorrelateStream, Some(eventsCorrelateStreamSql)),
+    "events_left_join_stream" -> (eventsLeftJoinStream, Some(eventsLeftJoinStreamSql)),
     "events_session_window_stream" -> (eventsSessionWindowStream, Some(eventsSessionWindowStreamSql)),
     "format_roundtrip" -> (formatRoundtrip, Some(formatRoundtripSql)),
   )

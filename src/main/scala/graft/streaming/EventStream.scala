@@ -75,7 +75,16 @@ object EventStream {
     * BOTH sides is evicted at the horizon — unbounded-state joins never ship.
     */
   val JoinWindowMs: Long = 30 * 60 * 1000
-  def correlate(clicks: DataFrame, views: DataFrame): DataFrame = {
+  /** Watermarked stream-stream interval join. `joinType = "inner"` emits
+    * matches eagerly; `"left_outer"` additionally emits never-matched
+    * clicks with null view columns ONCE THE WATERMARK EXPIRES their state —
+    * the streaming semantics batch joins get for free, and the reason the
+    * left-outer entry stages watermark-advancing sentinels on BOTH sides
+    * (the outer-null flush waits on the MIN of the two source watermarks).
+    * The 1 h watermark delay strictly covers the 30 min join window, so
+    * state is never evicted while a match could still arrive. */
+  def correlate(clicks: DataFrame, views: DataFrame,
+                joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", "1 hour")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"),
         col("value").as("click_value"))
@@ -84,7 +93,8 @@ object EventStream {
     c.join(v,
       col("user_id") === col("v_user") &&
         col("view_ts") <= col("click_ts") &&
-        col("view_ts") >= col("click_ts") - expr(s"INTERVAL ${JoinWindowMs / 1000} SECONDS"))
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL ${JoinWindowMs / 1000} SECONDS"),
+      joinType)
       .select(col("click_id"), col("view_id"), col("user_id"),
         col("click_ts"), col("view_ts"), col("click_value"))
   }

@@ -150,6 +150,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: matches emit eagerly, unmatched flush on watermark expiry") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val memV = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = graft.streaming.EventStream.correlate(
+        memC.toDF().toDF(cols: _*), memV.toDF().toDF(cols: _*), joinType = "left_outer")
+      .writeStream.format("memory").queryName("loj").outputMode("append").start()
+    try {
+      memV.addData((10L, ts(0), 1L, "view", 0.0, "{}"),
+        (11L, ts(100), 2L, "view", 0.0, "{}"))
+      memC.addData((20L, ts(20), 1L, "click", 1.0, "{}"), // pairs with view@0
+        (21L, ts(25), 2L, "click", 2.0, "{}"),            // view@100 is later → no pair
+        (22L, ts(55), 1L, "click", 3.0, "{}"))            // view@0 outside 30min → no pair
+      q.processAllAvailable()
+      val eager = spark.table("loj").filter(col("view_id").isNotNull)
+        .select("click_id", "view_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(eager.toSeq == Seq((20L, 10L)), "inner matches must emit before any watermark")
+      // push BOTH watermarks far past the clicks; the expiry scan runs in
+      // the batch AFTER the watermark update, so feed two sentinel rounds
+      Seq(200000, 200001).foreach { m =>
+        memC.addData((-1L, ts(m), -1L, "sentinel", 0.0, "{}"))
+        memV.addData((-2L, ts(m), -2L, "sentinel", 0.0, "{}"))
+        q.processAllAvailable()
+      }
+      val unmatched = spark.table("loj")
+        .filter(col("view_id").isNull && col("click_id") >= 0)
+        .select("click_id").collect().map(_.getLong(0)).sorted
+      assert(unmatched.toSeq == Seq(21L, 22L),
+        s"watermark expiry must flush exactly the never-matched clicks, got ${unmatched.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and emits exact aggregates") {
     val s = spark
     import s.implicits._
