@@ -310,7 +310,62 @@ object LakeOps {
        |GROUP BY bucket""".stripMargin
   }
 
+  /** Runtime-filter join (semi-join reduction): the selective dimension
+    * side folds its join keys into a tiny Bloom bitmap (252 bits as 4
+    * longs, 2 probes/key — `decontaminate_bloom`'s constant-memory shape),
+    * which broadcasts onto the FACT scan and prunes non-joining rows
+    * BEFORE the join's exchange. False positives only cost wasted shuffle
+    * rows; the real equi-join behind the filter restores exactness — which
+    * is why the oracle is the PLAIN join+aggregate with no Bloom at all:
+    * the prefilter must be semantically invisible.
+    *
+    * This is the explicit, engine-portable form of Spark's own runtime
+    * bloom-filter pushdown (`spark.sql.optimizer.runtime.bloomFilter.*`);
+    * at 100 TB the bitmap is sized to the dim cardinality (still KBs where
+    * a broadcast hash set would be GBs) and the win is the fact-table
+    * shuffle shrinking by the dim's selectivity. Integer Lehmer hash
+    * (k·48271 mod 2^31−1) — overflow-free in both engines, so even the
+    * false-positive pattern is deterministic. PlanPropertySpec pins the
+    * probe filter to the scan side below the join. */
+  val joinBloomPrefilter: Q = (s, dir) => {
+    // Lehmer hash then two bit positions in [0, 252); `div`/`%` on a
+    // positive hash — identical expressions on build and probe side
+    def b1(key: String) = expr(s"(($key * 48271) % 2147483647) % 252")
+    def b2(key: String) = expr(s"((($key * 48271) % 2147483647) div 252) % 252")
+    val cust = table(s, dir, "customer")
+      .filter(col("c_nationkey") === 7).select(col("c_custkey"))
+    val bits = cust
+      .select(explode(array(b1("c_custkey"), b2("c_custkey"))).as("bit"))
+      .select(expr("bit div 63").as("w"), expr("bit % 63").as("b"))
+      .groupBy(col("w"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).as("word"))
+    val aggs = (0 to 3).map(i => max(when(col("w") === i, col("word"))).as(s"bw$i"))
+    val bloom = bits.agg(aggs.head, aggs.tail: _*)
+    // & 1, not % 2: bits land in [0,62] so words stay non-negative anyway,
+    // but the mask form is shift-sign-proof (decontaminate_bloom's rule)
+    def hit(bitSql: String) =
+      s"(shiftright(coalesce(element_at(array(bw0, bw1, bw2, bw3), " +
+        s"CAST(($bitSql) div 63 AS INT) + 1), CAST(0 AS BIGINT)), " +
+        s"CAST(($bitSql) % 63 AS INT)) & 1) = 1"
+    val b1s = "((o_custkey * 48271) % 2147483647) % 252"
+    val b2s = "(((o_custkey * 48271) % 2147483647) div 252) % 252"
+    val ordersF = table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .crossJoin(broadcast(bloom))
+      .filter(expr(s"${hit(b1s)} AND ${hit(b2s)}"))
+    ordersF.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+  }
+  val joinBloomPrefilterSql =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_nationkey = 7 GROUP BY o_orderstatus""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "join_bloom_prefilter" -> (joinBloomPrefilter, Some(joinBloomPrefilterSql)),
     "join_bucketed" -> (joinBucketed, Some(joinBucketedSql)),
     "part_skyline" -> (partSkyline, Some(partSkylineSql)),
     "interval_union" -> (intervalUnion, Some(intervalUnionSql)),

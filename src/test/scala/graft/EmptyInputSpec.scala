@@ -32,6 +32,10 @@ class EmptyInputSpec extends SparkSpec {
       StructField("p_partkey", LongType), StructField("p_name", StringType),
       StructField("p_brand", StringType), StructField("p_type", StringType),
       StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType))))
+    write("customer", StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))))
     write("orders", StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
       StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
@@ -96,6 +100,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(LakeOps.zorderCluster(spark, emptyDir).count() == 0)
     assert(LakeOps.joinBucketed(spark, emptyDir).count() == 0)
     assert(LakeOps.heavyHittersCms(spark, emptyDir).count() == 0)
+    // empty dim → all-null bloom words → every probe misses → 0 rows
+    assert(LakeOps.joinBloomPrefilter(spark, emptyDir).count() == 0)
   }
 
   test("vector operators return cleanly on an empty embedding table") {

@@ -120,6 +120,24 @@ class PlanPropertySpec extends SparkSpec {
     assert(takes >= 2, s"expected TakeOrdered top-k in both arms + fusion:\n$plan")
   }
 
+  test("join_bloom_prefilter: probe filter sits on the fact scan below the join") {
+    val plan = executed(query("join_bloom_prefilter"))
+    val joins = allNodes(plan).filter(n =>
+      n.getClass.getSimpleName.contains("HashJoin") ||
+        n.getClass.getSimpleName.startsWith("SortMergeJoin"))
+    assert(joins.nonEmpty, s"expected the exact equi-join:\n$plan")
+    // the bloom probe (shiftright mask) must sit INSIDE the equi-join's
+    // subtree — pruning before the exchange, not after the join. Catalyst
+    // fuses it into the broadcast-bloom join's condition, so check node
+    // strings, not only FilterExec conditions.
+    val probeInsideJoin = joins.exists(j =>
+      allNodes(j).drop(1).exists(_.simpleString(10000).contains("shiftright")))
+    assert(probeInsideJoin, s"bloom probe not pushed below the join:\n$plan")
+    assert(!allNodes(plan).map(_.getClass.getSimpleName)
+      .exists(_.startsWith("CartesianProduct")),
+      s"bloom broadcast fell back to CartesianProduct:\n$plan")
+  }
+
   test("j1 metadata join: all three levels broadcast, corpus side never shuffles") {
     val plan = executed(query("j1_priority_join"))
     assert(shuffles(plan).isEmpty,
