@@ -147,6 +147,43 @@ object Wav {
 
   val frameStatsUdf = udf((b: Array[Byte]) => pcm16FrameStats(b))
 
+  /** Energy-delta acoustic fingerprint (the Haitsma–Kalker / Chromaprint
+    * bit shape over frame energies instead of spectral bands — integer-only
+    * so it is engine-portable): bit `f` is set when frame `f`'s summed
+    * abs-amplitude exceeds frame `f+1`'s. Amplitude-threshold-free, so it
+    * survives uniform gain changes of PCM content; identical content ⇒
+    * identical fingerprint, which makes it a groupBy dedup key. Capped at
+    * 63 delta bits; non-PCM input → −1 (distinct from every real print,
+    * whose bit 63 is never set). */
+  def pcm16Fingerprint(bytes: Array[Byte], frameSize: Int = 16): Long =
+    pcm16Layout(bytes) match {
+      case None => -1L
+      case Some((dataOff, nSamples, _, _)) =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val nFrames = nSamples / frameSize
+        val e = new Array[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var sum = 0L
+          var i = 0
+          while (i < frameSize) {
+            sum += math.abs(bb.getShort(dataOff + 2 * (f * frameSize + i)).toInt)
+            i += 1
+          }
+          e(f) = sum
+          f += 1
+        }
+        var fp = 0L
+        f = 0
+        while (f < nFrames - 1 && f < 63) {
+          if (e(f) > e(f + 1)) fp |= 1L << f
+          f += 1
+        }
+        fp
+    }
+
+  val fingerprintUdf = udf((b: Array[Byte]) => pcm16Fingerprint(b))
+
   /** Deterministic mono 16-bit PCM sine fixture (reference: tests/end_to_end.rs:332-351):
     * `lengthSamples` frames of a 440 Hz sine at `sampleRate`, i16 max amplitude.
     * Used by specs and the verification surface; NOT part of the pipeline.
@@ -192,4 +229,27 @@ object Wav {
   }
 
   val synthPcmUdf = udf((sr: Int, len: Int) => synthPcmWav(sr, len))
+
+  /** Seeded variant of [[synthPcmWav]]: the phase offset makes the PCM
+    * CONTENT a function of the seed, so fixtures can model distinct
+    * recordings (same formula shifted) rather than truncations of one
+    * signal — what the fingerprint-dedup surface needs. */
+  def synthPcmWavSeeded(sampleRate: Int, lengthSamples: Int, seed: Long): Array[Byte] = {
+    val dataSize = lengthSamples * 2
+    val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952); bb.putInt(36 + dataSize); bb.putInt(0x45564157)
+    bb.putInt(0x20746d66); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)            // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16)           // block align, bits
+    bb.putInt(0x61746164); bb.putInt(dataSize)
+    var i = 0
+    while (i < lengthSamples) {
+      bb.putShort((((i + seed) * 2654435761L) % 65536L - 32768L).toShort); i += 1
+    }
+    bb.array()
+  }
+
+  val synthPcmSeededUdf =
+    udf((sr: Int, len: Int, seed: Long) => synthPcmWavSeeded(sr, len, seed))
 }

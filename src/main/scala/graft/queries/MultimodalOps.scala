@@ -245,7 +245,45 @@ object MultimodalOps {
       |    ELSE 0 END)) AS VARCHAR) AS frame_lens
       |FROM documents WHERE doc_id < 500""".stripMargin
 
+  /** Audio near-duplicate detection end to end: synthesize per-doc PCM WAVs
+    * (content keyed by `doc_id % 50` — distinct phase-shifted recordings,
+    * each present in ~6 copies here), run the REAL RIFF/PCM16 decode +
+    * energy-delta fingerprint kernel
+    * ([[graft.functions.Wav.pcm16Fingerprint]]), and group by fingerprint —
+    * the audio twin of `dedup_exact`/`dedup_sha256`, except the key is
+    * CONTENT-derived (frame-energy deltas, gain-invariant) rather than
+    * byte-exact. The oracle replays the deterministic seeded PCM formula
+    * and the same delta-bit assembly as integer SQL.
+    *
+    * Scale shape: one narrow decode+fingerprint pass (the kernel is a
+    * single compiled loop per row, no intermediate energy arrays
+    * materialized in the plan), then one map-side-combining groupBy on an
+    * 8-byte key — exactly `dedup_sha256`'s shuffle profile, with 100 TB of
+    * audio reduced to one long per file before any exchange. */
+  val audioFingerprint: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"), (col("doc_id") % 50).cast("long").as("seed"))
+    docs.select(col("doc_id"),
+        graft.functions.Wav.fingerprintUdf(
+          graft.functions.Wav.synthPcmSeededUdf(lit(16000), lit(160), col("seed"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_copies") >= 2)
+  }
+  val audioFingerprintSql =
+    """WITH d AS (SELECT doc_id, doc_id % 50 AS seed
+      |           FROM documents WHERE doc_id < 300),
+      |es AS (SELECT doc_id, list_transform(range(10), f ->
+      |    list_sum(list_transform(range(f*16, f*16 + 16), i ->
+      |      abs(((i + seed)*2654435761) % 65536 - 32768)))) AS e FROM d),
+      |fp AS (SELECT doc_id, coalesce(list_sum(list_transform(range(9), f ->
+      |    CASE WHEN e[f+1] > e[f+2] THEN CAST(1 AS BIGINT) << CAST(f AS INT)
+      |         ELSE CAST(0 AS BIGINT) END)), 0) AS fp FROM es)
+      |SELECT fp, count(*) AS n_copies, min(doc_id) AS canonical_id
+      |FROM fp GROUP BY fp HAVING count(*) >= 2""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "audio_fingerprint" -> (audioFingerprint, Some(audioFingerprintSql)),
     "mm_decode" -> (mmDecode, Some(mmDecodeSql)),
     "mm_decode_wav" -> (mmDecodeWav, Some(mmDecodeWavSql)),
     "mm_decode_flac" -> (mmDecodeFlac, Some(mmDecodeFlacSql)),

@@ -67,7 +67,8 @@ class EmptyInputSpec extends SparkSpec {
       "pipeline_quality_filter" -> TextOps.pipelineQualityFilter,
       "domain_stats" -> TextOps.domainStats,
       "label_propagation" -> TextOps.labelPropagation,
-      "bpe_train_merges" -> TextOps.bpeTrainMerges)
+      "bpe_train_merges" -> TextOps.bpeTrainMerges,
+      "audio_fingerprint" -> graft.queries.MultimodalOps.audioFingerprint)
     ops.foreach { case (name, q) =>
       assert(q(spark, emptyDir).count() == 0, s"$name not empty-safe")
     }

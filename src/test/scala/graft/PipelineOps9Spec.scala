@@ -114,6 +114,32 @@ class PipelineOps9Spec extends SparkSpec {
       (!top.isNullAt(2) && top.getInt(2) <= 3))
   }
 
+  test("audio fingerprint: content-keyed, gain-invariant, garbage-safe") {
+    import graft.functions.Wav
+    val a = Wav.synthPcmWavSeeded(16000, 160, 7L)
+    val b = Wav.synthPcmWavSeeded(16000, 160, 7L)
+    assert(Wav.pcm16Fingerprint(a) == Wav.pcm16Fingerprint(b), "same content, same print")
+    assert(Wav.pcm16Fingerprint(a) != -1L)
+    // halve every sample (uniform gain change): energy ORDER is preserved,
+    // so the delta-bit fingerprint must not move
+    val halved = a.clone()
+    val bb = java.nio.ByteBuffer.wrap(halved).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 160).foreach { i =>
+      val v = bb.getShort(44 + 2 * i)
+      bb.putShort(44 + 2 * i, (v / 2).toShort)
+    }
+    assert(Wav.pcm16Fingerprint(halved) == Wav.pcm16Fingerprint(a),
+      "fingerprint must survive uniform gain change")
+    // different content (seed) should move SOME energy delta on this data
+    assert(Wav.pcm16Fingerprint(Wav.synthPcmWavSeeded(16000, 160, 8L)) !=
+      Wav.pcm16Fingerprint(a))
+    assert(Wav.pcm16Fingerprint("not a wav".getBytes) == -1L)
+    // dedup groups partition the 300-doc slice: group sizes + singletons
+    val out = graft.queries.MultimodalOps.audioFingerprint(spark, dir)
+      .agg(sum(col("n_copies"))).head.getLong(0)
+    assert(out <= 300 && out >= 250, s"expected near-total coverage, got $out")
+  }
+
   test("ann recall eval: agrees with the independent brute-force baseline") {
     val recall = VectorOps.annRecallEval(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
