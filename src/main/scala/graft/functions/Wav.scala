@@ -147,6 +147,73 @@ object Wav {
 
   val frameStatsUdf = udf((b: Array[Byte]) => pcm16FrameStats(b))
 
+  /** Nearest-index resample of a PCM16 WAV to `targetRate`: output sample i
+    * = source sample floor(i·sr/target), n_out = floor(n·target/sr) — the
+    * sample-rate-normalization step every speech-training pipeline runs
+    * before featurization. Pure integer index math (no interpolation), so an
+    * SQL oracle recomputes the exact resampled samples. Returns
+    * `(n_in, n_out, rms_out)`; `(0, 0, 0.0)` for non-PCM16 input. */
+  def pcm16Resample(bytes: Array[Byte], targetRate: Int): (Int, Int, Double) =
+    pcm16Layout(bytes) match {
+      case None => (0, 0, 0.0)
+      case Some((dataOff, nSamples, sampleRate, _)) =>
+        if (targetRate <= 0 || sampleRate <= 0) return (nSamples, 0, 0.0)
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val nOut = (nSamples.toLong * targetRate / sampleRate).toInt
+        var sq = 0.0
+        var i = 0
+        while (i < nOut) {
+          val src = (i.toLong * sampleRate / targetRate).toInt
+          val v = bb.getShort(dataOff + 2 * src).toDouble
+          sq += v * v
+          i += 1
+        }
+        val rms = if (nOut == 0) 0.0 else math.sqrt(sq / nOut)
+        (nSamples, nOut, rms)
+    }
+
+  val resampleUdf = udf((b: Array[Byte], t: Int) => pcm16Resample(b, t))
+
+  /** Energy-gate VAD trim over full `frameSize`-sample frames: a frame is
+    * voiced when its summed |sample| is ≥ `frameSize·perSampleThreshold`
+    * (the complement of [[pcm16FrameStats]]'s silence test — same integer
+    * arithmetic, so the oracle recomputes the voiced set exactly). Returns
+    * `(n_frames, n_voiced, first_voiced, last_voiced)` with −1 markers when
+    * nothing is voiced — the leading/trailing-silence trim every audio
+    * curation pipeline applies before transcription. */
+  def pcm16VadTrim(
+      bytes: Array[Byte],
+      frameSize: Int = 16,
+      perSampleThreshold: Int = 16384): (Int, Int, Int, Int) =
+    pcm16Layout(bytes) match {
+      case None => (0, 0, -1, -1)
+      case Some((dataOff, nSamples, _, _)) =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val nFrames = nSamples / frameSize
+        val thresh = frameSize.toLong * perSampleThreshold
+        var voiced = 0
+        var first = -1
+        var last = -1
+        var f = 0
+        while (f < nFrames) {
+          var sum = 0L
+          var i = 0
+          while (i < frameSize) {
+            sum += math.abs(bb.getShort(dataOff + 2 * (f * frameSize + i)).toInt)
+            i += 1
+          }
+          if (sum >= thresh) {
+            voiced += 1
+            if (first < 0) first = f
+            last = f
+          }
+          f += 1
+        }
+        (nFrames, voiced, first, last)
+    }
+
+  val vadTrimUdf = udf((b: Array[Byte]) => pcm16VadTrim(b))
+
   /** Energy-delta acoustic fingerprint (the Haitsma–Kalker / Chromaprint
     * bit shape over frame energies instead of spectral bands — integer-only
     * so it is engine-portable): bit `f` is set when frame `f`'s summed

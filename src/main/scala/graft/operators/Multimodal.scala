@@ -54,7 +54,8 @@ object Multimodal {
     * stat); anything else takes the byte-level stub with zeroed audio
     * fields. That is EVERY audio family in the ported 12-type MIME
     * allow-list (wav/wave, flac, ogg, mpeg, aiff, aac): each now has a
-    * real deterministic header decode. */
+    * real deterministic header decode. BMP payloads (the image modality)
+    * get a real DIB container parse → true width/height. */
   def decodeKernel(bytes: Array[Byte]): (Int, Long, Int, Int, Double, Int, Double) = {
     val (n, ck, w, h, byteRms) = stubDecode(bytes)
     graft.functions.Wav.pcm16Rms(bytes) match {
@@ -89,6 +90,13 @@ object Multimodal {
       case Some(fi) =>
         return (n, ck, w, h, byteRms, fi.sampleRate,
           fi.totalFrames.toDouble / fi.sampleRate)
+      case None => ()
+    }
+    // image branch: real BMP container parse → true width/height (audio
+    // fields stay zero — there is no sampling rate to report)
+    graft.functions.Bmp.parse(bytes) match {
+      case Some(bi) =>
+        return (n, ck, bi.width, bi.height, byteRms, 0, 0.0)
       case None => ()
     }
     (n, ck, w, h, byteRms, 0, 0.0)

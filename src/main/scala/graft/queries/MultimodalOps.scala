@@ -282,8 +282,144 @@ object MultimodalOps {
       |SELECT fp, count(*) AS n_copies, min(doc_id) AS canonical_id
       |FROM fp GROUP BY fp HAVING count(*) >= 2""".stripMargin
 
+  /** REAL BMP image decode through the multimodal kernel: synthesize 24-bpp
+    * DIB payloads in-query (dims derived from doc_id, pixel channels pure
+    * integer formulas — [[graft.functions.Bmp.synthBmp]]), parse the
+    * container via mapPartitions for true width/height, and decode every
+    * pixel for per-channel means. The image twin of mm_decode_wav: the
+    * oracle recomputes dims, byte size (4-byte row padding included), and
+    * exact channel sums from the same formulas. */
+  val mmDecodeBmp: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+        (lit(6) + col("doc_id") % 7).cast("int").as("h"))
+    val bmp = docs.select(col("doc_id"),
+      graft.functions.Bmp.synthUdf(col("w"), col("h")).as("payload"))
+    Multimodal.decodeBinary(bmp, "payload")
+      .select(col("doc_id"), col("payload"),
+        col("decoded.n_bytes").as("n_bytes"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"))
+      .withColumn("st", graft.functions.Bmp.statsUdf(col("payload")))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        round(col("st.sum_r").cast("double") / (col("width") * col("height")), 4).as("mean_r"),
+        round(col("st.sum_g").cast("double") / (col("width") * col("height")), 4).as("mean_g"),
+        round(col("st.sum_b").cast("double") / (col("width") * col("height")), 4).as("mean_b"))
+  }
+  val mmDecodeBmpSql =
+    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(6 + doc_id % 7 AS INT) AS h
+      |           FROM documents WHERE doc_id < 200)
+      |SELECT doc_id, CAST(54 + ((w*3 + 3) // 4) * 4 * h AS INT) AS n_bytes,
+      |  w AS width, h AS height,
+      |  round(CAST(list_sum(list_transform(range(h), y -> list_sum(
+      |    list_transform(range(w), x -> (7*x + 23*y + 13) % 256)))) AS DOUBLE) / (w*h), 4) AS mean_r,
+      |  round(CAST(list_sum(list_transform(range(h), y -> list_sum(
+      |    list_transform(range(w), x -> (13*x + 29*y + 11) % 256)))) AS DOUBLE) / (w*h), 4) AS mean_g,
+      |  round(CAST(list_sum(list_transform(range(h), y -> list_sum(
+      |    list_transform(range(w), x -> (31*x + 17*y + 7) % 256)))) AS DOUBLE) / (w*h), 4) AS mean_b
+      |FROM d""".stripMargin
+
+  /** Image RESIZE (nearest-neighbor ÷2) over real decoded BMP pixels: the
+    * downsample transform of an image-preprocessing pipeline, verified by
+    * recomputing the sampled pixel grid — output dims ceil(dim/2), output
+    * pixel (x,y) = source (2x,2y) — in integer SQL. Runs as one narrow
+    * decode+sample pass per payload, no intermediate image materialized. */
+  val mmImageResize: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+        (lit(6) + col("doc_id") % 7).cast("int").as("h"))
+    docs.select(col("doc_id"),
+        graft.functions.Bmp.resampleStatsUdf(
+          graft.functions.Bmp.synthUdf(col("w"), col("h")), lit(2)).as("st"))
+      .select(col("doc_id"),
+        col("st.width").as("out_w"), col("st.height").as("out_h"),
+        round(col("st.sum_r").cast("double") / (col("st.width") * col("st.height")), 4).as("mean_r"),
+        round(col("st.sum_b").cast("double") / (col("st.width") * col("st.height")), 4).as("mean_b"))
+  }
+  val mmImageResizeSql =
+    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(6 + doc_id % 7 AS INT) AS h
+      |           FROM documents WHERE doc_id < 200),
+      |r AS (SELECT doc_id, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh FROM d)
+      |SELECT doc_id, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+      |  round(CAST(list_sum(list_transform(range(oh), y -> list_sum(
+      |    list_transform(range(ow), x -> (7*(2*x) + 23*(2*y) + 13) % 256)))) AS DOUBLE) / (ow*oh), 4) AS mean_r,
+      |  round(CAST(list_sum(list_transform(range(oh), y -> list_sum(
+      |    list_transform(range(ow), x -> (31*(2*x) + 17*(2*y) + 7) % 256)))) AS DOUBLE) / (ow*oh), 4) AS mean_b
+      |FROM r""".stripMargin
+
+  /** Audio RESAMPLE to 4 kHz over real decoded PCM16 WAV: nearest-index
+    * decimation ([[graft.functions.Wav.pcm16Resample]]) — the
+    * rate-normalization step before featurization in every speech pipeline.
+    * Source rates cycle 8/12/16/20 kHz, so the decimation stride varies per
+    * row; the oracle replays the integer index map and the exact PCM
+    * formula. One narrow decode+decimate pass per payload. */
+  val audioResample: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("sr"),
+        (lit(200) + col("doc_id") % 256).cast("int").as("len"))
+    docs.select(col("doc_id"),
+        graft.functions.Wav.resampleUdf(
+          graft.functions.Wav.synthPcmUdf(col("sr"), col("len")), lit(4000)).as("rs"))
+      .select(col("doc_id"),
+        col("rs._1").as("n_in"), col("rs._2").as("n_out"),
+        lit(4000).as("sr_out"),
+        round(col("rs._3"), 4).as("rms"))
+  }
+  val audioResampleSql =
+    """WITH d AS (SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
+      |                  CAST(200 + doc_id % 256 AS INT) AS len
+      |           FROM documents WHERE doc_id < 200),
+      |r AS (SELECT doc_id, sr, len, (len * 4000) // sr AS n_out FROM d)
+      |SELECT doc_id, len AS n_in, CAST(n_out AS INT) AS n_out, 4000 AS sr_out,
+      |  round(sqrt(CAST(list_sum(list_transform(range(n_out), i ->
+      |    (((i*sr) // 4000) * 2654435761 % 65536 - 32768)
+      |      * (((i*sr) // 4000) * 2654435761 % 65536 - 32768))) AS DOUBLE) / n_out), 4) AS rms
+      |FROM r""".stripMargin
+
+  /** Energy-gate VAD TRIM over real decoded PCM16 frames: voiced = frame
+    * |amplitude| sum ≥ 16·16384 ([[graft.functions.Wav.pcm16VadTrim]], the
+    * complement of audio_frame_energy's silence test), reporting the
+    * voiced-frame count, first/last voiced frame, and the sample span the
+    * trim keeps — the leading/trailing-silence cut before transcription.
+    * Integer arithmetic throughout; the oracle recomputes the voiced set. */
+  val audioVadTrim: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"), (lit(64) + (col("doc_id") * 3) % 200).cast("int").as("len"))
+    docs.select(col("doc_id"),
+        graft.functions.Wav.vadTrimUdf(
+          graft.functions.Wav.synthPcmUdf(lit(16000), col("len"))).as("vt"))
+      .select(col("doc_id"),
+        col("vt._1").as("n_frames"), col("vt._2").as("n_voiced"),
+        col("vt._3").as("first_voiced"), col("vt._4").as("last_voiced"),
+        when(col("vt._2") > 0, (col("vt._4") - col("vt._3") + 1) * 16)
+          .otherwise(0).as("kept_samples"))
+  }
+  val audioVadTrimSql =
+    """WITH d AS (SELECT doc_id, 64 + (doc_id*3) % 200 AS len
+      |           FROM documents WHERE doc_id < 300),
+      |f AS (SELECT doc_id, len // 16 AS n_frames FROM d),
+      |v AS (SELECT doc_id, n_frames, list_filter(range(n_frames), fr ->
+      |    list_sum(list_transform(range(fr*16, fr*16 + 16), i ->
+      |      abs((i*2654435761) % 65536 - 32768))) >= 262144) AS voiced FROM f)
+      |SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+      |  CAST(len(voiced) AS INT) AS n_voiced,
+      |  CAST(CASE WHEN len(voiced) = 0 THEN -1 ELSE voiced[1] END AS INT) AS first_voiced,
+      |  CAST(CASE WHEN len(voiced) = 0 THEN -1 ELSE voiced[len(voiced)] END AS INT) AS last_voiced,
+      |  CAST(CASE WHEN len(voiced) = 0 THEN 0
+      |       ELSE (voiced[len(voiced)] - voiced[1] + 1) * 16 END AS INT) AS kept_samples
+      |FROM v""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "audio_fingerprint" -> (audioFingerprint, Some(audioFingerprintSql)),
+    "audio_resample" -> (audioResample, Some(audioResampleSql)),
+    "audio_vad_trim" -> (audioVadTrim, Some(audioVadTrimSql)),
+    "mm_decode_bmp" -> (mmDecodeBmp, Some(mmDecodeBmpSql)),
+    "mm_image_resize" -> (mmImageResize, Some(mmImageResizeSql)),
     "mm_decode" -> (mmDecode, Some(mmDecodeSql)),
     "mm_decode_wav" -> (mmDecodeWav, Some(mmDecodeWavSql)),
     "mm_decode_flac" -> (mmDecodeFlac, Some(mmDecodeFlacSql)),

@@ -289,6 +289,35 @@ object TextOps {
        |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
        |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin
 
+  /** The production fuzzy-dedup pipeline end to end: MinHash-LSH candidate
+    * pairs ([[dedupMinhashLsh]] — banded buckets, collisions only, never
+    * all-pairs) fed through connected components over the WHOLE corpus —
+    * every document gets a canonical id (min doc_id of its near-dup
+    * cluster; docs with no signature or no collisions map to themselves).
+    * This is the shape large-scale corpus dedup actually runs (shingle →
+    * minhash → band → bucket-join → component → keep-one): [[dedupClusters]]
+    * demonstrates CC over exact-Jaccard edges on a slice; this one composes
+    * the scalable candidate generator with the scalable cluster closure,
+    * corpus-wide. Shuffle profile: LSH bucket join ∝ collisions + CC rounds
+    * ∝ E(V); nothing quadratic in corpus size. */
+  val dedupMinhashCc: Q = (s, dir) => {
+    val edges = dedupMinhashLsh(s, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = table(s, dir, "documents").select(col("doc_id").as("id"))
+    graft.operators.ConnectedComponents.run(nodes, edges)
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+  }
+  val dedupMinhashCcSql =
+    s"""WITH RECURSIVE pairs AS (${dedupMinhashLshSql.replace("\n", "\n  ")}),
+       |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |        UNION SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT doc_id AS id FROM documents),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
+       |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin
+
   /** The same clusters via the alternating large-star/small-star CC variant
     * ([[graft.operators.ConnectedComponents.runStar]] — O(log n) rounds on
     * ANY graph, the path for pathological diameters where min-label's
@@ -1413,6 +1442,7 @@ object TextOps {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     "dedup_minhash" -> (dedupMinhash, Some(dedupMinhashSql)),
     "dedup_minhash_lsh" -> (dedupMinhashLsh, Some(dedupMinhashLshSql)),
+    "dedup_minhash_cc" -> (dedupMinhashCc, Some(dedupMinhashCcSql)),
     "dedup_simhash" -> (dedupSimhash, Some(dedupSimhashSql)),
   )
 }

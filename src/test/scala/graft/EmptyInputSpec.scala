@@ -68,7 +68,12 @@ class EmptyInputSpec extends SparkSpec {
       "domain_stats" -> TextOps.domainStats,
       "label_propagation" -> TextOps.labelPropagation,
       "bpe_train_merges" -> TextOps.bpeTrainMerges,
-      "audio_fingerprint" -> graft.queries.MultimodalOps.audioFingerprint)
+      "audio_fingerprint" -> graft.queries.MultimodalOps.audioFingerprint,
+      "audio_resample" -> graft.queries.MultimodalOps.audioResample,
+      "audio_vad_trim" -> graft.queries.MultimodalOps.audioVadTrim,
+      "mm_decode_bmp" -> graft.queries.MultimodalOps.mmDecodeBmp,
+      "mm_image_resize" -> graft.queries.MultimodalOps.mmImageResize,
+      "dedup_minhash_cc" -> TextOps.dedupMinhashCc)
     ops.foreach { case (name, q) =>
       assert(q(spark, emptyDir).count() == 0, s"$name not empty-safe")
     }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Bmp, Wav}
+import graft.queries.TextOps
+
+/** Semantics pins for the image-modality codec (BMP parse / pixel stats /
+  * nearest-neighbor resize), the PCM transforms (resample, VAD trim), and
+  * the corpus-wide MinHash-LSH→CC dedup pipeline. Cross-engine value
+  * equality is the oracle gate's job; these pin kernel-level invariants and
+  * the corrupt-input / cross-codec discrimination contracts. */
+class ImageAudioOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- BMP container ----
+
+  test("bmp: synth roundtrips dims; pixel sums match the direct formula") {
+    val (w, h) = (5, 3)
+    val bytes = Bmp.synthBmp(w, h)
+    assert(Bmp.parse(bytes).contains(Bmp.BmpInfo(w, h)))
+    val st = Bmp.stats(bytes).get
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sb += (31 * x + 17 * y + 7) % 256
+      sg += (13 * x + 29 * y + 11) % 256
+      sr += (7 * x + 23 * y + 13) % 256
+    }
+    assert((st.sum_r, st.sum_g, st.sum_b) == ((sr, sg, sb)))
+    // row padding: file size = 54 + ((w*3+3) & ~3) * h
+    assert(bytes.length == 54 + ((w * 3 + 3) & ~3) * h)
+  }
+
+  test("bmp: corrupt and cross-codec payloads are rejected, and vice versa") {
+    assert(Bmp.parse(null).isEmpty)
+    assert(Bmp.parse(Array[Byte]()).isEmpty)
+    assert(Bmp.parse("BM but not a bitmap, just text that is long enough......"
+      .getBytes("UTF-8")).isEmpty)          // ASCII can't fake headerSize=40
+    val truncated = Bmp.synthBmp(8, 8).take(60)  // header claims more pixels
+    assert(Bmp.parse(truncated).isEmpty)
+    // audio payloads must not parse as images, nor images as audio
+    assert(Bmp.parse(Wav.synthPcmWav(8000, 100)).isEmpty)
+    assert(Wav.pcm16Rms(Bmp.synthBmp(8, 8)).isEmpty)
+    assert(graft.functions.Flac.parse(Bmp.synthBmp(8, 8)).isEmpty)
+    // the shared kernel routes BMP to real width/height
+    val dec = graft.operators.Multimodal.decodeKernel(Bmp.synthBmp(9, 4))
+    assert(dec._3 == 9 && dec._4 == 4 && dec._6 == 0)
+  }
+
+  test("bmp resize: ceil dims, sampled grid, factor 1 = identity") {
+    val bytes = Bmp.synthBmp(5, 3)
+    val st = Bmp.resampleStats(bytes, 2).get
+    assert(st.width == 3 && st.height == 2)
+    var sr = 0L
+    for (y <- 0 until 2; x <- 0 until 3)
+      sr += (7 * (2 * x) + 23 * (2 * y) + 13) % 256
+    assert(st.sum_r == sr)
+    assert(Bmp.resampleStats(bytes, 1).contains(Bmp.stats(bytes).get))
+    assert(Bmp.resampleStats(bytes, 0).isEmpty)
+  }
+
+  // ---- PCM transforms ----
+
+  test("pcm resample: identity at source rate, exact decimation, corrupt-safe") {
+    val wav = Wav.synthPcmWav(16000, 120)
+    val (nIn, nOut, rms) = Wav.pcm16Resample(wav, 16000)
+    assert(nIn == 120 && nOut == 120)
+    val Some((fullRms, _, _)) = Wav.pcm16Rms(wav)
+    assert(rms == fullRms)                   // same samples, same order
+    val (_, nOut4k, _) = Wav.pcm16Resample(wav, 4000)
+    assert(nOut4k == 30)                     // 120 * 4000 / 16000
+    assert(Wav.pcm16Resample("not audio at all".getBytes, 4000) == ((0, 0, 0.0)))
+  }
+
+  test("pcm vad trim: silent payload trims to nothing, loud payload keeps all") {
+    val wav = Wav.synthPcmWav(16000, 64)
+    // zero the data section → every frame silent
+    val silent = wav.clone()
+    java.util.Arrays.fill(silent, 44, silent.length, 0.toByte)
+    assert(Wav.pcm16VadTrim(silent) == ((4, 0, -1, -1)))
+    // max-amplitude payload → every frame voiced
+    val loud = wav.clone()
+    var i = 44
+    while (i < loud.length) { loud(i) = 0xff.toByte; loud(i + 1) = 0x7f.toByte; i += 2 }
+    assert(Wav.pcm16VadTrim(loud) == ((4, 4, 0, 3)))
+    assert(Wav.pcm16VadTrim("not audio".getBytes) == ((0, 0, -1, -1)))
+    // voiced test is the exact complement of the frame-stats silence test
+    val (nf, nSilent, _) = Wav.pcm16FrameStats(wav)
+    val (nf2, nVoiced, _, _) = Wav.pcm16VadTrim(wav)
+    assert(nf == nf2 && nSilent + nVoiced == nf)
+  }
+
+  // ---- corpus-wide LSH→CC dedup ----
+
+  test("dedup_minhash_cc: total map, canonical ≤ id, LSH pairs co-clustered") {
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val cc = TextOps.dedupMinhashCc(spark, dir).cache()
+    assert(cc.count() == nDocs, "every document must get a canonical id")
+    assert(cc.select(countDistinct(col("doc_id"))).head.getLong(0) == nDocs)
+    assert(cc.filter(col("canonical_id") > col("doc_id")).count() == 0)
+    // every LSH candidate pair must land in the same cluster
+    val pairs = TextOps.dedupMinhashLsh(spark, dir)
+      .select(col("a_id"), col("b_id"))
+    val broken = pairs
+      .join(cc.withColumnRenamed("doc_id", "a_id").withColumnRenamed("canonical_id", "ca"), Seq("a_id"))
+      .join(cc.withColumnRenamed("doc_id", "b_id").withColumnRenamed("canonical_id", "cb"), Seq("b_id"))
+      .filter(col("ca") =!= col("cb")).count()
+    assert(broken == 0, "an LSH pair crossed clusters")
+    cc.unpersist()
+  }
+}
