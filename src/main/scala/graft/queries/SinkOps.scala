@@ -320,6 +320,42 @@ object SinkOps {
       |  event_type, count(*) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Hopping-window streaming aggregation — the sliding-window twin of
+    * [[eventsTumblingStream]] ([[graft.streaming.EventStream.hoppingCounts]]:
+    * 60-min windows every 30 min, one event → two windows, append mode, so
+    * results flush only when the watermark sentinel passes each window end).
+    * The oracle is the batch hopping SQL (same shape as `events_hopping`):
+    * every window a correct batch engine would produce must appear exactly
+    * once with identical integer-cents sums — gating that window ASSIGNMENT,
+    * watermark FLUSH, and late-data semantics all agree with batch. */
+  val eventsHoppingStream: Q = (s, dir) => withStreamParallelism(s) {
+    val evDir = stagedEventsDir(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-hopping")
+    cleanupAtExit(tmp)
+    val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
+    val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
+    val q = graft.streaming.EventStream
+      .hoppingCounts(graft.streaming.EventStream.readEvents(s, evDir))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    drain(q)
+    s.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_timestamp(col("w_start")).as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+  val eventsHoppingStreamSql =
+    """SELECT w_start, event_type, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+      |FROM (
+      |  SELECT (epoch_us(ts) // 1800000000) * 1800 AS w_start, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT (epoch_us(ts) // 1800000000) * 1800 - 1800, event_type, value FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Second Structured Streaming entry in the oracle gate: watermark-bounded
     * streaming dedup ([[graft.streaming.EventStream.streamingDedup]],
     * `dropDuplicatesWithinWatermark`). The staged source holds every event
@@ -634,6 +670,7 @@ object SinkOps {
     "k1_sink_roundtrip" -> (k1SinkRoundtrip, Some(k1SinkRoundtripSql)),
     "k2_duckdb_roundtrip" -> (duckdbRoundtrip, Some(duckdbRoundtripSql)),
     "events_tumbling_stream" -> (eventsTumblingStream, Some(eventsTumblingStreamSql)),
+    "events_hopping_stream" -> (eventsHoppingStream, Some(eventsHoppingStreamSql)),
     "events_dedup_stream" -> (eventsDedupStream, Some(eventsDedupStreamSql)),
     "events_stateful_stream" -> (eventsStatefulStream, Some(eventsStatefulStreamSql)),
     "stream_upsert_mv" -> (streamUpsertMv, Some(streamUpsertMvSql)),

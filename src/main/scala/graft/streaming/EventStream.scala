@@ -36,6 +36,20 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) 60-minute windows every 30 minutes with a 2-hour
+    * watermark: each event lands in TWO windows, so state carries 2× the
+    * window keys of [[tumblingCounts]] — still bounded by watermark horizon
+    * × type cardinality, never by stream length. The value sum is
+    * integer-cents (floor(value·100)) so the emitted aggregate is
+    * engine-portable for the oracle gate. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "60 minutes", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(col("win.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Streaming exact deduplication: drop repeated `event_id`s with state
     * bounded by the watermark — the streaming form of the pipeline's exact
     * dedup (late duplicates beyond the horizon age out of state instead of

@@ -57,6 +57,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping windows: every event lands in exactly two windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.hoppingCounts(events)
+      .writeStream.format("memory").queryName("hopping").outputMode("complete").start()
+    try {
+      mem.addData(
+        (1L, ts(10), 1L, "click", 1.25, "{}"),   // windows -30 and 0
+        (2L, ts(40), 1L, "click", 2.50, "{}"),   // windows 0 and 30
+        (3L, ts(70), 2L, "view", 5.0, "{}"))     // windows 30 and 60
+      q.processAllAvailable()
+      val got = spark.table("hopping")
+        .orderBy("w_start", "event_type")
+        .collect().map(r => ((r.getTimestamp(0).getTime - Base) / 60000,
+          r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == Seq(
+        (-30L, "click", 1L, 1.25), (0L, "click", 2L, 3.75),
+        (30L, "click", 1L, 2.5), (30L, "view", 1L, 5.0), (60L, "view", 1L, 5.0)))
+      // hop = width/2 ⇒ Σn over windows = 2 × event count, exactly
+      assert(got.map(_._3).sum == 6L)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     val s = spark
     import s.implicits._
