@@ -62,6 +62,70 @@ object AsOfJoin {
       payload: Seq[String]): DataFrame =
     composed(left, right, key, leftTime, rightTime, payload, forward = true)
 
+  /** Nearest as-of: the right row closest to the left time in EITHER
+    * direction (backward ties win, so an exact-time match — unique per
+    * (key, time) by the dedup contract — always resolves to itself). The
+    * sensor-alignment / nearest-quote join.
+    *
+    * Executed over ONE key shuffle: both directional carries run on the
+    * same unioned frame — the backward pass sorts (t asc, side) and the
+    * forward pass (t desc, side), and since Window preserves hash
+    * partitioning the second pass adds only a partition-local sort, never
+    * an exchange. Both passes use the O(n)-per-partition running frame
+    * (unbounded preceding → current row); the (current row → unbounded
+    * following) frame that re-scans the partition tail per row never
+    * appears. `rightTime` is carried automatically and emitted as
+    * `asof_<rightTime>`; `payload` must not contain it. */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(!payload.contains(rightTime), s"payload must not repeat $rightTime")
+    val carry = rightTime +: payload
+    val leftCols = left.columns.toSeq
+    def free(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(leftCols.contains).next()
+    val (kC, tC, sideC, rC, prevC, nextC) =
+      (free("_k"), free("_t"), free("_side"), free("_r"), free("_rprev"), free("_rnext"))
+    carry.foreach(p => require(!leftCols.contains(s"asof_$p"),
+      s"output column 'asof_$p' already exists in the left frame"))
+    val payloadType = StructType(carry.map(p =>
+      StructField(p, right.schema(p).dataType, nullable = true)))
+    // side 0 = right: sorts before left at equal times under BOTH (t asc,
+    // side asc) and (t desc, side asc), so each directional running frame
+    // includes the exact-time match
+    val l = left
+      .withColumn(tC, col(leftTime)).withColumn(sideC, lit(1))
+      .select(Seq(col(key).as(kC), col(tC), col(sideC)) ++
+        leftCols.map(col) :+ lit(null).cast(payloadType).as(rC): _*)
+    val r = right
+      .withColumn(tC, col(rightTime)).withColumn(sideC, lit(0))
+      .select(Seq(col(key).as(kC), col(tC), col(sideC)) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(carry.map(col): _*).as(rC): _*)
+    val wPrev = Window.partitionBy(col(kC)).orderBy(col(tC).asc, col(sideC).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(kC)).orderBy(col(tC).desc, col(sideC).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(Seq(col(kC), col(tC), col(sideC)) ++ leftCols.map(col) :+
+        last(col(rC), ignoreNulls = true).over(wPrev).as(prevC) :+
+        last(col(rC), ignoreNulls = true).over(wNext).as(nextC): _*)
+    val lt = col(tC)
+    val prevT = col(s"$prevC.$rightTime")
+    val nextT = col(s"$nextC.$rightTime")
+    val pickPrev = col(nextC).isNull ||
+      (col(prevC).isNotNull && (lt - prevT) <= (nextT - lt))
+    val best = when(pickPrev, col(prevC)).otherwise(col(nextC))
+    carried.filter(col(sideC) === 1)
+      .select(leftCols.map(col) ++
+        carry.map(p => best.getField(p).as(s"asof_$p")): _*)
+  }
+
   private def composed(
       left: DataFrame,
       right: DataFrame,

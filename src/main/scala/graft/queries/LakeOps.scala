@@ -257,6 +257,48 @@ object LakeOps {
       |SELECT event_id, k AS user_id, next_pid, next_pt - t AS wait_us
       |FROM c WHERE side = 0""".stripMargin
 
+  /** Nearest as-of join: each event pairs with the same user's purchase
+    * CLOSEST in time, either direction, backward ties winning
+    * ([[graft.operators.AsOfJoin.asOfNearest]] — one key shuffle, two
+    * partition-local sorts, both directional carries on running frames).
+    * The oracle replays the same dual-carry composition with window SQL. */
+  val joinAsofNearest: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = eventsWithTs(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("pt"))
+      .agg(min(col("event_id")).as("pid"))
+    graft.operators.AsOfJoin.asOfNearest(
+      ev, purchases, "user_id", "ts_us", "pt", Seq("pid"))
+      .select(col("event_id"), col("user_id"), col("asof_pid").as("near_pid"),
+        abs(col("ts_us") - col("asof_pt")).as("dist_us"))
+  }
+  val joinAsofNearestSql =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS pt, min(event_id) AS pid
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id AS k, epoch_us(ts) AS t, 1 AS side, event_id,
+      |         CAST(NULL AS BIGINT) AS pid, CAST(NULL AS BIGINT) AS pt
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, pt, 0, NULL, pid, pt FROM p),
+      |c AS (SELECT k, t, side, event_id,
+      |        last_value(pid IGNORE NULLS) OVER wb AS prev_pid,
+      |        last_value(pt IGNORE NULLS) OVER wb AS prev_pt,
+      |        last_value(pid IGNORE NULLS) OVER wf AS next_pid,
+      |        last_value(pt IGNORE NULLS) OVER wf AS next_pt
+      |      FROM u WINDOW
+      |        wb AS (PARTITION BY k ORDER BY t ASC, side ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |        wf AS (PARTITION BY k ORDER BY t DESC, side ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, k AS user_id,
+      |  CASE WHEN next_pt IS NULL OR (prev_pt IS NOT NULL AND t - prev_pt <= next_pt - t)
+      |       THEN prev_pid ELSE next_pid END AS near_pid,
+      |  abs(CASE WHEN next_pt IS NULL OR (prev_pt IS NOT NULL AND t - prev_pt <= next_pt - t)
+      |       THEN t - prev_pt ELSE next_pt - t END) AS dist_us
+      |FROM c WHERE side = 1""".stripMargin
+
   /** Global (ungrouped) Pareto frontier — exercises the distributed
     * prefix-max path ([[graft.operators.Skyline.globalSkyline]] over
     * [[graft.operators.Sharding.cumMaxBy]]) through the oracle gate. */
@@ -373,6 +415,7 @@ object LakeOps {
     "heavy_hitters_cms" -> (heavyHittersCms, Some(heavyHittersCmsSql)),
     "tfidf_pair_sim" -> (tfidfPairSim, Some(tfidfPairSimSql)),
     "join_asof_forward" -> (joinAsofForward, Some(joinAsofForwardSql)),
+    "join_asof_nearest" -> (joinAsofNearest, Some(joinAsofNearestSql)),
     "part_skyline_global" -> (partSkylineGlobal, Some(partSkylineGlobalSql)),
     "zorder_cluster" -> (zorderCluster, Some(zorderClusterSql)),
   )

@@ -289,6 +289,104 @@ object TextOps {
        |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
        |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin
 
+  /** ASYMMETRIC near-dup detection — shingle containment C(A→B) =
+    * |S(A)∩S(B)| / |S(A)| over the rare-shingle vocabulary: catches a
+    * document CONTAINED in a longer one (wire-copy inside a page, quoted
+    * post, boilerplate-wrapped article), which symmetric Jaccard dilutes
+    * below any threshold. Candidates and evidence both come from posting
+    * lists blocked to document frequency 2..10 (the same rare-term blocking
+    * as `tfidf_pair_sim`: each list joins ≤ C(10,2) pairs, so candidate
+    * volume ∝ distinct terms, never n² docs — and the df cap is exactly
+    * what bounds list length at 100 TB). Denominator = A's rare-shingle
+    * count, so the score is the containment of A's DISCRIMINATIVE content;
+    * ubiquitous (df>10) shingles contribute no evidence by construction.
+    * Integer ppm arithmetic — bit-portable. */
+  val dedupContainment: Q = (s, dir) => {
+    val sh = table(s, dir, "documents")
+      .select(col("doc_id"), explode(graft.functions.SpanHashes(col("text"), 3)).as("tok"))
+      .distinct()
+    val blocked = sh.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 10))
+      .select(col("tok"))
+    val posting = sh.join(blocked, Seq("tok"))
+    val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    val a = posting.select(col("tok"), col("doc_id").as("a_id"))
+    val b = posting.select(col("tok"), col("doc_id").as("b_id"))
+    a.join(b, Seq("tok")).filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_rare")), Seq("a_id"))
+      .withColumn("containment_ppm", expr("n_common * 1000000 div n_rare"))
+      .filter(col("n_rare") >= 5 && col("containment_ppm") >= 800000)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_rare"),
+        col("containment_ppm"))
+  }
+  val dedupContainmentSql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${spansOfThSql(3)}) AS tok
+       |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents)),
+       |blocked AS (SELECT tok FROM sh GROUP BY tok HAVING count(*) BETWEEN 2 AND 10),
+       |p AS (SELECT sh.doc_id, sh.tok FROM sh JOIN blocked USING (tok)),
+       |sizes AS (SELECT doc_id, count(*) AS n_rare FROM p GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+       |  FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, n_common, n_rare,
+       |  n_common * 1000000 // n_rare AS containment_ppm
+       |FROM pairs JOIN sizes ON pairs.a_id = sizes.doc_id
+       |WHERE n_rare >= 5 AND n_common * 1000000 // n_rare >= 800000""".stripMargin
+
+  /** URL canonicalization dedup — the C4/web-curation page-identity rule:
+    * synthesize per-doc URLs with the noise real crawls carry (mixed-case
+    * scheme+host, tracking params, fragments, trailing slashes), reduce
+    * each to canonical form (lowercase scheme/host, path sans trailing
+    * slash, tracking/query/fragment stripped), and group — pages reachable
+    * under many dressed-up URLs collapse to one canonical identity. The
+    * path keys on doc_id % 300, so distinct documents genuinely collide on
+    * canonical URL (the dedup is real, not 1:1). Narrow string transforms
+    * + ONE map-side-combining agg — the exact `dedup_exact` shuffle
+    * profile with a canonicalization scan in front. */
+  val dedupUrl: Q = (s, dir) => {
+    val raw = table(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"),
+      concat(
+        when(col("doc_id") % 2 === 0, "https://").otherwise("HTTPS://"),
+        when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.COM/pages/"), (col("doc_id") % 300).cast("string"),
+        when(col("doc_id") % 4 === 0, "/").otherwise(""),
+        when(col("doc_id") % 5 === 0, concat(lit("?utm_source=feed&utm_campaign=c"),
+          (col("doc_id") % 7).cast("string"))).otherwise(""),
+        when(col("doc_id") % 6 === 0, "#section-2").otherwise("")).as("url"))
+    val canonical = raw.withColumn("canon_url",
+      concat(lit("https://"),
+        lower(regexp_extract(col("url"), "^[Hh][Tt][Tt][Pp][Ss]://([^/?#]+)", 1)),
+        regexp_replace(
+          regexp_extract(col("url"), "^[Hh][Tt][Tt][Pp][Ss]://[^/?#]+([^?#]*)", 1),
+          "/$", "")))
+    canonical.groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("canonical_doc"),
+        countDistinct(col("lang")).as("n_langs"))
+      .filter(col("n_urls") >= 2)
+  }
+  val dedupUrlSql =
+    """WITH raw AS (
+      |  SELECT doc_id, lang,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+      |    || '.Example.COM/pages/' || CAST(doc_id % 300 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id, lang,
+      |    'https://' || lower(regexp_extract(url, '^[Hh][Tt][Tt][Pp][Ss]://([^/?#]+)', 1))
+      |    || regexp_replace(regexp_extract(url, '^[Hh][Tt][Tt][Pp][Ss]://[^/?#]+([^?#]*)', 1), '/$', '')
+      |      AS canon_url
+      |  FROM raw)
+      |SELECT canon_url, count(*) AS n_urls, min(doc_id) AS canonical_doc,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM canon GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
   /** The production fuzzy-dedup pipeline end to end: MinHash-LSH candidate
     * pairs ([[dedupMinhashLsh]] — banded buckets, collisions only, never
     * all-pairs) fed through connected components over the WHOLE corpus —
@@ -1443,6 +1541,8 @@ object TextOps {
     "dedup_minhash" -> (dedupMinhash, Some(dedupMinhashSql)),
     "dedup_minhash_lsh" -> (dedupMinhashLsh, Some(dedupMinhashLshSql)),
     "dedup_minhash_cc" -> (dedupMinhashCc, Some(dedupMinhashCcSql)),
+    "dedup_containment" -> (dedupContainment, Some(dedupContainmentSql)),
+    "dedup_url" -> (dedupUrl, Some(dedupUrlSql)),
     "dedup_simhash" -> (dedupSimhash, Some(dedupSimhashSql)),
   )
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{LakeOps, TextOps}
+
+/** Semantics pins for the nearest as-of join, asymmetric shingle
+  * containment, and URL-canonicalization dedup. */
+class NearestContainmentSpec extends SparkSpec {
+
+  test("asOfNearest: direction choice, backward tie, exact match, no-match nulls") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 1L, 10L),    // prev 0 (d=10) vs next 50 (d=40) -> 0
+      (2L, 1L, 100L),   // prev 50 (d=50) vs next 120 (d=20) -> 120
+      (3L, 1L, 60L),    // prev 50 (d=10) vs next 70 (d=10) -> tie -> 50
+      (4L, 1L, 50L),    // exact-time match -> itself, d=0
+      (5L, 2L, 30L)     // user 2 has no right rows -> nulls
+    ).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (1L, 0L, 100L), (1L, 50L, 101L), (1L, 70L, 102L), (1L, 120L, 103L)
+    ).toDF("user_id", "rt", "pid")
+    val out = graft.operators.AsOfJoin
+      .asOfNearest(left, right, "user_id", "t", "rt", Seq("pid"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+         Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(1L) == ((Some(0L), Some(100L))))
+    assert(out(2L) == ((Some(120L), Some(103L))))
+    assert(out(3L) == ((Some(50L), Some(101L))), "equal distances must break backward")
+    assert(out(4L) == ((Some(50L), Some(101L))))
+    assert(out(5L) == ((None, None)))
+  }
+
+  test("join_asof_nearest plan: ONE window exchange (second sort is local)") {
+    val df = LakeOps.joinAsofNearest(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: all(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: all(r.child)
+        case n => Seq(n)
+      }.distinct
+    val nodes = all(plan)
+    val shuffles = nodes.filter(_.getClass.getSimpleName.startsWith("ShuffleExchange"))
+    val windows = nodes.filter(_.getClass.getSimpleName.startsWith("Window"))
+    // purchases-dedup agg = 1 exchange, the dual-carry window = 1 exchange;
+    // the second directional pass must NOT add a third
+    assert(shuffles.size <= 2, s"expected <=2 exchanges, got ${shuffles.size}")
+    assert(windows.size >= 2, "both directional carries must be window passes")
+  }
+
+  test("containment is ASYMMETRIC: contained doc scores 1e6, container scores lower") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft_containment").getAbsolutePath
+    // doc 1 is verbatim inside doc 2; doc 2 has as much again of its own
+    // tail; docs 3/4 duplicate the pair to push every shingle's df to 2..10
+    val core = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val tail = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    Seq(
+      (1L, core, "en", "w", 1L), (2L, s"$core $tail", "en", "w", 2L),
+      (3L, core, "en", "w", 3L), (4L, s"$core $tail", "en", "w", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.dedupContainment(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // 1 ⊂ 2: every rare shingle of doc 1 appears in doc 2 -> exactly 1e6
+    assert(rows((1L, 2L)) == 1000000L)
+    // 2 ⊅ 1: doc 2's tail shingles are absent from doc 1 -> below threshold
+    assert(!rows.contains((2L, 1L)), "container must not pass the 0.8 gate")
+  }
+
+  test("dedup_url: canonical groups equal the (host, path-id) partition of the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val expected = docs
+      .groupBy(lower(col("source")).as("h"), (col("doc_id") % 300).as("p"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("m"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("p"), col("n"), col("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val got = TextOps.dedupUrl(spark, dir).collect().map { r =>
+      val url = r.getString(0)
+      val host = url.stripPrefix("https://").takeWhile(_ != '.')
+      val pid = url.substring(url.lastIndexOf('/') + 1).toLong
+      (host, pid) -> (r.getLong(1), r.getLong(2))
+    }.toMap
+    assert(got == expected, "canonicalization must collapse exactly the dressed-up variants")
+  }
+}
