@@ -214,6 +214,61 @@ object Wav {
 
   val vadTrimUdf = udf((b: Array[Byte]) => pcm16VadTrim(b))
 
+  /** The audio-curation pipeline in ONE kernel pass: decode → energy-gate
+    * VAD trim ([[pcm16VadTrim]] semantics) → nearest-index resample of the
+    * KEPT span to `targetRate` ([[pcm16Resample]] index math, offset by the
+    * span start) → RMS of the final signal. Exactly what a speech-data
+    * pipeline runs per file before featurization; integer-exact throughout
+    * so an SQL oracle replays the whole chain. Returns
+    * `(n_frames, n_voiced, kept_samples, n_out, rms)`; all-zero for
+    * non-PCM16 input, n_out = 0 when nothing is voiced. */
+  def pcm16Curate(
+      bytes: Array[Byte],
+      targetRate: Int,
+      frameSize: Int = 16,
+      perSampleThreshold: Int = 16384): (Int, Int, Int, Int, Double) =
+    pcm16Layout(bytes) match {
+      case None => (0, 0, 0, 0, 0.0)
+      case Some((dataOff, nSamples, sampleRate, _)) =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val nFrames = nSamples / frameSize
+        val thresh = frameSize.toLong * perSampleThreshold
+        var voiced = 0
+        var first = -1
+        var last = -1
+        var f = 0
+        while (f < nFrames) {
+          var sum = 0L
+          var i = 0
+          while (i < frameSize) {
+            sum += math.abs(bb.getShort(dataOff + 2 * (f * frameSize + i)).toInt)
+            i += 1
+          }
+          if (sum >= thresh) {
+            voiced += 1
+            if (first < 0) first = f
+            last = f
+          }
+          f += 1
+        }
+        if (voiced == 0 || targetRate <= 0) return (nFrames, voiced, 0, 0, 0.0)
+        val spanStart = first * frameSize
+        val spanLen = (last - first + 1) * frameSize
+        val nOut = (spanLen.toLong * targetRate / sampleRate).toInt
+        var sq = 0.0
+        var i = 0
+        while (i < nOut) {
+          val src = spanStart + (i.toLong * sampleRate / targetRate).toInt
+          val v = bb.getShort(dataOff + 2 * src).toDouble
+          sq += v * v
+          i += 1
+        }
+        val rms = if (nOut == 0) 0.0 else math.sqrt(sq / nOut)
+        (nFrames, voiced, spanLen, nOut, rms)
+    }
+
+  val curateUdf = udf((b: Array[Byte], t: Int) => pcm16Curate(b, t))
+
   /** Energy-delta acoustic fingerprint (the Haitsma–Kalker / Chromaprint
     * bit shape over frame energies instead of spectral bands — integer-only
     * so it is engine-portable): bit `f` is set when frame `f`'s summed

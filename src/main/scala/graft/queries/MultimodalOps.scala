@@ -414,8 +414,55 @@ object MultimodalOps {
       |       ELSE (voiced[len(voiced)] - voiced[1] + 1) * 16 END AS INT) AS kept_samples
       |FROM v""".stripMargin
 
+  /** The audio-curation pipeline END TO END in one kernel pass
+    * ([[graft.functions.Wav.pcm16Curate]]): real PCM decode → energy-gate
+    * VAD trim → nearest-index resample of the kept span to 4 kHz → RMS of
+    * the final signal — the audio twin of `pipeline_quality_filter` (the
+    * per-file chain every speech-data pipeline runs before featurization),
+    * with source rates cycling 8/12/16/20 kHz so the trim arithmetic and
+    * the decimation stride interact per row. Integer-exact throughout; the
+    * oracle replays the full chain (voiced set → span → index map → RMS).
+    * Scale shape: ONE narrow scan+UDF pass, no exchange at all. */
+  val pipelineAudioCurate: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("sr"),
+        (lit(64) + (col("doc_id") * 5) % 320).cast("int").as("len"))
+    docs.select(col("doc_id"),
+        graft.functions.Wav.curateUdf(
+          graft.functions.Wav.synthPcmUdf(col("sr"), col("len")), lit(4000)).as("cu"))
+      .select(col("doc_id"),
+        col("cu._1").as("n_frames"), col("cu._2").as("n_voiced"),
+        col("cu._3").as("kept_samples"), col("cu._4").as("n_out"),
+        round(col("cu._5"), 4).as("rms"))
+  }
+  val pipelineAudioCurateSql =
+    """WITH d AS (SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
+      |                  CAST(64 + (doc_id * 5) % 320 AS INT) AS len
+      |           FROM documents WHERE doc_id < 300),
+      |f AS (SELECT doc_id, sr, len // 16 AS n_frames FROM d),
+      |v AS (SELECT doc_id, sr, n_frames, list_filter(range(n_frames), fr ->
+      |    list_sum(list_transform(range(fr*16, fr*16 + 16), i ->
+      |      abs((i*2654435761) % 65536 - 32768))) >= 262144) AS voiced FROM f),
+      |s AS (SELECT doc_id, sr, n_frames, len(voiced) AS nv,
+      |        CASE WHEN len(voiced) = 0 THEN 0 ELSE voiced[1]*16 END AS span_start,
+      |        CASE WHEN len(voiced) = 0 THEN 0
+      |             ELSE (voiced[len(voiced)] - voiced[1] + 1) * 16 END AS span
+      |      FROM v),
+      |r AS (SELECT doc_id, sr, n_frames, nv, span_start, span,
+      |        (span * 4000) // sr AS n_out FROM s)
+      |SELECT doc_id, CAST(n_frames AS INT) AS n_frames, CAST(nv AS INT) AS n_voiced,
+      |  CAST(span AS INT) AS kept_samples, CAST(n_out AS INT) AS n_out,
+      |  CASE WHEN n_out = 0 THEN 0.0 ELSE
+      |    round(sqrt(CAST(list_sum(list_transform(range(n_out), i ->
+      |      ((span_start + (i*sr) // 4000) * 2654435761 % 65536 - 32768)
+      |        * ((span_start + (i*sr) // 4000) * 2654435761 % 65536 - 32768))) AS DOUBLE) / n_out), 4)
+      |  END AS rms
+      |FROM r""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "audio_fingerprint" -> (audioFingerprint, Some(audioFingerprintSql)),
+    "pipeline_audio_curate" -> (pipelineAudioCurate, Some(pipelineAudioCurateSql)),
     "audio_resample" -> (audioResample, Some(audioResampleSql)),
     "audio_vad_trim" -> (audioVadTrim, Some(audioVadTrimSql)),
     "mm_decode_bmp" -> (mmDecodeBmp, Some(mmDecodeBmpSql)),

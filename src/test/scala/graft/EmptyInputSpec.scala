@@ -70,6 +70,7 @@ class EmptyInputSpec extends SparkSpec {
       "bpe_train_merges" -> TextOps.bpeTrainMerges,
       "audio_fingerprint" -> graft.queries.MultimodalOps.audioFingerprint,
       "audio_resample" -> graft.queries.MultimodalOps.audioResample,
+      "pipeline_audio_curate" -> graft.queries.MultimodalOps.pipelineAudioCurate,
       "audio_vad_trim" -> graft.queries.MultimodalOps.audioVadTrim,
       "mm_decode_bmp" -> graft.queries.MultimodalOps.mmDecodeBmp,
       "mm_image_resize" -> graft.queries.MultimodalOps.mmImageResize,

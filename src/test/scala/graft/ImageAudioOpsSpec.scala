@@ -89,6 +89,29 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(nf == nf2 && nSilent + nVoiced == nf)
   }
 
+  test("pcm curate: agrees with vad-trim, degenerates to resample when all voiced") {
+    val wav = Wav.synthPcmWav(16000, 120)
+    val (nf, nv, kept, nOut, rms) = Wav.pcm16Curate(wav, 4000)
+    val (nf2, nv2, first, last) = Wav.pcm16VadTrim(wav)
+    assert(nf == nf2 && nv == nv2)
+    assert(kept == (if (nv == 0) 0 else (last - first + 1) * 16))
+    // max-amplitude payload sized to a whole number of frames: trim keeps
+    // everything, so the curate chain degenerates to the plain resample
+    val loud = Wav.synthPcmWav(16000, 112)
+    var i = 44
+    while (i < loud.length) { loud(i) = 0xff.toByte; loud(i + 1) = 0x7f.toByte; i += 2 }
+    val (_, _, keptAll, nOutAll, rmsAll) = Wav.pcm16Curate(loud, 4000)
+    val (_, nOutPlain, rmsPlain) = Wav.pcm16Resample(loud, 4000)
+    assert(keptAll == 112 && nOutAll == nOutPlain && rmsAll == rmsPlain)
+    // silent payload: nothing kept, zero output
+    val silent = wav.clone()
+    java.util.Arrays.fill(silent, 44, silent.length, 0.toByte)
+    assert(Wav.pcm16Curate(silent, 4000) == ((7, 0, 0, 0, 0.0)))
+    assert(Wav.pcm16Curate("not audio".getBytes, 4000) == ((0, 0, 0, 0, 0.0)))
+    assert(nOut == (kept.toLong * 4000 / 16000).toInt)
+    assert(rms >= 0.0)
+  }
+
   // ---- corpus-wide LSH→CC dedup ----
 
   test("dedup_minhash_cc: total map, canonical ≤ id, LSH pairs co-clustered") {
