@@ -105,6 +105,46 @@ object Bmp {
       BmpStats(ow, oh, sr, sg, sb)
     }
 
+  /** 63-bit average-hash perceptual fingerprint (the aHash shape every
+    * image-dedup pipeline starts from): sample an 8×8 grid of pixels
+    * (nearest-neighbor, source (gx·w/8, gy·h/8)), take each sample's
+    * channel SUM as its brightness, and set bit gy·8+gx when
+    * brightness·64 > Σ(all 64 samples) — i.e. the sample is brighter than
+    * the grid mean, in pure integer cross-multiplied form. Bits 0..62 only
+    * (bit 63 stays clear so the print never collides with the −1 non-image
+    * marker, and an SQL oracle can rebuild it without BIGINT sign wrap —
+    * same cap discipline as [[Wav.pcm16Fingerprint]]). The comparison is
+    * invariant under a uniform brightness shift of all channels
+    * (brightness·64 > total ⟺ (brightness+3c)·64 > total+192c), which is
+    * what makes it a DEDUP key rather than a byte hash — spec-pinned.
+    * −1 for non-BMP bytes. */
+  def ahash63(bytes: Array[Byte]): Long =
+    layout(bytes) match {
+      case None => -1L
+      case Some((dataOff, w, h)) =>
+        val rowBytes = (w * 3 + 3) & ~3
+        val s = new Array[Long](64)
+        var total = 0L
+        var k = 0
+        while (k < 64) {
+          val sx = (k % 8) * w / 8
+          val sy = (k / 8) * h / 8
+          val p = dataOff + (h - 1 - sy) * rowBytes + 3 * sx
+          s(k) = (bytes(p) & 0xff).toLong + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)
+          total += s(k)
+          k += 1
+        }
+        var fp = 0L
+        k = 0
+        while (k < 63) {
+          if (s(k) * 64 > total) fp |= 1L << k
+          k += 1
+        }
+        fp
+    }
+
+  val ahashUdf = udf((b: Array[Byte]) => ahash63(b))
+
   /** Deterministic 24-bpp BMP fixture: logical top-down pixel (x, y) has
     *   b = (31x + 17y + 7)  mod 256
     *   g = (13x + 29y + 11) mod 256
@@ -140,6 +180,31 @@ object Bmp {
   }
 
   val synthUdf = udf((w: Int, h: Int) => synthBmp(w, h))
+
+  /** Seeded variant of [[synthBmp]]: the seed offsets every channel
+    * formula, so fixtures model DISTINCT images (same structure, shifted
+    * content) — same-seed payloads are byte-identical, different seeds
+    * produce different perceptual prints. Spec/verification use only. */
+  def synthBmpSeeded(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val arr = synthBmp(width, height)
+    val rowBytes = (width * 3 + 3) & ~3
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y) * rowBytes
+      var x = 0
+      while (x < width) {
+        val p = rowOff + 3 * x
+        arr(p) = ((31 * x + 17 * y + 7 + 5 * seed) % 256).toByte
+        arr(p + 1) = ((13 * x + 29 * y + 11 + 5 * seed) % 256).toByte
+        arr(p + 2) = ((7 * x + 23 * y + 13 + 5 * seed) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    arr
+  }
+
+  val synthSeededUdf = udf((w: Int, h: Int, seed: Long) => synthBmpSeeded(w, h, seed))
   val statsUdf = udf((b: Array[Byte]) => stats(b))
   val resampleStatsUdf = udf((b: Array[Byte], f: Int) => resampleStats(b, f))
 }

@@ -460,8 +460,43 @@ object MultimodalOps {
       |  END AS rms
       |FROM r""".stripMargin
 
+  /** Image near-duplicate detection end to end — the IMAGE twin of
+    * `audio_fingerprint`: synthesize per-doc BMPs (content keyed by
+    * `doc_id % 40` — distinct seeded images, each present in ~7 copies
+    * here), run the REAL DIB decode + 8×8 average-hash perceptual
+    * fingerprint ([[graft.functions.Bmp.ahash63]] — brightness-relative
+    * bits, invariant under uniform brightness shift), and group by print.
+    * The oracle replays the seeded pixel formulas and the integer
+    * cross-multiplied mean comparison. Scale shape: one narrow
+    * decode+hash pass, then one map-side-combining groupBy on an 8-byte
+    * key — `dedup_sha256`'s shuffle profile with a CONTENT-derived key. */
+  val dedupImagePhash: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"), (col("doc_id") % 40).cast("long").as("seed"))
+    docs.select(col("doc_id"),
+        graft.functions.Bmp.ahashUdf(
+          graft.functions.Bmp.synthSeededUdf(lit(16), lit(12), col("seed"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_copies") >= 2)
+  }
+  val dedupImagePhashSql =
+    """WITH d AS (SELECT doc_id, doc_id % 40 AS seed
+      |           FROM documents WHERE doc_id < 300),
+      |g AS (SELECT doc_id, list_transform(range(64), k ->
+      |      ((31*(2*(k%8)) + 17*((k//8)*12//8) + 7 + 5*seed) % 256)
+      |    + ((13*(2*(k%8)) + 29*((k//8)*12//8) + 11 + 5*seed) % 256)
+      |    + ((7*(2*(k%8)) + 23*((k//8)*12//8) + 13 + 5*seed) % 256)) AS s FROM d),
+      |t AS (SELECT doc_id, s, list_sum(s) AS total FROM g),
+      |fp AS (SELECT doc_id, coalesce(list_sum(list_transform(range(63), k ->
+      |      CASE WHEN s[k+1]*64 > total THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+      |           ELSE CAST(0 AS BIGINT) END)), 0) AS fp FROM t)
+      |SELECT fp, count(*) AS n_copies, min(doc_id) AS canonical_id
+      |FROM fp GROUP BY fp HAVING count(*) >= 2""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "audio_fingerprint" -> (audioFingerprint, Some(audioFingerprintSql)),
+    "dedup_image_phash" -> (dedupImagePhash, Some(dedupImagePhashSql)),
     "pipeline_audio_curate" -> (pipelineAudioCurate, Some(pipelineAudioCurateSql)),
     "audio_resample" -> (audioResample, Some(audioResampleSql)),
     "audio_vad_trim" -> (audioVadTrim, Some(audioVadTrimSql)),

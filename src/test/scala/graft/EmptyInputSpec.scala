@@ -73,6 +73,7 @@ class EmptyInputSpec extends SparkSpec {
       "pipeline_audio_curate" -> graft.queries.MultimodalOps.pipelineAudioCurate,
       "audio_vad_trim" -> graft.queries.MultimodalOps.audioVadTrim,
       "mm_decode_bmp" -> graft.queries.MultimodalOps.mmDecodeBmp,
+      "dedup_image_phash" -> graft.queries.MultimodalOps.dedupImagePhash,
       "mm_image_resize" -> graft.queries.MultimodalOps.mmImageResize,
       "dedup_minhash_cc" -> TextOps.dedupMinhashCc)
     ops.foreach { case (name, q) =>

@@ -112,6 +112,26 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(rms >= 0.0)
   }
 
+  test("image phash: brightness-shift invariant, content-sensitive, -1 for non-images") {
+    // hand-rolled image with headroom so +40 on every channel never wraps
+    def img(shift: Int): Array[Byte] = {
+      val base = Bmp.synthBmp(16, 12)
+      val rowBytes = (16 * 3 + 3) & ~3
+      for (y <- 0 until 12; x <- 0 until 16; c <- 0 until 3)
+        base(54 + (12 - 1 - y) * rowBytes + 3 * x + c) =
+          ((x * 7 + y * 5 + c * 11) % 180 + shift).toByte
+      base
+    }
+    val fp = Bmp.ahash63(img(0))
+    assert(fp == Bmp.ahash63(img(40)), "uniform brightness shift must not change the print")
+    assert(fp != Bmp.ahash63(Bmp.synthBmpSeeded(16, 12, 3)), "different content must differ")
+    assert((fp & (1L << 63)) == 0 && fp >= 0, "bit 63 must stay clear")
+    assert(Bmp.ahash63("definitely not a bitmap, just filler text long enough".getBytes) == -1L)
+    assert(Bmp.ahash63(Wav.synthPcmWav(8000, 100)) == -1L)
+    // same seed -> byte-identical fixture -> identical print
+    assert(Bmp.ahash63(Bmp.synthBmpSeeded(16, 12, 7)) == Bmp.ahash63(Bmp.synthBmpSeeded(16, 12, 7)))
+  }
+
   // ---- corpus-wide LSH→CC dedup ----
 
   test("dedup_minhash_cc: total map, canonical ≤ id, LSH pairs co-clustered") {
