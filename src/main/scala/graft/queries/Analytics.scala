@@ -1126,6 +1126,52 @@ object Analytics {
     * partial agg absorbs it); the oracle reconstructs the same two
     * epoch-grid-aligned starts via integer µs division. Value sums in
     * exact integer cents (house rule for order-independent float sums). */
+  /** OHLC bar downsampling — the time-series candle aggregation: per
+    * (event_type, 30-min bar) the OPEN (first value by (ts, event_id)),
+    * HIGH, LOW, CLOSE (last value), count, and integer-cents volume.
+    * First/last are made deterministic with row_number over the full
+    * (ts, event_id) order; both directional numberings share ONE exchange
+    * (Window preserves hash partitioning — the `asOfNearest` trick), so
+    * the whole bar table costs one shuffle + two partition-local sorts,
+    * then one map-side-combining agg. */
+  val eventsOhlcBars: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir)
+      .select(col("event_type"), expr("ts_us div 1800000000").as("bucket"),
+        col("ts_us"), col("event_id"), col("value"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    ev.withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("volume_cents"))
+  }
+  val eventsOhlcBarsSql =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 1800000000 AS bucket,
+      |                  epoch_us(ts) AS t, event_id, value FROM events),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY event_type, bucket
+      |          ORDER BY t ASC, event_id ASC) AS rn_a,
+      |        row_number() OVER (PARTITION BY event_type, bucket
+      |          ORDER BY t DESC, event_id DESC) AS rn_d
+      |      FROM e)
+      |SELECT event_type, bucket,
+      |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS volume_cents
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   val eventsHopping: Q = (s, dir) =>
     eventsWithTs(s, dir)
       .groupBy(window(col("ts"), "60 minutes", "30 minutes").as("win"), col("event_type"))
@@ -1436,6 +1482,7 @@ object Analytics {
     "hll_distinct" -> (hllDistinct, Some(hllDistinctSql)),
     "pagerank_nations" -> (pagerankNations, Some(pagerankNationsSql)),
     "events_hopping" -> (eventsHopping, Some(eventsHoppingSql)),
+    "events_ohlc_bars" -> (eventsOhlcBars, Some(eventsOhlcBarsSql)),
     "topk_events_salted" -> (topkEventsSalted, Some(topkEventsSaltedSql)),
     "agg_grouping_sets" -> (aggGroupingSets, Some(aggGroupingSetsSql)),
     "events_markov" -> (eventsMarkov, Some(eventsMarkovSql)),

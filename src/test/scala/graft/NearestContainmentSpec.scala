@@ -54,6 +54,25 @@ class NearestContainmentSpec extends SparkSpec {
     assert(windows.size >= 2, "both directional carries must be window passes")
   }
 
+  test("events_ohlc_bars plan: one exchange serves both numberings AND the agg") {
+    val df = graft.queries.Analytics.eventsOhlcBars(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: all(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: all(r.child)
+        case n => Seq(n)
+      }.distinct
+    val shuffles = all(plan).filter(_.getClass.getSimpleName.startsWith("ShuffleExchange"))
+    // window partitioning == groupBy keys, so the final agg re-uses the
+    // window exchange; the desc numbering adds only a partition-local sort
+    assert(shuffles.size == 1, s"expected exactly 1 exchange, got ${shuffles.size}")
+  }
+
   test("containment is ASYMMETRIC: contained doc scores 1e6, container scores lower") {
     val s = spark
     import s.implicits._
