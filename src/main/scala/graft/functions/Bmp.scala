@@ -152,7 +152,17 @@ object Bmp {
     * — pure integer arithmetic, so an SQL oracle recomputes every channel
     * sum exactly. Rows are stored bottom-up with 4-byte padding, as the
     * format mandates. Spec/verification use only. */
-  def synthBmp(width: Int, height: Int): Array[Byte] = {
+  def synthBmp(width: Int, height: Int): Array[Byte] =
+    synthBmpSeeded(width, height, 0L)
+
+  val synthUdf = udf((w: Int, h: Int) => synthBmp(w, h))
+
+  /** Seeded variant of [[synthBmp]] (and its single implementation —
+    * seed 0 IS the unseeded fixture): the seed offsets every channel
+    * formula, so fixtures model DISTINCT images (same structure, shifted
+    * content) — same-seed payloads are byte-identical, different seeds
+    * produce different perceptual prints. Spec/verification use only. */
+  def synthBmpSeeded(width: Int, height: Int, seed: Long): Array[Byte] = {
     val rowBytes = (width * 3 + 3) & ~3
     val dataSize = rowBytes * height
     val bb = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
@@ -166,31 +176,6 @@ object Bmp {
     var y = 0
     while (y < height) {
       val rowOff = 54 + (height - 1 - y) * rowBytes   // bottom-up
-      var x = 0
-      while (x < width) {
-        val p = rowOff + 3 * x
-        arr(p) = ((31 * x + 17 * y + 7) % 256).toByte
-        arr(p + 1) = ((13 * x + 29 * y + 11) % 256).toByte
-        arr(p + 2) = ((7 * x + 23 * y + 13) % 256).toByte
-        x += 1
-      }
-      y += 1
-    }
-    arr
-  }
-
-  val synthUdf = udf((w: Int, h: Int) => synthBmp(w, h))
-
-  /** Seeded variant of [[synthBmp]]: the seed offsets every channel
-    * formula, so fixtures model DISTINCT images (same structure, shifted
-    * content) — same-seed payloads are byte-identical, different seeds
-    * produce different perceptual prints. Spec/verification use only. */
-  def synthBmpSeeded(width: Int, height: Int, seed: Long): Array[Byte] = {
-    val arr = synthBmp(width, height)
-    val rowBytes = (width * 3 + 3) & ~3
-    var y = 0
-    while (y < height) {
-      val rowOff = 54 + (height - 1 - y) * rowBytes
       var x = 0
       while (x < width) {
         val p = rowOff + 3 * x

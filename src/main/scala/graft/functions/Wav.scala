@@ -229,29 +229,12 @@ object Wav {
       perSampleThreshold: Int = 16384): (Int, Int, Int, Int, Double) =
     pcm16Layout(bytes) match {
       case None => (0, 0, 0, 0, 0.0)
-      case Some((dataOff, nSamples, sampleRate, _)) =>
-        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        val nFrames = nSamples / frameSize
-        val thresh = frameSize.toLong * perSampleThreshold
-        var voiced = 0
-        var first = -1
-        var last = -1
-        var f = 0
-        while (f < nFrames) {
-          var sum = 0L
-          var i = 0
-          while (i < frameSize) {
-            sum += math.abs(bb.getShort(dataOff + 2 * (f * frameSize + i)).toInt)
-            i += 1
-          }
-          if (sum >= thresh) {
-            voiced += 1
-            if (first < 0) first = f
-            last = f
-          }
-          f += 1
-        }
+      case Some((dataOff, _, sampleRate, _)) =>
+        // the trim IS pcm16VadTrim — one gate definition, three consumers
+        val (nFrames, voiced, first, last) =
+          pcm16VadTrim(bytes, frameSize, perSampleThreshold)
         if (voiced == 0 || targetRate <= 0) return (nFrames, voiced, 0, 0, 0.0)
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
         val spanStart = first * frameSize
         val spanLen = (last - first + 1) * frameSize
         val nOut = (spanLen.toLong * targetRate / sampleRate).toInt

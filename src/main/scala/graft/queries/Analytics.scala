@@ -1119,13 +1119,6 @@ object Analytics {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
       |                        (o_orderstatus, o_orderpriority), ())""".stripMargin
 
-  /** Hopping (sliding) windows — the missing member of the time-window
-    * family next to tumbling and session: 60-minute windows every 30
-    * minutes, so each event lands in exactly two windows. Spark's `window()`
-    * generates both assignments BEFORE the shuffle (map-side expand ×2,
-    * partial agg absorbs it); the oracle reconstructs the same two
-    * epoch-grid-aligned starts via integer µs division. Value sums in
-    * exact integer cents (house rule for order-independent float sums). */
   /** OHLC bar downsampling — the time-series candle aggregation: per
     * (event_type, 30-min bar) the OPEN (first value by (ts, event_id)),
     * HIGH, LOW, CLOSE (last value), count, and integer-cents volume.
@@ -1172,6 +1165,13 @@ object Analytics {
       |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS volume_cents
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** Hopping (sliding) windows — the missing member of the time-window
+    * family next to tumbling and session: 60-minute windows every 30
+    * minutes, so each event lands in exactly two windows. Spark's `window()`
+    * generates both assignments BEFORE the shuffle (map-side expand ×2,
+    * partial agg absorbs it); the oracle reconstructs the same two
+    * epoch-grid-aligned starts via integer µs division. Value sums in
+    * exact integer cents (house rule for order-independent float sums). */
   val eventsHopping: Q = (s, dir) =>
     eventsWithTs(s, dir)
       .groupBy(window(col("ts"), "60 minutes", "30 minutes").as("win"), col("event_type"))

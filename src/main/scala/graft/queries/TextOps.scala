@@ -308,15 +308,16 @@ object TextOps {
     // explode+distinct shuffle re-executes once per consumer and the
     // query's wall scales with DAG fan-out instead of data (measured 15×
     // for 10× rows at sf10; linear after)
-    val sh = table(s, dir, "documents")
-      .select(col("doc_id"), explode(graft.functions.SpanHashes(col("text"), 3)).as("tok"))
-      .distinct()
+    val sh = spanHashRows(s, dir, None).withColumnRenamed("shingle", "tok")
       .persist()
     val blocked = sh.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10))
       .select(col("tok"))
     val posting = sh.join(blocked, Seq("tok")).persist()
+    // the n_rare >= 5 gate applies pre-join (inner join ⇒ result-identical):
+    // docs below it shed their sizes rows AND their pairs from the shuffle
     val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+      .filter(col("n_rare") >= 5)
     val a = posting.select(col("tok"), col("doc_id").as("a_id"))
     val b = posting.select(col("tok"), col("doc_id").as("b_id"))
     a.join(b, Seq("tok")).filter(col("a_id") =!= col("b_id"))
@@ -331,7 +332,7 @@ object TextOps {
       // would cap the corpus at driver memory)
       .join(sizes.select(col("doc_id").as("a_id"), col("n_rare")), Seq("a_id"))
       .withColumn("containment_ppm", expr("n_common * 1000000 div n_rare"))
-      .filter(col("n_rare") >= 5 && col("containment_ppm") >= 800000)
+      .filter(col("containment_ppm") >= 800000)
       .select(col("a_id"), col("b_id"), col("n_common"), col("n_rare"),
         col("containment_ppm"))
   }

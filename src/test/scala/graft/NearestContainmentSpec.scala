@@ -7,6 +7,27 @@ import graft.queries.{LakeOps, TextOps}
   * containment, and URL-canonicalization dedup. */
 class NearestContainmentSpec extends SparkSpec {
 
+  /** Final plan nodes, descending AQE stages and reused exchanges (one
+    * definition for every plan pin in this spec — same walk as
+    * PlanPropertySpec). */
+  private def planNodes(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: all(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: all(r.child)
+        case n => Seq(n)
+      }.distinct
+    all(plan)
+  }
+
+  private def shuffleCount(nodes: Seq[org.apache.spark.sql.execution.SparkPlan]): Int =
+    nodes.count(_.getClass.getSimpleName.startsWith("ShuffleExchange"))
+
   test("asOfNearest: direction choice, backward tie, exact match, no-match nulls") {
     val s = spark
     import s.implicits._
@@ -33,44 +54,19 @@ class NearestContainmentSpec extends SparkSpec {
   }
 
   test("join_asof_nearest plan: ONE window exchange (second sort is local)") {
-    val df = LakeOps.joinAsofNearest(spark, "/root/testdata/sf0.001")
-    df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p.collect { case n => n }.flatMap {
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: all(s.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: all(r.child)
-        case n => Seq(n)
-      }.distinct
-    val nodes = all(plan)
-    val shuffles = nodes.filter(_.getClass.getSimpleName.startsWith("ShuffleExchange"))
+    val nodes = planNodes(LakeOps.joinAsofNearest(spark, "/root/testdata/sf0.001"))
     val windows = nodes.filter(_.getClass.getSimpleName.startsWith("Window"))
     // purchases-dedup agg = 1 exchange, the dual-carry window = 1 exchange;
     // the second directional pass must NOT add a third
-    assert(shuffles.size <= 2, s"expected <=2 exchanges, got ${shuffles.size}")
+    assert(shuffleCount(nodes) <= 2, s"expected <=2 exchanges, got ${shuffleCount(nodes)}")
     assert(windows.size >= 2, "both directional carries must be window passes")
   }
 
   test("events_ohlc_bars plan: one exchange serves both numberings AND the agg") {
-    val df = graft.queries.Analytics.eventsOhlcBars(spark, "/root/testdata/sf0.001")
-    df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-      p.collect { case n => n }.flatMap {
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: all(s.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: all(r.child)
-        case n => Seq(n)
-      }.distinct
-    val shuffles = all(plan).filter(_.getClass.getSimpleName.startsWith("ShuffleExchange"))
+    val nodes = planNodes(graft.queries.Analytics.eventsOhlcBars(spark, "/root/testdata/sf0.001"))
     // window partitioning == groupBy keys, so the final agg re-uses the
     // window exchange; the desc numbering adds only a partition-local sort
-    assert(shuffles.size == 1, s"expected exactly 1 exchange, got ${shuffles.size}")
+    assert(shuffleCount(nodes) == 1, s"expected exactly 1 exchange, got ${shuffleCount(nodes)}")
   }
 
   test("containment is ASYMMETRIC: contained doc scores 1e6, container scores lower") {
