@@ -32,6 +32,11 @@ object Bench {
       }
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (iteration aid; driver unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A failing query must be LOUD: r08's broken events queries each
+    // "ran" in 0.1 s (the instant throw) and the record looked like a
+    // 2× speedup. Failures keep their timing entry (the driver may key on
+    // the full name set) but are named in the record and on stderr.
+    val failedQ = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -39,7 +44,10 @@ object Bench {
       // full materialization via the noop sink: count() lets Spark prune
       // unused projections, under-timing projection-heavy queries
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failedQ += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop this query's persisted intermediates: several operators
       // persist() (LSH bands, inverted indexes) and the handles go out of
@@ -56,6 +64,7 @@ object Bench {
     // or backslash must not produce an unparseable round record)
     def jstr(v: String): String =
       "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def jarr(vs: Seq[String]): String = vs.map(jstr).mkString("[", ",", "]")
     def write(path: java.nio.file.Path, s: String): Unit = {
       Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(path, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -118,7 +127,7 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results)},""" +
       s""""median_total":$medTotal,"median_over":${history.size},""" +
-      s""""medians":${dict(medians)},"sf":${jstr(sfDir)}}"""
+      s""""medians":${dict(medians)},"failed":${jarr(failedQ.toSeq)},"sf":${jstr(sfDir)}}"""
     // The COMPLETE per-query record goes to a file: the driver captures only
     // the last ~2000 chars of the sbt log, and 150 query names alone exceed
     // that, so a full dict on stdout can never survive the tail window.
@@ -142,7 +151,7 @@ object Bench {
       .map { case (n, v) => n -> ms(v) }
     val line = s"""{"metric":"total","value":${ms(medTotal)},"unit":"sec"""" +
       s""","queries":${dict(headline)},"median_over":${history.size}""" +
-      s""","n_queries":${results.size},"full_record":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
+      s""","n_queries":${results.size},"n_failed":${failedQ.size},"full_record":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
     // Belt and braces for the driver's tail parse: the same line also goes
     // to a FIXED file, immune to anything the log stream interleaves.
     if (driverRun)
