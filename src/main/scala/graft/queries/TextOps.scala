@@ -352,6 +352,46 @@ object TextOps {
        |FROM pairs JOIN sizes ON pairs.a_id = sizes.doc_id
        |WHERE n_rare >= 5 AND n_common * 1000000 // n_rare >= 800000""".stripMargin
 
+  /** Dedup-quality evaluation — the text twin of `ann_recall_eval`: score
+    * the MinHash-LSH detector ([[dedupMinhashLsh]], sig_agree ≥ 6 ≈ J ≥
+    * 0.75) against exact-Jaccard truth (≥ 0.75 over distinct shingles) on
+    * the oracle-bounded slice, emitting tp / precision / recall in integer
+    * ppm. This is the loop every production dedup deployment runs before
+    * trusting a sketch: a band/width change that silently hurts recall now
+    * moves a gated number instead of shipping. One full-outer join of two
+    * small pair sets → a single-row aggregate. */
+  val dedupRecallEval: Q = (s, dir) => {
+    val truth = dedupNgramJaccard(s, dir).filter(col("jaccard") >= 0.75)
+      .select(col("a_id"), col("b_id"), lit(1).as("t"))
+    val pred = dedupMinhashLsh(s, dir)
+      .filter(col("a_id") < 400 && col("b_id") < 400)
+      .select(col("a_id"), col("b_id"), lit(1).as("p"))
+    truth.join(pred, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        // coalesce: an empty corpus yields a zero row, not a null row
+        coalesce(sum(when(col("t").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_truth"),
+        coalesce(sum(when(col("p").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_pred"),
+        coalesce(sum(when(col("t").isNotNull && col("p").isNotNull, 1L).otherwise(0L)), lit(0L)).as("tp"))
+      .select(col("n_truth"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0, expr("tp * 1000000 div n_pred")).otherwise(0L).as("precision_ppm"),
+        when(col("n_truth") > 0, expr("tp * 1000000 div n_truth")).otherwise(0L).as("recall_ppm"))
+  }
+  val dedupRecallEvalSql =
+    s"""WITH truth AS (
+       |  SELECT a_id, b_id FROM (${dedupNgramJaccardSql.replace("\n", "\n  ")})
+       |  WHERE jaccard >= 0.75),
+       |pred AS (
+       |  SELECT a_id, b_id FROM (${dedupMinhashLshSql.replace("\n", "\n  ")})
+       |  WHERE a_id < 400 AND b_id < 400),
+       |c AS (SELECT
+       |  (SELECT count(*) FROM truth) AS n_truth,
+       |  (SELECT count(*) FROM pred) AS n_pred,
+       |  (SELECT count(*) FROM truth JOIN pred USING (a_id, b_id)) AS tp)
+       |SELECT n_truth, n_pred, tp,
+       |  CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred ELSE 0 END AS precision_ppm,
+       |  CASE WHEN n_truth > 0 THEN tp * 1000000 // n_truth ELSE 0 END AS recall_ppm
+       |FROM c""".stripMargin
+
   /** URL canonicalization dedup — the C4/web-curation page-identity rule:
     * synthesize per-doc URLs with the noise real crawls carry (mixed-case
     * scheme+host, tracking params, fragments, trailing slashes), reduce
@@ -1559,6 +1599,7 @@ object TextOps {
     "dedup_minhash_cc" -> (dedupMinhashCc, Some(dedupMinhashCcSql)),
     "dedup_containment" -> (dedupContainment, Some(dedupContainmentSql)),
     "dedup_url" -> (dedupUrl, Some(dedupUrlSql)),
+    "dedup_recall_eval" -> (dedupRecallEval, Some(dedupRecallEvalSql)),
     "dedup_simhash" -> (dedupSimhash, Some(dedupSimhashSql)),
   )
 }

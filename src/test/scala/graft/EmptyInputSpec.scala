@@ -76,6 +76,9 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_image_phash" -> graft.queries.MultimodalOps.dedupImagePhash,
       "mm_image_resize" -> graft.queries.MultimodalOps.mmImageResize,
       "dedup_minhash_cc" -> TextOps.dedupMinhashCc)
+    // recall eval emits its single all-zero row on an empty corpus
+    val rr = TextOps.dedupRecallEval(spark, emptyDir).collect()
+    assert(rr.length == 1 && (0 to 2).forall(i => rr.head.getLong(i) == 0))
     ops.foreach { case (name, q) =>
       assert(q(spark, emptyDir).count() == 0, s"$name not empty-safe")
     }

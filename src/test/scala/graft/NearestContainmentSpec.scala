@@ -69,6 +69,16 @@ class NearestContainmentSpec extends SparkSpec {
     assert(shuffleCount(nodes) == 1, s"expected exactly 1 exchange, got ${shuffleCount(nodes)}")
   }
 
+  test("dedup_recall_eval: counts are consistent and ppms derive from them") {
+    val r = TextOps.dedupRecallEval(spark, "/root/testdata/sf0.001").head()
+    val (nT, nP, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tp <= math.min(nT, nP) && tp >= 0)
+    assert(r.getLong(3) == (if (nP > 0) tp * 1000000L / nP else 0L))
+    assert(r.getLong(4) == (if (nT > 0) tp * 1000000L / nT else 0L))
+    // LSH at sig_agree>=6 must not miss exact-Jaccard>=0.75 pairs wholesale
+    assert(nT == 0 || tp * 2 >= nT, s"recall collapsed: tp=$tp of $nT")
+  }
+
   test("containment is ASYMMETRIC: contained doc scores 1e6, container scores lower") {
     val s = spark
     import s.implicits._
