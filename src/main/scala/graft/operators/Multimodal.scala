@@ -92,11 +92,16 @@ object Multimodal {
           fi.totalFrames.toDouble / fi.sampleRate)
       case None => ()
     }
-    // image branch: real BMP container parse → true width/height (audio
-    // fields stay zero — there is no sampling rate to report)
+    // image branches: real BMP / strict-canonical PPM container parses →
+    // true width/height (audio fields stay zero — no sampling rate)
     graft.functions.Bmp.parse(bytes) match {
       case Some(bi) =>
         return (n, ck, bi.width, bi.height, byteRms, 0, 0.0)
+      case None => ()
+    }
+    graft.functions.Ppm.parse(bytes) match {
+      case Some(pi) =>
+        return (n, ck, pi.width, pi.height, byteRms, 0, 0.0)
       case None => ()
     }
     (n, ck, w, h, byteRms, 0, 0.0)

@@ -321,6 +321,43 @@ object MultimodalOps {
       |    list_transform(range(w), x -> (31*x + 17*y + 7) % 256)))) AS DOUBLE) / (w*h), 4) AS mean_b
       |FROM d""".stripMargin
 
+  /** REAL PPM (P6) decode through the multimodal kernel — the second image
+    * container ([[graft.functions.Ppm]]: strict-canonical header parse +
+    * full pixel decode), carrying the SAME image content as the BMP
+    * fixtures: identical pixel formulas, so the oracle's channel means are
+    * the BMP oracle's expressions while n_bytes follows the ASCII-header
+    * layout (9 + digits(w) + digits(h) + 3wh, no row padding). Container
+    * parsing and content statistics verified independently per format. */
+  val mmDecodePpm: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+        (lit(6) + col("doc_id") % 7).cast("int").as("h"))
+    val ppm = docs.select(col("doc_id"),
+      graft.functions.Ppm.synthUdf(col("w"), col("h")).as("payload"))
+    Multimodal.decodeBinary(ppm, "payload")
+      .select(col("doc_id"), col("payload"),
+        col("decoded.n_bytes").as("n_bytes"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"))
+      .withColumn("st", graft.functions.Ppm.statsUdf(col("payload")))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        round(col("st.sum_r").cast("double") / (col("width") * col("height")), 4).as("mean_r"),
+        round(col("st.sum_b").cast("double") / (col("width") * col("height")), 4).as("mean_b"))
+  }
+  val mmDecodePpmSql =
+    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(6 + doc_id % 7 AS INT) AS h
+      |           FROM documents WHERE doc_id < 200)
+      |SELECT doc_id,
+      |  CAST(9 + strlen(CAST(w AS VARCHAR)) + strlen(CAST(h AS VARCHAR)) + 3*w*h AS INT) AS n_bytes,
+      |  w AS width, h AS height,
+      |  round(CAST(list_sum(list_transform(range(h), y -> list_sum(
+      |    list_transform(range(w), x -> (7*x + 23*y + 13) % 256)))) AS DOUBLE) / (w*h), 4) AS mean_r,
+      |  round(CAST(list_sum(list_transform(range(h), y -> list_sum(
+      |    list_transform(range(w), x -> (31*x + 17*y + 7) % 256)))) AS DOUBLE) / (w*h), 4) AS mean_b
+      |FROM d""".stripMargin
+
   /** Image RESIZE (nearest-neighbor ÷2) over real decoded BMP pixels: the
     * downsample transform of an image-preprocessing pipeline, verified by
     * recomputing the sampled pixel grid — output dims ceil(dim/2), output
@@ -501,6 +538,7 @@ object MultimodalOps {
     "audio_resample" -> (audioResample, Some(audioResampleSql)),
     "audio_vad_trim" -> (audioVadTrim, Some(audioVadTrimSql)),
     "mm_decode_bmp" -> (mmDecodeBmp, Some(mmDecodeBmpSql)),
+    "mm_decode_ppm" -> (mmDecodePpm, Some(mmDecodePpmSql)),
     "mm_image_resize" -> (mmImageResize, Some(mmImageResizeSql)),
     "mm_decode" -> (mmDecode, Some(mmDecodeSql)),
     "mm_decode_wav" -> (mmDecodeWav, Some(mmDecodeWavSql)),

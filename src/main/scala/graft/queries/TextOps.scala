@@ -472,6 +472,36 @@ object TextOps {
        |  SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
        |SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id""".stripMargin
 
+  /** Canonical SELECTION policy on top of the duplicate clusters: keep the
+    * highest-quality member (longest text; ties break to the smaller
+    * doc_id) — what production curation actually retains, where
+    * [[dedupClusters]]'s min-id is just a label. One agg over the cluster
+    * map: the argmax is a single `max(struct(len, -id))` with map-side
+    * combine, no window and no second shuffle beyond the cluster join.
+    * The oracle recomputes the same argmax with a rank window. */
+  val dedupClustersKeepbest: Q = (s, dir) => {
+    val clusters = dedupClusters(s, dir)
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("n_chars"))
+    clusters.join(docs, Seq("doc_id"))
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("n_chars")).as("max_len"),
+        max(struct(col("n_chars").as("l"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("canonical_id"), (-col("best.nid")).as("kept_doc"),
+        col("n_members"), col("max_len"))
+  }
+  val dedupClustersKeepbestSql =
+    s"""WITH cl AS (${dedupClustersSql.replace("\n", "\n  ")}),
+       |j AS (SELECT cl.doc_id, cl.canonical_id, d.n_chars
+       |      FROM cl JOIN documents d USING (doc_id)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY canonical_id
+       |        ORDER BY n_chars DESC, doc_id ASC) AS rn FROM j),
+       |m AS (SELECT canonical_id, count(*) AS n_members, max(n_chars) AS max_len
+       |      FROM j GROUP BY 1)
+       |SELECT m.canonical_id, r.doc_id AS kept_doc, m.n_members, m.max_len
+       |FROM m JOIN r ON r.canonical_id = m.canonical_id AND r.rn = 1""".stripMargin
+
   /** The same clusters via the alternating large-star/small-star CC variant
     * ([[graft.operators.ConnectedComponents.runStar]] — O(log n) rounds on
     * ANY graph, the path for pathological diameters where min-label's
@@ -1585,6 +1615,7 @@ object TextOps {
     "text_normalize" -> (textNormalize, Some(textNormalizeSql)),
     "dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
     "dedup_clusters_star" -> (dedupClustersStar, Some(dedupClustersSql)),
+    "dedup_clusters_keepbest" -> (dedupClustersKeepbest, Some(dedupClustersKeepbestSql)),
     "dedup_sha256" -> (dedupSha256, Some(dedupSha256Sql)),
     "text_tokens" -> (textTokens, Some(textTokensSql)),
     "text_bpe" -> (textBpe, Some(textBpeSql)),

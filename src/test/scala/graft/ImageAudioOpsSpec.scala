@@ -58,6 +58,26 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(Bmp.resampleStats(bytes, 0).isEmpty)
   }
 
+  test("ppm: strict-canonical parse, container-independent content stats") {
+    val ppm = graft.functions.Ppm.synthPpm(5, 3)
+    assert(graft.functions.Ppm.parse(ppm).contains(graft.functions.Ppm.PpmInfo(5, 3)))
+    // same dims + same pixel formulas ⇒ BMP and PPM carry the SAME image:
+    // both containers must report identical channel sums
+    assert(graft.functions.Ppm.stats(ppm).get == Bmp.stats(Bmp.synthBmp(5, 3)).get)
+    // strict canonical form only: space after magic, truncated body, wrong
+    // maxval are all rejected
+    assert(graft.functions.Ppm.parse("P6 5 3 255 xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx".getBytes).isEmpty)
+    assert(graft.functions.Ppm.parse(ppm.take(ppm.length - 1)).isEmpty)
+    assert(graft.functions.Ppm.parse("P6\n5 3\n254\n".getBytes ++ Array.fill[Byte](45)(1)).isEmpty)
+    // cross-codec rejection, both directions
+    assert(graft.functions.Ppm.parse(Bmp.synthBmp(5, 3)).isEmpty)
+    assert(Bmp.parse(ppm).isEmpty)
+    assert(graft.functions.Ppm.parse(Wav.synthPcmWav(8000, 50)).isEmpty)
+    // the shared kernel routes PPM to real width/height
+    val dec = graft.operators.Multimodal.decodeKernel(graft.functions.Ppm.synthPpm(9, 4))
+    assert(dec._3 == 9 && dec._4 == 4 && dec._6 == 0)
+  }
+
   // ---- PCM transforms ----
 
   test("pcm resample: identity at source rate, exact decimation, corrupt-safe") {

@@ -69,6 +69,31 @@ class NearestContainmentSpec extends SparkSpec {
     assert(shuffleCount(nodes) == 1, s"expected exactly 1 exchange, got ${shuffleCount(nodes)}")
   }
 
+  test("dedup_clusters_keepbest: kept doc is the longest member, ties to min id") {
+    val dir = "/root/testdata/sf0.001"
+    val clusters = TextOps.dedupClusters(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 400).select(col("doc_id"), col("n_chars"))
+    val members = clusters.join(docs, Seq("doc_id")).cache()
+    val kept = TextOps.dedupClustersKeepbest(spark, dir).cache()
+    // every cluster appears exactly once, and the member count reconciles
+    assert(kept.count() == members.select(col("canonical_id")).distinct().count())
+    // the kept doc IS a member of its cluster with the cluster-max length
+    val bad = kept.join(members,
+        kept("canonical_id") === members("canonical_id") &&
+        kept("kept_doc") === members("doc_id"), "left")
+      .filter(members("doc_id").isNull || members("n_chars") =!= kept("max_len"))
+      .count()
+    assert(bad == 0, "kept_doc must be a member holding the max length")
+    // no member beats (max_len, min id) — the deterministic argmax
+    val beaten = kept.join(members, Seq("canonical_id"))
+      .filter(members("n_chars") > kept("max_len") ||
+        (members("n_chars") === kept("max_len") && members("doc_id") < kept("kept_doc")))
+      .count()
+    assert(beaten == 0, "a member outranks the kept doc")
+    members.unpersist(); kept.unpersist()
+  }
+
   test("dedup_recall_eval: counts are consistent and ppms derive from them") {
     val r = TextOps.dedupRecallEval(spark, "/root/testdata/sf0.001").head()
     val (nT, nP, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
