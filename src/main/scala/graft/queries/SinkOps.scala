@@ -356,6 +356,50 @@ object SinkOps {
       |  SELECT (epoch_us(ts) // 1800000000) * 1800 - 1800, event_type, value FROM events)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Streaming OHLC candle bars — first/last BY EVENT TIME as struct
+    * argmin/argmax inside the windowed agg
+    * ([[graft.streaming.EventStream.ohlcBars]]), gated against the batch
+    * OHLC SQL (`events_ohlc_bars`' dual-row_number formulation): the
+    * stream's struct-ordering argmax and the batch rank window must pick
+    * the SAME open/close for every bar, out-of-order arrival and all.
+    * Append mode — bars flush when the watermark sentinel passes. */
+  val eventsOhlcStream: Q = (s, dir) => withStreamParallelism(s) {
+    val evDir = stagedEventsDir(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ohlc")
+    cleanupAtExit(tmp)
+    val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
+    val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
+    val q = graft.streaming.EventStream
+      .ohlcBars(graft.streaming.EventStream.readEvents(s, evDir))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    drain(q)
+    s.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_timestamp(col("bar_start")).as("bar_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"),
+        col("volume_cents"))
+  }
+  val eventsOhlcStreamSql =
+    """WITH e AS (SELECT event_type, (epoch_us(ts) // 1800000000) * 1800 AS bar_start,
+      |                  epoch_us(ts) AS t, event_id, value FROM events),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY event_type, bar_start
+      |          ORDER BY t ASC, event_id ASC) AS rn_a,
+      |        row_number() OVER (PARTITION BY event_type, bar_start
+      |          ORDER BY t DESC, event_id DESC) AS rn_d
+      |      FROM e)
+      |SELECT bar_start, event_type,
+      |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS volume_cents
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   /** Second Structured Streaming entry in the oracle gate: watermark-bounded
     * streaming dedup ([[graft.streaming.EventStream.streamingDedup]],
     * `dropDuplicatesWithinWatermark`). The staged source holds every event
@@ -671,6 +715,7 @@ object SinkOps {
     "k2_duckdb_roundtrip" -> (duckdbRoundtrip, Some(duckdbRoundtripSql)),
     "events_tumbling_stream" -> (eventsTumblingStream, Some(eventsTumblingStreamSql)),
     "events_hopping_stream" -> (eventsHoppingStream, Some(eventsHoppingStreamSql)),
+    "events_ohlc_stream" -> (eventsOhlcStream, Some(eventsOhlcStreamSql)),
     "events_dedup_stream" -> (eventsDedupStream, Some(eventsDedupStreamSql)),
     "events_stateful_stream" -> (eventsStatefulStream, Some(eventsStatefulStreamSql)),
     "stream_upsert_mv" -> (streamUpsertMv, Some(streamUpsertMvSql)),

@@ -50,6 +50,29 @@ object EventStream {
         (sum(floor(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(col("win.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming OHLC bars: open/close are STRUCT-argmin/argmax over
+    * (event-time µs, event_id, value) inside a watermarked 30-minute
+    * window aggregation — deterministic first/last BY EVENT TIME with the
+    * built-in agg machinery (struct ordering is lexicographic and
+    * (ts, event_id) is unique), no flatMapGroupsWithState needed. State =
+    * one row per (window, type) within the watermark horizon. Integer-cents
+    * volume keeps the sums engine-portable for the oracle gate. */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy(window(col("ts"), "30 minutes").as("win"), col("event_type"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("value"))).as("o"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts_us"), col("event_id"), col("value"))).as("c"),
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("volume_cents"))
+      .select(col("win.start").as("bar_start"), col("event_type"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n"), col("volume_cents"))
+
   /** Streaming exact deduplication: drop repeated `event_id`s with state
     * bounded by the watermark — the streaming form of the pipeline's exact
     * dedup (late duplicates beyond the horizon age out of state instead of

@@ -83,6 +83,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ohlc: open/close picked by EVENT time under out-of-order arrival") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.ohlcBars(events)
+      .writeStream.format("memory").queryName("ohlc").outputMode("complete").start()
+    try {
+      // ARRIVAL order scrambles EVENT order; same-instant tie on t=25
+      mem.addData(
+        (2L, ts(20), 1L, "trade", 7.0, "{}"),
+        (4L, ts(25), 1L, "trade", 9.0, "{}"),
+        (1L, ts(10), 1L, "trade", 3.0, "{}"),   // true open (earliest t)
+        (3L, ts(25), 1L, "trade", 5.0, "{}"))   // t ties id 4; id 4 > 3 wins close
+      q.processAllAvailable()
+      val r = spark.table("ohlc").collect()
+      assert(r.length == 1)
+      val row = r.head
+      assert(row.getDouble(2) == 3.0, "open must be the earliest EVENT time")
+      assert(row.getDouble(3) == 9.0 && row.getDouble(4) == 3.0)
+      assert(row.getDouble(5) == 9.0, "close tie on t must break to larger event_id")
+      assert(row.getLong(6) == 4L && row.getLong(7) == 2400L)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     val s = spark
     import s.implicits._
