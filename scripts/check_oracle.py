@@ -55,6 +55,19 @@ def main():
             cur = con.execute(oracle[name])
             duck_rows = cur.fetchall()
             duck_cols = [d[0] for d in cur.description]
+            # Driver's comparator canonicalizes DuckDB HUGEINT (int128)
+            # differently from Spark's int64 → guaranteed hash-red even on
+            # identical values (root cause of the r4-r9 join_bucketed red).
+            # Fail loudly at authoring time instead. cursor.description
+            # hides the type ('NUMBER'), so probe via relation .types.
+            rel_t = con.sql(oracle[name])
+            huge = [c for c, t in zip(rel_t.columns, rel_t.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                results[name] = f"HUGEINT_ORACLE_COLUMN: {huge}"
+                print(f"[{name}] HUGEINT ORACLE COLUMN {huge} — "
+                      f"wrap in CAST(... AS BIGINT) in the oracle SQL")
+                continue
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             print(f"[{name}] ORACLE SQL ERROR: {str(e)[:200]}")

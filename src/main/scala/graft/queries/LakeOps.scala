@@ -85,7 +85,7 @@ object LakeOps {
   }
   val joinBucketedSql =
     """SELECT o_orderpriority, count(*) AS n_lines,
-      |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+      |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_orderkey % 4 = 0
       |GROUP BY o_orderpriority""".stripMargin

@@ -276,9 +276,9 @@ object MultimodalOps {
       |es AS (SELECT doc_id, list_transform(range(10), f ->
       |    list_sum(list_transform(range(f*16, f*16 + 16), i ->
       |      abs(((i + seed)*2654435761) % 65536 - 32768)))) AS e FROM d),
-      |fp AS (SELECT doc_id, coalesce(list_sum(list_transform(range(9), f ->
+      |fp AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(9), f ->
       |    CASE WHEN e[f+1] > e[f+2] THEN CAST(1 AS BIGINT) << CAST(f AS INT)
-      |         ELSE CAST(0 AS BIGINT) END)), 0) AS fp FROM es)
+      |         ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS fp FROM es)
       |SELECT fp, count(*) AS n_copies, min(doc_id) AS canonical_id
       |FROM fp GROUP BY fp HAVING count(*) >= 2""".stripMargin
 
@@ -525,9 +525,9 @@ object MultimodalOps {
       |    + ((13*(2*(k%8)) + 29*((k//8)*12//8) + 11 + 5*seed) % 256)
       |    + ((7*(2*(k%8)) + 23*((k//8)*12//8) + 13 + 5*seed) % 256)) AS s FROM d),
       |t AS (SELECT doc_id, s, list_sum(s) AS total FROM g),
-      |fp AS (SELECT doc_id, coalesce(list_sum(list_transform(range(63), k ->
+      |fp AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(63), k ->
       |      CASE WHEN s[k+1]*64 > total THEN CAST(1 AS BIGINT) << CAST(k AS INT)
-      |           ELSE CAST(0 AS BIGINT) END)), 0) AS fp FROM t)
+      |           ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS fp FROM t)
       |SELECT fp, count(*) AS n_copies, min(doc_id) AS canonical_id
       |FROM fp GROUP BY fp HAVING count(*) >= 2""".stripMargin
 

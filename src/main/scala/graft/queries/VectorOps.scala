@@ -812,7 +812,7 @@ object VectorOps {
        |    FROM emb q JOIN emb c ON q.vec_id < 3 AND c.vec_id <> q.vec_id)
        |  WHERE rank <= 3)
        |SELECT b.q_id, CAST(sum(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-       |  (sum(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END) * 100) // 3 AS recall_pct
+       |  CAST((sum(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END) * 100) // 3 AS BIGINT) AS recall_pct
        |FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
        |GROUP BY b.q_id""".stripMargin
 
@@ -832,7 +832,10 @@ object VectorOps {
     * rank windows and the full-outer join run on ≤10 rows by construction,
     * never on corpus-sized data. */
   val rankFusion: Q = (s, dir) => {
-    val wt = Window.orderBy(col("bm25").desc, col("doc_id")) // ≤10 rows
+    // ≤10 rows by construction; literal partition key keeps the plan out of
+    // WindowExec's empty-partitionSpec path (no global-window warning) while
+    // costing the same single tiny partition.
+    val wt = Window.partitionBy(lit(0)).orderBy(col("bm25").desc, col("doc_id"))
     val text10 = TextOps.textBm25(s, dir)
       .withColumn("text_rank", row_number().over(wt))
       .select(col("doc_id").as("id"), col("text_rank"))
@@ -845,7 +848,7 @@ object VectorOps {
       .crossJoin(broadcast(q))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .orderBy(col("cos").desc, col("vec_id")).limit(10) // TakeOrdered
-    val wv = Window.orderBy(col("cos").desc, col("vec_id")) // ≤10 rows
+    val wv = Window.partitionBy(lit(0)).orderBy(col("cos").desc, col("vec_id")) // ≤10 rows
     val vec10 = top.withColumn("vec_rank", row_number().over(wv))
       .select(col("vec_id").as("id"), col("vec_rank"))
     text10.join(vec10, Seq("id"), "full_outer")
