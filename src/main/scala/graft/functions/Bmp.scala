@@ -43,8 +43,11 @@ object Bmp {
       val compression = bb.getInt(30)
       if (w <= 0 || h <= 0 || planes != 1 || bpp != 24 || compression != 0)
         return None
-      val rowBytes = (w * 3 + 3) & ~3                 // rows pad to 4 bytes
-      if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * h > bytes.length)
+      // rows pad to 4 bytes; compute in Long so a crafted w > ~715M can't
+      // overflow Int (negative rowBytes would slip past the bounds check
+      // and crash the pixel loops instead of returning None)
+      val rowBytesL = (w.toLong * 3 + 3) & ~3L
+      if (dataOff < 54 || dataOff.toLong + rowBytesL * h > bytes.length)
         return None
       Some((dataOff, w, h))
     } catch { case _: Throwable => None }

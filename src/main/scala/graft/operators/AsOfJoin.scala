@@ -87,8 +87,12 @@ object AsOfJoin {
     require(!payload.contains(rightTime), s"payload must not repeat $rightTime")
     val carry = rightTime +: payload
     val leftCols = left.columns.toSeq
+    // Scratch names must be free of BOTH frames: withColumn on the right
+    // frame silently replaces a same-named column, and if that name is also
+    // carried the payload struct would capture the synthetic value.
+    val taken = (leftCols ++ right.columns).toSet
     def free(base: String): String =
-      Iterator.iterate(base)(_ + "_").dropWhile(leftCols.contains).next()
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
     val (kC, tC, sideC, rC, prevC, nextC) =
       (free("_k"), free("_t"), free("_side"), free("_r"), free("_rprev"), free("_rnext"))
     carry.foreach(p => require(!leftCols.contains(s"asof_$p"),
@@ -137,11 +141,13 @@ object AsOfJoin {
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
     // withColumn/select silently replace same-named columns, so the five
-    // internal columns probe for collision-free names against the left
-    // frame (same rule as GroupTopK/Sharding/Skyline), and the asof_
-    // output names must be free
+    // internal columns probe for collision-free names against BOTH frames
+    // (withColumn on the right frame silently replaces same-named columns,
+    // corrupting the carried payload), and the asof_ output names must be
+    // free
+    val taken = (leftCols ++ right.columns).toSet
     def free(base: String): String =
-      Iterator.iterate(base)(_ + "_").dropWhile(leftCols.contains).next()
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
     val (kC, tC, sideC, rC, bestC) =
       (free("_k"), free("_t"), free("_side"), free("_r"), free("_rbest"))
     payload.foreach(p => require(!leftCols.contains(s"asof_$p"),

@@ -75,6 +75,12 @@ class EmptyInputSpec extends SparkSpec {
       "mm_decode_bmp" -> graft.queries.MultimodalOps.mmDecodeBmp,
       "dedup_image_phash" -> graft.queries.MultimodalOps.dedupImagePhash,
       "mm_image_resize" -> graft.queries.MultimodalOps.mmImageResize,
+      "mm_decode_ppm" -> graft.queries.MultimodalOps.mmDecodePpm,
+      "dedup_containment" -> TextOps.dedupContainment,
+      "dedup_url" -> TextOps.dedupUrl,
+      "dedup_clusters_keepbest" -> TextOps.dedupClustersKeepbest,
+      "join_asof_nearest" -> graft.queries.LakeOps.joinAsofNearest,
+      "events_ohlc_bars" -> Analytics.eventsOhlcBars,
       "dedup_minhash_cc" -> TextOps.dedupMinhashCc)
     // recall eval emits its single all-zero row on an empty corpus
     val rr = TextOps.dedupRecallEval(spark, emptyDir).collect()

@@ -44,6 +44,14 @@ class ImageAudioOpsSpec extends SparkSpec {
     // the shared kernel routes BMP to real width/height
     val dec = graft.operators.Multimodal.decodeKernel(Bmp.synthBmp(9, 4))
     assert(dec._3 == 9 && dec._4 == 4 && dec._6 == 0)
+    // crafted width > ~715M used to overflow Int in rowBytes (w*3 negative),
+    // slipping past the bounds check and crashing the pixel loops
+    val huge = Bmp.synthBmp(4, 2).clone()
+    java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 800000000)
+    assert(Bmp.parse(huge).isEmpty)
+    assert(Bmp.stats(huge).isEmpty)
+    assert(Bmp.ahash63(huge) == -1L)
   }
 
   test("bmp resize: ceil dims, sampled grid, factor 1 = identity") {

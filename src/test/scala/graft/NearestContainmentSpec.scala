@@ -53,6 +53,22 @@ class NearestContainmentSpec extends SparkSpec {
     assert(out(5L) == ((None, None)))
   }
 
+  test("asOfNearest: right-frame columns named like scratch names survive") {
+    val s = spark
+    import s.implicits._
+    // `_t` and `_side` are the internal scratch bases; a right frame that
+    // already owns them (and carries one) must keep its own values
+    val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "t")
+    val right = Seq((1L, 0L, 7L, 9L)).toDF("user_id", "rt", "_t", "_side")
+    val out = graft.operators.AsOfJoin
+      .asOfNearest(left, right, "user_id", "t", "rt", Seq("_t", "_side"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("asof__t") == 7L, "carried _t must be the user's column")
+    assert(r.getAs[Long]("asof__side") == 9L, "carried _side must be the user's column")
+  }
+
   test("join_asof_nearest plan: ONE window exchange (second sort is local)") {
     val nodes = planNodes(LakeOps.joinAsofNearest(spark, "/root/testdata/sf0.001"))
     val windows = nodes.filter(_.getClass.getSimpleName.startsWith("Window"))
