@@ -158,6 +158,96 @@ object VectorOps {
        |WHERE list_sum(list_transform(list_zip(qa.v, qb.v), p -> p[1] * p[2])) / (qa.nrm * qb.nrm) > 0.3""".stripMargin
   }
 
+  /** Driver-checked exercise of the ADAPTIVE LSH band width — the branch of
+    * [[extraBitsFor]] that only engages past 65 536 vectors (LoadTarget ·
+    * 2^12) and was previously pinned only by ScaleKnobSpec + the sf10 sweep.
+    * Each embedding is replicated [[DedupAdaptiveReplicas]]× with a
+    * deterministic integer-modular perturbation (dyadic-rational doubles, so
+    * Spark and DuckDB compare signs bit-identically), pushing the corpus to
+    * 80 000 vectors at sf0.01 → 13 band bits (500·160), and 320 000 → 15
+    * bits at sf0.1. Output is the per-band index summary (bit width, bucket
+    * count, max load, Σ C(load,2) collision pairs): 5 rows regardless of n,
+    * while still pinning every adaptive sign bit (any flipped bit moves
+    * bucket populations).
+    *
+    * Scale shape: expansion and banding are narrow (explode of a literal
+    * sequence); the only shuffles are the two keyed aggs, both map-side
+    * combining, carrying (band, bucket) pairs — never vectors. The corpus
+    * count feeding the bit-width knob is one driver-side count() of a
+    * single column, the same constant-size action kmeans uses for its
+    * centroids. */
+  val DedupAdaptiveReplicas = 160
+  val dedupAdaptiveBits: Q = (s, dir) => {
+    val base = table(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val extra = extraBitsFor(base.count() * DedupAdaptiveReplicas, 1L << DedupBits)
+    val expanded = base
+      .select(col("vec_id"), col("v"),
+        explode(expr(s"sequence(0, ${DedupAdaptiveReplicas - 1})")).as("r"))
+      .withColumn("id", col("vec_id") * DedupAdaptiveReplicas + col("r"))
+    // perturbed coordinate i (1-based): modular hash of (replica id, dim)
+    // mapped to [-0.5, 0.5) in exact dyadic steps of 2^-16
+    def pert(i: Int): Column =
+      element_at(col("v"), i) +
+        ((col("id") * lit(2654435761L) + lit(i.toLong * 40503L)) % 65536L)
+          .cast("double") / 65536.0 - 0.5
+    def bucket(b: Int): Column = ((0 until DedupBits).map { j =>
+      val (i1, i2) = contrastDims(DedupBits * b + j)
+      when(pert(i1) - pert(i2) > 0, lit(1L << j)).otherwise(lit(0L))
+    } ++ (0 until extra).map { j =>
+      val (i1, i2) = contrastDims2(b * 16 + j)
+      when(pert(i1) - pert(i2) > 0, lit(1L << (DedupBits + j))).otherwise(lit(0L))
+    }).reduce(_ + _)
+    val banded = expanded.select(explode(array((0 until DedupBands).map(b =>
+      struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("load"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("load")).as("max_load"),
+        sum(expr("load * (load - 1) DIV 2")).as("collision_pairs"))
+      .withColumn("n_bits", lit(DedupBits + extra))
+      .select(col("band"), col("n_bits"), col("n_buckets"),
+        col("max_load"), col("collision_pairs"))
+  }
+  val dedupAdaptiveBitsSql = {
+    // pert(i) inline; extra replicated as the EXACT loop of extraBitsFor:
+    // count of e in [0,16) with (n >> e) > LoadTarget<<12 (monotone, so the
+    // count equals the loop's exit value — no float log2 boundary risk)
+    def pert(i: Int): String =
+      s"(v[$i] + CAST((id * 2654435761 + ${i.toLong * 40503}) % 65536 AS DOUBLE) / 65536.0 - 0.5)"
+    val extraExpr = (0 until 16).map(e =>
+      s"CASE WHEN (n >> $e) > ${DedupLoadTarget << DedupBits} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bands = (0 until DedupBands).map { b =>
+      val fixed = (0 until DedupBits).map { j =>
+        val (i1, i2) = contrastDims(DedupBits * b + j)
+        s"CASE WHEN ${pert(i1)} - ${pert(i2)} > 0 THEN ${1L << j} ELSE 0 END"
+      }
+      val adaptive = (0 until 16).map { j =>
+        val (i1, i2) = contrastDims2(b * 16 + j)
+        s"CASE WHEN extra > $j AND ${pert(i1)} - ${pert(i2)} > 0 THEN ${1L << (DedupBits + j)} ELSE 0 END"
+      }
+      s"SELECT $b AS band, CAST(${(fixed ++ adaptive).mkString(" + ")} AS BIGINT) AS bucket FROM exp, eb"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |nn AS (SELECT count(*) * $DedupAdaptiveReplicas AS n FROM base),
+       |eb AS (SELECT CAST($extraExpr AS INT) AS extra FROM nn),
+       |exp AS (
+       |  SELECT vec_id * $DedupAdaptiveReplicas + r AS id, v
+       |  FROM base, range($DedupAdaptiveReplicas) t(r)),
+       |sig AS (
+       |$bands),
+       |loads AS (
+       |  SELECT band, bucket, count(*) AS load FROM sig GROUP BY band, bucket)
+       |SELECT band, (SELECT 12 + extra FROM eb) AS n_bits,
+       |  count(*) AS n_buckets, CAST(max(load) AS BIGINT) AS max_load,
+       |  CAST(sum(load * (load - 1) // 2) AS BIGINT) AS collision_pairs
+       |FROM loads GROUP BY band""".stripMargin
+  }
+
   /** Sign-LSH bucketing: 8-bit signature from the signs of fixed coordinate
     * contrasts (a deterministic stand-in for random hyperplanes — portable to
     * the oracle). Vectors sharing a bucket are ANN candidates; per-bucket
@@ -894,6 +984,7 @@ object VectorOps {
     "ann_ivf_topk" -> (annIvfTopk, Some(annIvfTopkSql)),
     "ann_brute_cosine" -> (annBruteCosine, Some(annBruteCosineSql)),
     "dedup_embedding" -> (dedupEmbedding, Some(dedupEmbeddingSql)),
+    "dedup_adaptive_bits" -> (dedupAdaptiveBits, Some(dedupAdaptiveBitsSql)),
     "dedup_semantic" -> (dedupSemantic, Some(dedupSemanticSql)),
     "ann_lsh_buckets" -> (annLshBuckets, Some(annLshBucketsSql)),
     "ivf_centroid_residuals" -> (ivfCentroidResiduals, Some(ivfCentroidResidualsSql)),

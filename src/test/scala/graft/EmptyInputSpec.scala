@@ -81,6 +81,7 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_clusters_keepbest" -> TextOps.dedupClustersKeepbest,
       "join_asof_nearest" -> graft.queries.LakeOps.joinAsofNearest,
       "events_ohlc_bars" -> Analytics.eventsOhlcBars,
+      "dedup_adaptive_bits" -> VectorOps.dedupAdaptiveBits,
       "dedup_minhash_cc" -> TextOps.dedupMinhashCc)
     // recall eval emits its single all-zero row on an empty corpus
     val rr = TextOps.dedupRecallEval(spark, emptyDir).collect()
