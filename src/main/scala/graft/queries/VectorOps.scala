@@ -922,10 +922,11 @@ object VectorOps {
     * rank windows and the full-outer join run on ≤10 rows by construction,
     * never on corpus-sized data. */
   val rankFusion: Q = (s, dir) => {
-    // ≤10 rows by construction; literal partition key keeps the plan out of
-    // WindowExec's empty-partitionSpec path (no global-window warning) while
-    // costing the same single tiny partition.
-    val wt = Window.partitionBy(lit(0)).orderBy(col("bm25").desc, col("doc_id"))
+    // ≤10 rows by construction; the constant-valued partition key keeps the
+    // plan out of WindowExec's empty-partitionSpec path (no global-window
+    // warning) while costing the same single tiny partition. col*0 rather
+    // than lit(0): EliminateWindowPartitions folds literal keys away.
+    val wt = Window.partitionBy(col("doc_id") * 0).orderBy(col("bm25").desc, col("doc_id"))
     val text10 = TextOps.textBm25(s, dir)
       .withColumn("text_rank", row_number().over(wt))
       .select(col("doc_id").as("id"), col("text_rank"))
@@ -938,7 +939,7 @@ object VectorOps {
       .crossJoin(broadcast(q))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .orderBy(col("cos").desc, col("vec_id")).limit(10) // TakeOrdered
-    val wv = Window.partitionBy(lit(0)).orderBy(col("cos").desc, col("vec_id")) // ≤10 rows
+    val wv = Window.partitionBy(col("vec_id") * 0).orderBy(col("cos").desc, col("vec_id")) // ≤10 rows
     val vec10 = top.withColumn("vec_rank", row_number().over(wv))
       .select(col("vec_id").as("id"), col("vec_rank"))
     text10.join(vec10, Seq("id"), "full_outer")
