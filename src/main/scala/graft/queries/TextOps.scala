@@ -1318,7 +1318,43 @@ object TextOps {
     * 100 TB most candidate pairs exceed the threshold, so the early exit
     * is where the time goes. DuckDB's unbounded `levenshtein` agrees
     * exactly on every surviving pair. */
-  val linkFuzzyEdit: Q = (s, dir) => {
+  val linkFuzzyEdit: Q = (s, dir) => fuzzyPairs(s, dir)
+
+  /** Capped fuzzy linkage — the documented SCALE KNOB for
+    * [[linkFuzzyEdit]], whose exact form is output-bound at scale (the
+    * true-pair count itself grows 135× for a 10× corpus; SCALING.md
+    * "link_fuzzy_edit: output-bound"). Production linkage keeps only the
+    * best k matches per left record, so the OUTPUT is bounded ∝ n·k no
+    * matter how dense the match graph gets. Candidate generation and the
+    * early-exit levenshtein are identical to the exact query; the cap is a
+    * per-doc_a rank window that Spark rewrites with `WindowGroupLimit`, so
+    * each map task keeps its local top-(k+ties) BEFORE the rank shuffle —
+    * the shuffle carries O(n·k) rows even when the pair set is quadratic.
+    * The exact query stays as the oracle-bounded ground truth. */
+  val LinkFuzzyK = 3
+  val linkFuzzyCapped: Q = (s, dir) => {
+    val w = Window.partitionBy(col("doc_a"))
+      .orderBy(col("edit_dist").asc, col("doc_b").asc)
+    fuzzyPairs(s, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= LinkFuzzyK)
+  }
+  val linkFuzzyCappedSql =
+    s"""WITH pref AS (
+      |  SELECT doc_id, lang, string_split(text, ' ')[1] AS tok1,
+      |    array_to_string(string_split(text, ' ')[1:6], ' ') AS p
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+      |  FROM pref a JOIN pref b
+      |    ON a.lang = b.lang AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+      |  WHERE levenshtein(a.p, b.p) <= 12)
+      |SELECT doc_a, doc_b, edit_dist,
+      |  CAST(row_number() OVER (PARTITION BY doc_a ORDER BY edit_dist, doc_b) AS BIGINT) AS rank
+      |FROM pairs QUALIFY rank <= $LinkFuzzyK""".stripMargin
+
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
     // Length banding: ed(pa,pb) ≤ 12 ⇒ |len(pa)−len(pb)| ≤ 12, so pairs
     // can only meet the threshold inside adjacent width-13 length bands.
     // (lang, tok1) alone has a FIXED block count — vocabulary-bounded — so
@@ -1591,6 +1627,7 @@ object TextOps {
     "pipeline_quality_filter" -> (pipelineQualityFilter, Some(pipelineQualityFilterSql)),
     "phrase_search" -> (phraseSearch, Some(phraseSearchSql)),
     "link_fuzzy_edit" -> (linkFuzzyEdit, Some(linkFuzzyEditSql)),
+    "link_fuzzy_capped" -> (linkFuzzyCapped, Some(linkFuzzyCappedSql)),
     "pack_sequences" -> (packSequences, Some(packSequencesSql)),
     "text_diversity" -> (textDiversity, Some(textDiversitySql)),
     "dedup_spans" -> (dedupSpans, Some(dedupSpansSql)),

@@ -63,6 +63,7 @@ class EmptyInputSpec extends SparkSpec {
       "bpe_pair_counts" -> TextOps.bpePairCounts,
       "sample_quality_weighted" -> TextOps.sampleQualityWeighted,
       "link_fuzzy_edit" -> TextOps.linkFuzzyEdit,
+      "link_fuzzy_capped" -> TextOps.linkFuzzyCapped,
       "phrase_search" -> TextOps.phraseSearch,
       "pipeline_quality_filter" -> TextOps.pipelineQualityFilter,
       "domain_stats" -> TextOps.domainStats,
