@@ -240,6 +240,63 @@ class PipelineSpec extends SparkSpec {
     assert(aBytes.sameElements(wavA) && bBytes.sameElements(wavB))
   }
 
+  test("CI smoke twin: shard → exploded WAV tree → re-packed into BOTH sinks") {
+    // The reference CI's end-to-end shape (.github/workflows/
+    // test-linux-x86_64-unknown-linux-gnu.yml:33-57): take a parquet shard,
+    // extract-audio it back to a WAV tree, then run the pipeline into
+    // parquet AND duckdb. Twin: the shard is generated locally (no
+    // network), everything downstream is the same three steps.
+    val src = tmpDir("graft-ci-src"); val shardDir = tmpDir("graft-ci-shard")
+    val wavTree = tmpDir("graft-ci-wavs")
+    val dsParquet = tmpDir("graft-ci-dsp"); val dsDuck = tmpDir("graft-ci-dsd")
+    val rates = Seq(8000, 16000, 22050, 44100)
+    val originals = rates.zipWithIndex.map { case (r, i) =>
+      val bytes = Wav.synthWav(r, r / 2) // 0.5 s at every rate
+      writeFile(src, s"d$i/c$i.wav", bytes)
+      s"d$i/c$i.wav" -> bytes
+    }.toMap
+    val meta = writeText(src, "metadata.jsonl",
+      rates.indices.map(i => s"""{"file_name":"c$i.wav","transcription":"clip $i"}""")
+        .mkString("\n"))
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      src.getAbsolutePath, shardDir.getAbsolutePath, Some(meta.getAbsolutePath)))
+    // step 1 (extract-audio twin): shard → WAV tree
+    val shard = spark.read.parquet(new java.io.File(shardDir, "0.parquet").getAbsolutePath)
+    graft.sinks.AudioExploder.explode(shard, wavTree.getAbsolutePath)
+    originals.foreach { case (rel, bytes) =>
+      val f = new java.io.File(wavTree, rel)
+      assert(f.exists, s"exploded tree missing $rel")
+      assert(java.nio.file.Files.readAllBytes(f.toPath).sameElements(bytes))
+    }
+    // step 2 (CI test case 1): WAV tree → parquet dataset
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      wavTree.getAbsolutePath, dsParquet.getAbsolutePath))
+    val repacked = spark.read.parquet(new java.io.File(dsParquet, "0.parquet").getAbsolutePath)
+    val rows = repacked.select("audio.path", "audio.bytes", "duration").collect()
+    assert(rows.length == rates.length)
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]](1).sameElements(originals(r.getString(0))))
+      assert(math.abs(r.getDouble(2) - 0.5) < 1e-9)
+    }
+    // step 3 (CI test case 2): WAV tree → duckdb dataset
+    val duckdbOnClasspath =
+      try { Class.forName("org.duckdb.DuckDBDriver"); true }
+      catch { case _: ClassNotFoundException => false }
+    if (duckdbOnClasspath) {
+      AudioToDataset.run(spark, AudioToDataset.Config(
+        wavTree.getAbsolutePath, dsDuck.getAbsolutePath, format = "duckdb"))
+      val shardFile = new java.io.File(dsDuck, "0.duckdb")
+      assert(shardFile.exists, "duckdb sink produced no shard")
+      val conn = java.sql.DriverManager.getConnection(
+        s"jdbc:duckdb:${shardFile.getAbsolutePath}")
+      try {
+        val rs = conn.createStatement().executeQuery("SELECT count(*) FROM files")
+        rs.next()
+        assert(rs.getLong(1) == rates.length.toLong)
+      } finally conn.close()
+    }
+  }
+
   test("e2e: EMPTY jsonl sidecar → transcription-only schema, default '-'") {
     // reference treats an empty metadata file as an empty store; an
     // RDD.reduce here used to throw 'empty collection'
