@@ -181,22 +181,40 @@ object VectorOps {
     val base = table(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val extra = extraBitsFor(base.count() * DedupAdaptiveReplicas, 1L << DedupBits)
+    // Two measured performance cliffs shaped this plan (both at sf0.1,
+    // 320k replica rows):
+    // (1) parallelism — the source parquet is a handful of files, so
+    //     without the pre-explosion repartition the 160× explode and all
+    //     75 bit terms ran on 1-2 cores. The shuffle moves only the SMALL
+    //     pre-explosion table; at warehouse scale the base is already many
+    //     partitions and this is a cheap round-robin.
+    // (2) codegen — inlining the modular perturbation into all 75 bit
+    //     terms blew whole-stage codegen's 64 KB method limit (13.4 s,
+    //     interpreted fallback), and materializing the perturbed vector
+    //     via a `transform` HOF was no better (10 s: HOF lambdas are never
+    //     codegen'd — interpreted eval + boxing per lane). The perturbed
+    //     vector is therefore 64 FLAT double columns: every expression
+    //     stays small and inside one WholeStageCodegen span.
+    // Perturbation: modular hash of (replica id, 1-based dim) mapped to
+    // [-0.5, 0.5) in exact dyadic steps of 2^-16, so Spark and DuckDB
+    // compare bit-identically.
     val expanded = base
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("vec_id"), col("v"),
         explode(expr(s"sequence(0, ${DedupAdaptiveReplicas - 1})")).as("r"))
       .withColumn("id", col("vec_id") * DedupAdaptiveReplicas + col("r"))
-    // perturbed coordinate i (1-based): modular hash of (replica id, dim)
-    // mapped to [-0.5, 0.5) in exact dyadic steps of 2^-16
-    def pert(i: Int): Column =
-      element_at(col("v"), i) +
-        ((col("id") * lit(2654435761L) + lit(i.toLong * 40503L)) % 65536L)
-          .cast("double") / 65536.0 - 0.5
+      .select(Seq(col("id")) ++ (1 to 64).map { i =>
+        (element_at(col("v"), i) +
+          ((col("id") * lit(2654435761L) + lit(i.toLong * 40503L)) % 65536L)
+            .cast("double") / 65536.0 - 0.5).as(s"pv_$i")
+      }: _*)
+    def bit(m: (Int, Int), c: Long): Column =
+      when(col(s"pv_${m._1}") > col(s"pv_${m._2}"), lit(c))
+        .otherwise(lit(0L))
     def bucket(b: Int): Column = ((0 until DedupBits).map { j =>
-      val (i1, i2) = contrastDims(DedupBits * b + j)
-      when(pert(i1) - pert(i2) > 0, lit(1L << j)).otherwise(lit(0L))
+      bit(contrastDims(DedupBits * b + j), 1L << j)
     } ++ (0 until extra).map { j =>
-      val (i1, i2) = contrastDims2(b * 16 + j)
-      when(pert(i1) - pert(i2) > 0, lit(1L << (DedupBits + j))).otherwise(lit(0L))
+      bit(contrastDims2(b * 16 + j), 1L << (DedupBits + j))
     }).reduce(_ + _)
     val banded = expanded.select(explode(array((0 until DedupBands).map(b =>
       struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
@@ -211,24 +229,23 @@ object VectorOps {
         col("max_load"), col("collision_pairs"))
   }
   val dedupAdaptiveBitsSql = {
-    // pert(i) inline; extra replicated as the EXACT loop of extraBitsFor:
-    // count of e in [0,16) with (n >> e) > LoadTarget<<12 (monotone, so the
-    // count equals the loop's exit value — no float log2 boundary risk)
-    def pert(i: Int): String =
-      s"(v[$i] + CAST((id * 2654435761 + ${i.toLong * 40503}) % 65536 AS DOUBLE) / 65536.0 - 0.5)"
+    // pv materialized per replica row (mirrors the Spark plan exactly);
+    // extra replicated as the EXACT loop of extraBitsFor: count of e in
+    // [0,16) with (n >> e) > LoadTarget<<12 (monotone, so the count equals
+    // the loop's exit value — no float log2 boundary risk)
     val extraExpr = (0 until 16).map(e =>
       s"CASE WHEN (n >> $e) > ${DedupLoadTarget << DedupBits} THEN 1 ELSE 0 END")
       .mkString(" + ")
     val bands = (0 until DedupBands).map { b =>
       val fixed = (0 until DedupBits).map { j =>
         val (i1, i2) = contrastDims(DedupBits * b + j)
-        s"CASE WHEN ${pert(i1)} - ${pert(i2)} > 0 THEN ${1L << j} ELSE 0 END"
+        s"CASE WHEN pv[$i1] > pv[$i2] THEN ${1L << j} ELSE 0 END"
       }
       val adaptive = (0 until 16).map { j =>
         val (i1, i2) = contrastDims2(b * 16 + j)
-        s"CASE WHEN extra > $j AND ${pert(i1)} - ${pert(i2)} > 0 THEN ${1L << (DedupBits + j)} ELSE 0 END"
+        s"CASE WHEN extra > $j AND pv[$i1] > pv[$i2] THEN ${1L << (DedupBits + j)} ELSE 0 END"
       }
-      s"SELECT $b AS band, CAST(${(fixed ++ adaptive).mkString(" + ")} AS BIGINT) AS bucket FROM exp, eb"
+      s"SELECT $b AS band, CAST(${(fixed ++ adaptive).mkString(" + ")} AS BIGINT) AS bucket FROM pexp, eb"
     }.mkString("\nUNION ALL\n")
     s"""WITH base AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -238,6 +255,10 @@ object VectorOps {
        |exp AS (
        |  SELECT vec_id * $DedupAdaptiveReplicas + r AS id, v
        |  FROM base, range($DedupAdaptiveReplicas) t(r)),
+       |pexp AS (
+       |  SELECT id, list_transform(range(1, 65), i -> v[i] +
+       |    CAST((id * 2654435761 + i * 40503) % 65536 AS DOUBLE) / 65536.0 - 0.5) AS pv
+       |  FROM exp),
        |sig AS (
        |$bands),
        |loads AS (
