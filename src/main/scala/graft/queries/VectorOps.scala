@@ -161,14 +161,19 @@ object VectorOps {
   /** Driver-checked exercise of the ADAPTIVE LSH band width — the branch of
     * [[extraBitsFor]] that only engages past 65 536 vectors (LoadTarget ·
     * 2^12) and was previously pinned only by ScaleKnobSpec + the sf10 sweep.
-    * Each embedding is replicated [[DedupAdaptiveReplicas]]× with a
-    * deterministic integer-modular perturbation (dyadic-rational doubles, so
-    * Spark and DuckDB compare signs bit-identically), pushing the corpus to
-    * 80 000 vectors at sf0.01 → 13 band bits (500·160), and 320 000 → 15
-    * bits at sf0.1. Output is the per-band index summary (bit width, bucket
-    * count, max load, Σ C(load,2) collision pairs): 5 rows regardless of n,
-    * while still pinning every adaptive sign bit (any flipped bit moves
-    * bucket populations).
+    * Each of the first ≤[[DedupAdaptiveCapIds]] embeddings is replicated
+    * [[DedupAdaptiveReplicas]]× with a deterministic integer-modular
+    * perturbation (dyadic-rational doubles, so Spark and DuckDB compare
+    * signs bit-identically), pushing the corpus to 80 000 vectors at
+    * sf0.01 (500·160) and a capped 100 000 at every larger sf — always
+    * past the 65 536 threshold → 13 band bits. The input cap is
+    * deliberate: this row gates the bit-width LOGIC (a fixture, like the
+    * recall evals), so its cost is scale-invariant; the production
+    * adaptive path at corpus scale is [[dedupEmbedding]] itself. Output is
+    * the per-band index summary (bit width, bucket count, max load,
+    * Σ C(load,2) collision pairs): 5 rows regardless of n, while still
+    * pinning every adaptive sign bit (any flipped bit moves bucket
+    * populations).
     *
     * Scale shape: expansion and banding are narrow (explode of a literal
     * sequence); the only shuffles are the two keyed aggs, both map-side
@@ -177,8 +182,10 @@ object VectorOps {
     * single column, the same constant-size action kmeans uses for its
     * centroids. */
   val DedupAdaptiveReplicas = 160
+  val DedupAdaptiveCapIds = 625
   val dedupAdaptiveBits: Q = (s, dir) => {
     val base = table(s, dir, "embeddings")
+      .filter(col("vec_id") < DedupAdaptiveCapIds)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val extra = extraBitsFor(base.count() * DedupAdaptiveReplicas, 1L << DedupBits)
     // Two measured performance cliffs shaped this plan (both at sf0.1,
@@ -249,7 +256,7 @@ object VectorOps {
     }.mkString("\nUNION ALL\n")
     s"""WITH base AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings WHERE vec_id < $DedupAdaptiveCapIds),
        |nn AS (SELECT count(*) * $DedupAdaptiveReplicas AS n FROM base),
        |eb AS (SELECT CAST($extraExpr AS INT) AS extra FROM nn),
        |exp AS (
