@@ -531,7 +531,42 @@ object MultimodalOps {
       |SELECT fp, count(*) AS n_copies, min(doc_id) AS canonical_id
       |FROM fp GROUP BY fp HAVING count(*) >= 2""".stripMargin
 
+  /** Interleaved multimodal sample assembly — the MMC4/OBELICS dataset
+    * builder: attach each media item (the embeddings table stands in as
+    * the media registry: id + features + label) to its parent document and
+    * pack the attachments into deterministically-ordered per-document
+    * lists, one training sample per row. Attachment rule is the fixture's
+    * synthetic FK `doc_id = (vec_id * 7) mod 500` (every registry row maps
+    * to a stable document at every sf).
+    *
+    * Scale shape: one exchange per side on the document key, and the
+    * pack-to-list agg REUSES the join's output partitioning (groupBy key
+    * == join key, no third exchange). Item payloads would ride the same
+    * rows in production; only doc-key + item columns shuffle here. Lists
+    * are sorted by item id, so output is partitioning-independent. */
+  val mmInterleave: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+      .filter(col("doc_id") < 500).select(col("doc_id"))
+    val items = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), ((col("vec_id") * 7) % 500).as("doc_id"))
+    docs.join(items, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sort_array(collect_list(struct(col("vec_id"), col("label")))).as("pk"))
+      .select(col("doc_id"), col("n_items"),
+        col("pk.vec_id").as("item_ids"),
+        col("pk.label").as("item_labels"))
+  }
+  val mmInterleaveSql =
+    """SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_items,
+      |  list(e.vec_id ORDER BY e.vec_id) AS item_ids,
+      |  list(e.label ORDER BY e.vec_id) AS item_labels
+      |FROM documents d JOIN embeddings e ON d.doc_id = (e.vec_id * 7) % 500
+      |WHERE d.doc_id < 500
+      |GROUP BY d.doc_id""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "mm_interleave" -> (mmInterleave, Some(mmInterleaveSql)),
     "audio_fingerprint" -> (audioFingerprint, Some(audioFingerprintSql)),
     "dedup_image_phash" -> (dedupImagePhash, Some(dedupImagePhashSql)),
     "pipeline_audio_curate" -> (pipelineAudioCurate, Some(pipelineAudioCurateSql)),

@@ -106,6 +106,77 @@ object TextOps {
   val textFingerprintSql =
     s"SELECT doc_id, ${charFoldHashSql("text")} AS fingerprint FROM documents"
 
+  /** Model-based quality filtering — the fastText-classifier stage
+    * (FineWeb/DCLM shape) that sits between the heuristic gates
+    * ([[textGopher]]) and dedup in modern curation stacks: a hashed
+    * bag-of-words linear model scored over every document. Inference is
+    * the fused [[graft.functions.HashedLinearScore]] kernel (one compiled
+    * pass per row, integer weights — see its scaladoc for why not a HOF
+    * chain), so the corpus pass is scan → narrow projection: ZERO
+    * exchanges, and the plan is unchanged when the pseudo-weights are
+    * swapped for a trained vector. */
+  val ClassifierBuckets = 4096
+  val textClassifyLinear: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.functions.HashedLinearScore(col("text"), ClassifierBuckets).as("score_int"))
+      .withColumn("quality_pass", when(col("score_int") > 0, 1L).otherwise(0L))
+  val textClassifyLinearSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), t ->
+       |      ((${charFoldHashSql("t")} % $ClassifierBuckets) * 2654435761) % 2001 - 1000))
+       |      AS BIGINT) AS score_int
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, score_int,
+       |  CAST(CASE WHEN score_int > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
+       |FROM scored""".stripMargin
+
+  /** Incremental (new-batch-vs-store) dedup screening — the DAILY-INGESTION
+    * shape: a corpus already curated yesterday is a fingerprint STORE, and
+    * only today's batch is scored against it, never corpus-vs-corpus.
+    * The fingerprint is [[dedupPrefix]]'s blocking key (char-fold of the
+    * first 8 tokens), the store key a production near-dup screen
+    * materializes; an exact-text fingerprint also works but this corpus
+    * contains near-dups, not byte-copies. Fixture split: doc_id <
+    * [[IncrementalStoreMax]] is the store, the rest is the batch; each
+    * batch doc is annotated with whether its fingerprint already exists
+    * and the store's canonical id.
+    *
+    * Scale shape: the store collapses to distinct fingerprints (min id per
+    * fp, map-side combining) and the join moves only 16-byte (fp, id)
+    * pairs — the store's TEXT never shuffles. With the fingerprint store
+    * pre-bucketed on fp (how a production store is materialized) the
+    * batch is the only side that moves. */
+  val IncrementalStoreMax = 400
+  val dedupIncremental: Q = (s, dir) => {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"),
+        charFoldHash(array_join(slice(split(col("text"), " "), 1, 8), " ")).as("fp"))
+    val store = docs.filter(col("doc_id") < IncrementalStoreMax)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("store_canonical"))
+    docs.filter(col("doc_id") >= IncrementalStoreMax)
+      .join(store, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(col("store_canonical").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        col("store_canonical"))
+  }
+  val dedupIncrementalSql = {
+    val pre = "array_to_string(string_split(text, ' ')[1:8], ' ')"
+    s"""WITH fps AS (
+       |  SELECT doc_id, ${charFoldHashSql(pre)} AS fp FROM documents),
+       |store AS (
+       |  SELECT fp, min(doc_id) AS store_canonical FROM fps
+       |  WHERE doc_id < $IncrementalStoreMax GROUP BY fp)
+       |SELECT b.doc_id, b.fp,
+       |  CAST(CASE WHEN s.store_canonical IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+       |  s.store_canonical
+       |FROM fps b LEFT JOIN store s ON b.fp = s.fp
+       |WHERE b.doc_id >= $IncrementalStoreMax""".stripMargin
+  }
+
   /** Exact dedup: group identical texts (hash-groupBy); keep min doc_id as
     * the canonical copy. Map-side partial agg; shuffle only on text hash. */
   val dedupExact: Q = (s, dir) =>
@@ -1661,6 +1732,8 @@ object TextOps {
     "text_langid" -> (textLangid, Some(textLangidSql)),
     "text_fingerprint" -> (textFingerprint, Some(textFingerprintSql)),
     "dedup_exact" -> (dedupExact, Some(dedupExactSql)),
+    "dedup_incremental" -> (dedupIncremental, Some(dedupIncrementalSql)),
+    "text_classify_linear" -> (textClassifyLinear, Some(textClassifyLinearSql)),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     "dedup_minhash" -> (dedupMinhash, Some(dedupMinhashSql)),
     "dedup_minhash_lsh" -> (dedupMinhashLsh, Some(dedupMinhashLshSql)),

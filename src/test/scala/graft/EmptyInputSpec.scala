@@ -83,6 +83,9 @@ class EmptyInputSpec extends SparkSpec {
       "join_asof_nearest" -> graft.queries.LakeOps.joinAsofNearest,
       "events_ohlc_bars" -> Analytics.eventsOhlcBars,
       "dedup_adaptive_bits" -> VectorOps.dedupAdaptiveBits,
+      "dedup_incremental" -> TextOps.dedupIncremental,
+      "text_classify_linear" -> TextOps.textClassifyLinear,
+      "mm_interleave" -> graft.queries.MultimodalOps.mmInterleave,
       "dedup_minhash_cc" -> TextOps.dedupMinhashCc)
     // recall eval emits its single all-zero row on an empty corpus
     val rr = TextOps.dedupRecallEval(spark, emptyDir).collect()

@@ -330,6 +330,61 @@ class OperatorSpec extends SparkSpec {
     assert(graft.functions.CharFoldHash.hash("emoji 😀 end") == 260912962L)
   }
 
+  test("hashed linear score: fused pass == composable HOF form, incl. edges") {
+    val s = spark
+    import s.implicits._
+    val B = graft.queries.TextOps.ClassifierBuckets
+    val texts = Seq(
+      "the quick brown fox", "", " ", "one", "a  b", // empty tokens kept
+      "emoji 😀 end", "кирилица текст", "混合 🤖 text")
+    val df = texts.toDF("t").repartition(2)
+    // composable twin: per-token char-fold → bucket → pseudo-weight → sum.
+    // Uses the NATIVE CharFoldHash on each token (hash("") = 7, the
+    // SpanHashes convention): a split("")+ascii() fold instead folds one
+    // phantom ascii-0 char for EMPTY tokens (hash 217) — the documented
+    // empty-token caveat of the portable form.
+    val hof = df.select(aggregate(
+      transform(split(col("t"), " "), t => graft.functions.CharFoldHash(t)),
+      lit(0L),
+      (acc, h) => acc + (((h % B) * lit(2654435761L)) % 2001L - 1000L)))
+      .collect().map(_.getLong(0))
+    val fused = df.select(graft.functions.HashedLinearScore(col("t"), B))
+      .collect().map(_.getLong(0))
+    assert(hof.toSeq == fused.toSeq)
+    // weights span both signs and stay in [-1000, 1000]
+    val ws = (0 until B).map(b => graft.functions.HashedLinearScore.weight(b.toLong, B))
+    assert(ws.forall(w => w >= -1000 && w <= 1000))
+    assert(ws.exists(_ < 0) && ws.exists(_ > 0))
+  }
+
+  test("dedup_incremental: batch-only output, store hit ids, both verdicts") {
+    val out = graft.queries.TextOps
+      .dedupIncremental(spark, "/root/testdata/sf0.001").collect()
+    val storeMax = graft.queries.TextOps.IncrementalStoreMax
+    assert(out.nonEmpty && out.forall(_.getLong(0) >= storeMax))
+    val dups = out.filter(_.getLong(2) == 1L)
+    val fresh = out.filter(_.getLong(2) == 0L)
+    assert(dups.nonEmpty, "fixture must contain cross-boundary duplicates")
+    assert(fresh.nonEmpty, "fixture must contain genuinely new docs")
+    assert(dups.forall(r => !r.isNullAt(3) && r.getLong(3) < storeMax))
+    assert(fresh.forall(_.isNullAt(3)))
+  }
+
+  test("mm_interleave: every registry item packed exactly once, lists ordered") {
+    val out = graft.queries.MultimodalOps
+      .mmInterleave(spark, "/root/testdata/sf0.001").collect()
+    val total = out.map(_.getLong(1)).sum
+    val nVec = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(total == nVec, "every media item must land in exactly one sample")
+    out.foreach { r =>
+      val ids = r.getSeq[Long](2)
+      assert(ids.length == r.getLong(1).toInt)
+      assert(ids == ids.sorted, "attachment lists must be deterministic")
+      assert(ids.forall(v => (v * 7) % 500 == r.getLong(0)))
+    }
+  }
+
   test("span hashes: fused pass == the composable HOF chain, incl. edge shapes") {
     val s = spark
     import s.implicits._
