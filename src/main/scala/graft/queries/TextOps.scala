@@ -1188,6 +1188,49 @@ object TextOps {
        |FROM documents d JOIN r ON d.lang = r.lang
        |GROUP BY d.lang""".stripMargin
 
+  /** Temperature-based mixture sampling (the mT5/multilingual-balance
+    * standard): per-source acceptance ∝ p^α with α = 3/4, referenced to
+    * the LARGEST source (rate = (n_src / n_max)^α, so the head source
+    * keeps everything and the tail is boosted relative to proportional
+    * sampling). Two portability rules make it oracle-exact:
+    * x^(3/4) is computed as sqrt(x · sqrt(x)) — sqrt, · and ÷ are IEEE
+    * correctly-rounded where a libm pow() is not (the
+    * [[sampleMixtureBalance]] argument, extended by composition: both
+    * engines execute the same three correctly-rounded steps) — and the
+    * reference is max-count, not a normalizing Σ p^α, because a
+    * cross-row float sum would round differently under different
+    * summation orders. Acceptance itself is the content-hash ppm
+    * threshold: reproducible across runs, engines, partitionings.
+    * Scale shape: per-source counts are a tiny agg broadcast back; the
+    * corpus pass is one narrow scan with map-side aggregation. */
+  val sampleTemperature: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val maxC = counts.agg(max(col("n_src")).as("m"))
+    val ratio = col("n_src").cast("double") / col("m").cast("double")
+    val rates = counts.crossJoin(broadcast(maxC))
+      .withColumn("thr", floor(sqrt(ratio * sqrt(ratio)) * 1000000.0).cast("long"))
+      .select(col("source"), col("n_src"), col("thr"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("keep", pmod(charFoldHash(col("text")), lit(1000000L)) < col("thr"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"),
+        max(col("thr")).as("accept_ppm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+  }
+  val sampleTemperatureSql =
+    s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM documents GROUP BY source),
+       |r AS (SELECT source, n_src,
+       |  CAST(floor(sqrt((CAST(n_src AS DOUBLE) / CAST((SELECT max(n_src) FROM c) AS DOUBLE))
+       |    * sqrt(CAST(n_src AS DOUBLE) / CAST((SELECT max(n_src) FROM c) AS DOUBLE))) * 1000000) AS BIGINT) AS thr
+       |  FROM c)
+       |SELECT d.source, max(r.n_src) AS n_docs, max(r.thr) AS accept_ppm,
+       |  CAST(sum(CASE WHEN (${charFoldHashSql("d.text")}) % 1000000 < r.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN (${charFoldHashSql("d.text")}) % 1000000 < r.thr THEN d.doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+       |FROM documents d JOIN r ON d.source = r.source
+       |GROUP BY d.source""".stripMargin
+
   /** Prefix-duplicate detection: docs whose text is a strict-or-equal prefix
     * of another doc (truncated/extended near-copies — a dedup family LSH
     * misses when the suffix dominates the shingle set). Blocking key = hash
@@ -1707,6 +1750,7 @@ object TextOps {
     "bpe_pair_counts" -> (bpePairCounts, Some(bpePairCountsSql)),
     "sample_quality_weighted" -> (sampleQualityWeighted, Some(sampleQualityWeightedSql)),
     "sample_mixture_balance" -> (sampleMixtureBalance, Some(sampleMixtureBalanceSql)),
+    "sample_temperature" -> (sampleTemperature, Some(sampleTemperatureSql)),
     "dedup_prefix" -> (dedupPrefix, Some(dedupPrefixSql)),
     "text_block_dedup" -> (textBlockDedup, Some(textBlockDedupSql)),
     "text_bm25" -> (textBm25, Some(textBm25Sql)),

@@ -62,6 +62,7 @@ class EmptyInputSpec extends SparkSpec {
       "decontaminate_bloom" -> TextOps.decontaminateBloom,
       "bpe_pair_counts" -> TextOps.bpePairCounts,
       "sample_quality_weighted" -> TextOps.sampleQualityWeighted,
+      "sample_temperature" -> TextOps.sampleTemperature,
       "link_fuzzy_edit" -> TextOps.linkFuzzyEdit,
       "link_fuzzy_capped" -> TextOps.linkFuzzyCapped,
       "phrase_search" -> TextOps.phraseSearch,
