@@ -146,4 +146,33 @@ class PlanPropertySpec extends SparkSpec {
       .filter(_.getClass.getSimpleName.startsWith("BroadcastHashJoin"))
     assert(bcasts.size == 3, s"expected 3 broadcast joins, got ${bcasts.size}")
   }
+
+  test("text_classify_linear: model inference is a zero-exchange narrow scan") {
+    val plan = executed(query("text_classify_linear"))
+    assert(shuffles(plan).isEmpty,
+      s"classifier scoring must not shuffle the corpus:\n$plan")
+    assert(allNodes(plan).exists(n => n.expressions.exists(_.find(
+      _.isInstanceOf[graft.functions.HashedLinearScore]).isDefined)),
+      "scoring must run through the fused HashedLinearScore kernel")
+  }
+
+  test("mm_interleave: doc side broadcasts; ONE exchange feeds the pack agg") {
+    val plan = executed(query("mm_interleave"))
+    assert(shuffles(plan).size == 1,
+      s"expected exactly 1 exchange (the pack agg):\n$plan")
+    assert(allNodes(plan)
+      .exists(_.getClass.getSimpleName.startsWith("BroadcastHashJoin")),
+      "the bounded doc side must broadcast — the registry never shuffles for the join")
+  }
+
+  test("dedup_incremental: store collapses map-side; batch text never aggregates") {
+    val plan = executed(query("dedup_incremental"))
+    // store dedup agg = 1 exchange (partial agg below it); the left join
+    // itself must not add a corpus shuffle at this scale (broadcast)
+    assert(shuffles(plan).size == 1,
+      s"expected only the store-collapse exchange:\n$plan")
+    val aggs = allNodes(plan)
+      .filter(_.getClass.getSimpleName.startsWith("HashAggregate"))
+    assert(aggs.size == 2, s"store collapse must be partial+final, got ${aggs.size}")
+  }
 }
