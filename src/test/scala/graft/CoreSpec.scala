@@ -230,4 +230,50 @@ class CoreSpec extends AnyFunSuite {
     assert(Magic.isAllowedAudio(Wav.synthWav(44100, 10)))
     assert(!Magic.isAllowedAudio("RIFFxxxxNOPE".getBytes))
   }
+
+  test("hashed linear score == reference recomputation on random text (property)") {
+    val M = 1000000007L
+    def ref(text: String, buckets: Int): Long =
+      text.split(" ", -1).map { tok =>
+        var acc = 7L
+        tok.codePoints().forEach(cp => acc = (acc * 31L + cp) % M)
+        graft.functions.HashedLinearScore.weight(acc, buckets)
+      }.sum
+    val genText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("😀"),
+      Gen.const("кир"), Gen.const("混"))).map(_.mkString(" "))
+    forAll(Gen.zip(genText, Gen.choose(1, 8192))) { case (t, b) =>
+      val expr = graft.functions.HashedLinearScore(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)), b)
+      assert(expr.eval(null) == ref(t, b), s"text=${t.take(40)} buckets=$b")
+    }
+  }
+
+  test("image/audio parsers never throw on arbitrary bytes (property)") {
+    // the corrupt-input contract after the round-10 BMP width-overflow fix:
+    // parse/stats return None and hashes return -1, they do not crash
+    val genBytes = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      // adversarial: valid BMP prefix with mutated header words
+      Gen.zip(Gen.choose(0, 53), Gen.choose(Int.MinValue, Int.MaxValue)).map {
+        case (off, v) =>
+          val b = graft.functions.Bmp.synthBmp(4, 2).clone()
+          java.nio.ByteBuffer.wrap(b)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(off, v)
+          b
+      })
+    forAll(genBytes, n = 400) { bytes =>
+      graft.functions.Bmp.parse(bytes)
+      graft.functions.Bmp.stats(bytes)
+      graft.functions.Bmp.ahash63(bytes)
+      graft.functions.Wav.parse(bytes)
+      graft.functions.Flac.parse(bytes)
+      graft.functions.Ogg.parse(bytes)
+      graft.functions.Mp3.parse(bytes)
+      graft.functions.Aiff.parse(bytes)
+      graft.functions.Adts.parse(bytes)
+      graft.functions.Ppm.parse(bytes)
+    }
+  }
 }
