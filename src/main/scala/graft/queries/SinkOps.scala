@@ -430,6 +430,41 @@ object SinkOps {
   val eventsDedupStreamSql =
     "SELECT event_id, user_id, event_type, value FROM events"
 
+  /** Stream-STATIC join under the oracle gate
+    * ([[graft.streaming.EventStream.enrichWithDim]]): the event stream
+    * enriched with the static customer dimension, broadcast per
+    * micro-batch. STATELESS — no watermark, no state store, rows emit in
+    * their data batch, so both the flush batch and the sentinel row are
+    * irrelevant (the sentinel's user -1 matches no customer and drops out
+    * of the inner join). The oracle is the plain batch join. Completes the
+    * streaming join matrix next to the stream-stream inner + left-outer
+    * entries. */
+  val eventsEnrichStream: Q = (s, dir) => withStreamParallelism(s, needsWatermarkFlush = false) {
+    val evDir = stagedEventsDir(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-enrich")
+    cleanupAtExit(tmp)
+    val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
+    val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
+    val dim = table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val q = graft.streaming.EventStream
+      .enrichWithDim(graft.streaming.EventStream.readEvents(s, evDir),
+        dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("c_mktsegment"), col("c_nationkey"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    drain(q)
+    s.read.parquet(outDir)
+  }
+  val eventsEnrichStreamSql =
+    """SELECT e.event_id, e.user_id, e.event_type, e.value,
+      |  c.c_mktsegment, c.c_nationkey
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
+
   /** Third Structured Streaming entry in the oracle gate — CUSTOM state:
     * per-user sessionization via flatMapGroupsWithState in event time
     * ([[graft.streaming.EventStream.sessionize]] — exact-µs gap math,
@@ -717,6 +752,7 @@ object SinkOps {
     "events_hopping_stream" -> (eventsHoppingStream, Some(eventsHoppingStreamSql)),
     "events_ohlc_stream" -> (eventsOhlcStream, Some(eventsOhlcStreamSql)),
     "events_dedup_stream" -> (eventsDedupStream, Some(eventsDedupStreamSql)),
+    "events_enrich_stream" -> (eventsEnrichStream, Some(eventsEnrichStreamSql)),
     "events_stateful_stream" -> (eventsStatefulStream, Some(eventsStatefulStreamSql)),
     "stream_upsert_mv" -> (streamUpsertMv, Some(streamUpsertMvSql)),
     "events_correlate_stream" -> (eventsCorrelateStream, Some(eventsCorrelateStreamSql)),

@@ -73,6 +73,18 @@ object EventStream {
         col("o.value").as("open"), col("high"), col("low"),
         col("c.value").as("close"), col("n"), col("volume_cents"))
 
+  /** Stream-STATIC enrichment: join the event stream to a static dimension
+    * table — the "attach account/user attributes at ingest" shape. The
+    * static side is (re)read and broadcast per micro-batch, the join is
+    * STATELESS (no watermark, no state store), and rows emit within their
+    * data batch. At scale the dimension is the broadcast-sized side by
+    * construction; a corpus-sized dimension would make this a
+    * stream-stream join instead. */
+  def enrichWithDim(events: DataFrame, dim: org.apache.spark.sql.DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(eventKey) === col(dimKey))
+
   /** Streaming exact deduplication: drop repeated `event_id`s with state
     * bounded by the watermark — the streaming form of the pipeline's exact
     * dedup (late duplicates beyond the horizon age out of state instead of
