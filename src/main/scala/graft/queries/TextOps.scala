@@ -1204,13 +1204,29 @@ object TextOps {
     * Scale shape: per-source counts are a tiny agg broadcast back; the
     * corpus pass is one narrow scan with map-side aggregation. */
   val sampleTemperature: Q = (s, dir) => {
+    // TWO corpus scans total: the per-source count agg (map-side
+    // combining) and the acceptance pass. The counts come to the driver
+    // (constant size — bounded by the source domain, the same class of
+    // action as the kmeans centroid collect) and the rate table is built
+    // locally and broadcast; deriving max() from the counts DataFrame
+    // instead re-executes the whole count aggregation — a THIRD full
+    // corpus scan (seen in the plan as two independent HashAggregate
+    // subtrees over the same scan). JVM Math.sqrt/floor are the same
+    // correctly-rounded IEEE ops Spark and DuckDB run, so the
+    // driver-side threshold arithmetic changes no bits.
+    import s.implicits._
     val docs = table(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-    val maxC = counts.agg(max(col("n_src")).as("m"))
-    val ratio = col("n_src").cast("double") / col("m").cast("double")
-    val rates = counts.crossJoin(broadcast(maxC))
-      .withColumn("thr", floor(sqrt(ratio * sqrt(ratio)) * 1000000.0).cast("long"))
-      .select(col("source"), col("n_src"), col("thr"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src")).collect()
+    val rates =
+      if (counts.isEmpty) Seq.empty[(String, Long, Long)].toDF("source", "n_src", "thr")
+      else {
+        val maxC = counts.map(_.getLong(1)).max.toDouble
+        counts.toSeq.map { r =>
+          val ratio = r.getLong(1).toDouble / maxC
+          (r.getString(0), r.getLong(1),
+            math.floor(math.sqrt(ratio * math.sqrt(ratio)) * 1000000.0).toLong)
+        }.toDF("source", "n_src", "thr")
+      }
     docs.join(broadcast(rates), Seq("source"))
       .withColumn("keep", pmod(charFoldHash(col("text")), lit(1000000L)) < col("thr"))
       .groupBy(col("source"))
