@@ -1162,13 +1162,24 @@ object TextOps {
     * back), the corpus pass is one narrow scan with map-side aggregation —
     * the 100 TB corpus is never shuffled. */
   val sampleMixtureBalance: Q = (s, dir) => {
+    // Same two-scan discipline as sampleTemperature (see its comment): the
+    // lang-domain-bounded counts come to the driver and the rate table is
+    // built locally — deriving min() from the counts DataFrame re-executes
+    // the count aggregation as a second full corpus scan (A/B at sf10:
+    // 3.44 s declarative → 2.9 s driver-side; the driver hop is a fixed
+    // cost, the extra scan grows with the corpus).
+    import s.implicits._
     val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val minC = counts.agg(min(col("n_lang")).as("m"))
-    val rates = counts.crossJoin(broadcast(minC))
-      .withColumn("thr",
-        floor(sqrt(col("m").cast("double") / col("n_lang").cast("double")) * 1000000.0).cast("long"))
-      .select(col("lang"), col("n_lang"), col("thr"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang")).collect()
+    val rates =
+      if (counts.isEmpty) Seq.empty[(String, Long, Long)].toDF("lang", "n_lang", "thr")
+      else {
+        val minC = counts.map(_.getLong(1)).min.toDouble
+        counts.toSeq.map { r =>
+          (r.getString(0), r.getLong(1),
+            math.floor(math.sqrt(minC / r.getLong(1).toDouble) * 1000000.0).toLong)
+        }.toDF("lang", "n_lang", "thr")
+      }
     docs.join(broadcast(rates), Seq("lang"))
       .withColumn("keep", pmod(charFoldHash(col("text")), lit(1000000L)) < col("thr"))
       .groupBy(col("lang"))
