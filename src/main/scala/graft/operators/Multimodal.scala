@@ -104,6 +104,11 @@ object Multimodal {
         return (n, ck, pi.width, pi.height, byteRms, 0, 0.0)
       case None => ()
     }
+    graft.functions.Png.parse(bytes) match {
+      case Some(gi) =>
+        return (n, ck, gi.width, gi.height, byteRms, 0, 0.0)
+      case None => ()
+    }
     (n, ck, w, h, byteRms, 0, 0.0)
   }
 

@@ -565,8 +565,45 @@ object MultimodalOps {
       |WHERE d.doc_id < 500
       |GROUP BY d.doc_id""".stripMargin
 
+  /** REAL PNG decode through the multimodal kernel — the third image
+    * container and the first with true ENTROPY DECODING
+    * ([[graft.functions.Png]]: IHDR parse, IDAT zlib inflate, full
+    * scanline unfiltering). Fixtures are seeded greyscale PNGs whose
+    * pixel formula is the BMP fixture's r-channel, so the oracle's mean
+    * expression is shared; width/height flow through the kernel's real
+    * container parse, the channel mean through the full
+    * decompress-and-reconstruct pass. */
+  val mmDecodePng: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+        (lit(6) + col("doc_id") % 7).cast("int").as("h"),
+        (col("doc_id") % 40).as("seed"))
+    val png = docs.select(col("doc_id"), col("seed"),
+      graft.functions.Png.synthSeededUdf(col("w"), col("h"), col("seed")).as("payload"))
+    Multimodal.decodeBinary(png, "payload")
+      .select(col("doc_id"), col("payload"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"))
+      .withColumn("st", graft.functions.Png.statsUdf(col("payload")))
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("st.sum_r").cast("double") / (col("width") * col("height")), 4)
+          .as("mean_gray"))
+  }
+  val mmDecodePngSql =
+    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(6 + doc_id % 7 AS INT) AS h,
+      |                  doc_id % 40 AS seed
+      |           FROM documents WHERE doc_id < 200)
+      |SELECT doc_id, w AS width, h AS height,
+      |  round(CAST(list_sum(list_transform(range(h), y -> list_sum(
+      |    list_transform(range(w), x -> (7*x + 23*y + 13 + 5*seed) % 256)))) AS DOUBLE)
+      |    / (w*h), 4) AS mean_gray
+      |FROM d""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "mm_interleave" -> (mmInterleave, Some(mmInterleaveSql)),
+    "mm_decode_png" -> (mmDecodePng, Some(mmDecodePngSql)),
     "audio_fingerprint" -> (audioFingerprint, Some(audioFingerprintSql)),
     "dedup_image_phash" -> (dedupImagePhash, Some(dedupImagePhashSql)),
     "pipeline_audio_curate" -> (pipelineAudioCurate, Some(pipelineAudioCurateSql)),

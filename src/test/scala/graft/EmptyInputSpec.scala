@@ -78,6 +78,7 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_image_phash" -> graft.queries.MultimodalOps.dedupImagePhash,
       "mm_image_resize" -> graft.queries.MultimodalOps.mmImageResize,
       "mm_decode_ppm" -> graft.queries.MultimodalOps.mmDecodePpm,
+      "mm_decode_png" -> graft.queries.MultimodalOps.mmDecodePng,
       "dedup_containment" -> TextOps.dedupContainment,
       "dedup_url" -> TextOps.dedupUrl,
       "dedup_clusters_keepbest" -> TextOps.dedupClustersKeepbest,

@@ -86,6 +86,99 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(dec._3 == 9 && dec._4 == 4 && dec._6 == 0)
   }
 
+  // ---- PNG container (entropy-coded: zlib inflate + unfiltering) ----
+
+  test("png: synth roundtrips dims; sums match the formula; IDAT may split") {
+    import graft.functions.Png
+    val bytes = Png.synthPng(5, 3, seed = 2)
+    assert(Png.parse(bytes).contains(Png.PngInfo(5, 3, 8, 0)))
+    var s = 0L
+    for (y <- 0 until 3; x <- 0 until 5) s += (7 * x + 23 * y + 13 + 10) % 256
+    val st = Png.stats(bytes).get
+    assert((st.sum_r, st.sum_g, st.sum_b) == ((s, s, s))) // grey = (g,g,g)
+    // the shared kernel routes PNG to real width/height
+    val dec = graft.operators.Multimodal.decodeKernel(Png.synthPng(9, 4, 0))
+    assert(dec._3 == 9 && dec._4 == 4 && dec._6 == 0)
+    // the zlib stream split across two IDAT chunks decodes identically
+    val raw = new Array[Byte](3 * 6)
+    for (y <- 0 until 3) { raw(y * 6) = 0
+      for (x <- 0 until 5) raw(y * 6 + 1 + x) = ((7 * x + 23 * y + 23) % 256).toByte }
+    val one = Png.wrapRaster(5, 3, 0, raw)
+    val two = Png.wrapRaster(5, 3, 0, raw, splitIdat = true)
+    assert(Png.stats(two).contains(Png.stats(one).get))
+  }
+
+  test("png: all five W3C filter types reconstruct the same pixels") {
+    import graft.functions.Png
+    val (w, h) = (6, 5)
+    val px = Array.tabulate(h, w)((y, x) => (47 * x + 91 * y + 3) % 256)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    // encode row y with filter type y (0..4), inverting each reconstruction
+    val raw = new Array[Byte](h * (w + 1))
+    for (y <- 0 until h) {
+      raw(y * (w + 1)) = y.toByte
+      for (x <- 0 until w) {
+        val cur = px(y)(x)
+        val a = if (x > 0) px(y)(x - 1) else 0
+        val b = if (y > 0) px(y - 1)(x) else 0
+        val c = if (x > 0 && y > 0) px(y - 1)(x - 1) else 0
+        val f = y match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw(y * (w + 1) + 1 + x) = f.toByte
+      }
+    }
+    val st = Png.stats(Png.wrapRaster(w, h, 0, raw)).get
+    assert(st.sum_r == px.map(_.map(_.toLong).sum).sum)
+  }
+
+  test("png: truecolour carries the same image as BMP/PPM; rejects align") {
+    import graft.functions.Png
+    val (w, h) = (5, 3)
+    // raster with the BMP channel formulas in PNG's r,g,b order
+    val raw = new Array[Byte](h * (3 * w + 1))
+    for (y <- 0 until h) {
+      raw(y * (3 * w + 1)) = 0
+      for (x <- 0 until w) {
+        val o = y * (3 * w + 1) + 1 + 3 * x
+        raw(o) = ((7 * x + 23 * y + 13) % 256).toByte
+        raw(o + 1) = ((13 * x + 29 * y + 11) % 256).toByte
+        raw(o + 2) = ((31 * x + 17 * y + 7) % 256).toByte
+      }
+    }
+    val png = Png.wrapRaster(w, h, 2, raw)
+    val st = Png.stats(png).get
+    val bm = Bmp.stats(Bmp.synthBmp(w, h)).get
+    assert((st.sum_r, st.sum_g, st.sum_b) == ((bm.sum_r, bm.sum_g, bm.sum_b)))
+    // cross-codec rejection, both directions; corrupt-input contract
+    assert(Png.parse(Bmp.synthBmp(5, 3)).isEmpty)
+    assert(Png.parse(graft.functions.Ppm.synthPpm(5, 3)).isEmpty)
+    assert(Png.parse(Wav.synthPcmWav(8000, 50)).isEmpty)
+    assert(Bmp.parse(png).isEmpty)
+    assert(graft.functions.Ppm.parse(png).isEmpty)
+    assert(Png.parse(null).isEmpty)
+    assert(Png.parse(png.take(40)).isEmpty)           // truncated IHDR
+    assert(Png.stats(png.take(png.length - 13)).isEmpty) // IEND gone
+    val badZlib = png.clone()
+    badZlib(8 + 25 + 8) = 0xff.toByte                 // wreck the zlib header
+    assert(Png.stats(badZlib).isEmpty)
+    val palette = png.clone(); palette(25) = 3        // colour type 3: out of lane
+    assert(Png.parse(palette).isEmpty)
+    val deep = png.clone(); deep(24) = 16             // 16-bit: out of lane
+    assert(Png.parse(deep).isEmpty)
+    val huge = png.clone()
+    java.nio.ByteBuffer.wrap(huge).putInt(16, 0x40000000)
+    assert(Png.parse(huge).isEmpty && Png.stats(huge).isEmpty)
+  }
+
   // ---- PCM transforms ----
 
   test("pcm resample: identity at source rate, exact decimation, corrupt-safe") {
