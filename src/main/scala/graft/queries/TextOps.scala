@@ -744,6 +744,32 @@ object TextOps {
        |  FROM documents)
        |WHERE rk <= 5""".stripMargin
 
+  /** Exactly-k uniform corpus sample via deterministic bottom-k: each doc
+    * gets a content-keyed priority (the portable hash over "doc_id#text" —
+    * unique per row, reproducible across engines/runs, no RNG state), and
+    * the k smallest priorities win. Bottom-k over a hash IS a uniform
+    * sample (every k-subset equally likely under the hash's uniformity),
+    * and it is the distributed form of reservoir sampling with none of the
+    * sequential-state problem: the plan is TakeOrderedAndProject — each
+    * task keeps a local k-heap, the driver merges P·k rows — so a 100 TB
+    * corpus is one narrow scan, zero shuffles, k·partitions driver bytes.
+    * (The per-stratum twin is [[sampleStratified]]'s WindowGroupLimit.) */
+  val sampleReservoir: Q = (s, dir) => {
+    val prio = pmod(
+      charFoldHash(concat(col("doc_id").cast("string"), lit("#"), col("text"))),
+      lit(1000000007L))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), prio.as("prio"))
+      .orderBy(col("prio"), col("doc_id"))
+      .limit(100)
+  }
+  val sampleReservoirSql = {
+    val h = charFoldHashSql("CAST(doc_id AS VARCHAR) || '#' || text")
+    s"""SELECT doc_id, lang, ($h % 1000000007 + 1000000007) % 1000000007 AS prio
+       |FROM documents
+       |ORDER BY prio, doc_id LIMIT 100""".stripMargin
+  }
+
   /** Gopher-style quality filter battery (Rae et al. 2021, §A1.1, public):
     * word-count bounds, mean-word-length band, alphabetic-word fraction,
     * stop-word hits — each emitted as a boolean plus the conjunctive keep
@@ -1787,6 +1813,7 @@ object TextOps {
     "text_repetition" -> (textRepetition, Some(textRepetitionSql)),
     "text_chunk" -> (textChunk, Some(textChunkSql)),
     "sample_stratified" -> (sampleStratified, Some(sampleStratifiedSql)),
+    "sample_reservoir" -> (sampleReservoir, Some(sampleReservoirSql)),
     "text_gopher" -> (textGopher, Some(textGopherSql)),
     "text_tfidf" -> (textTfidf, Some(textTfidfSql)),
     "sample_split" -> (sampleSplit, Some(sampleSplitSql)),

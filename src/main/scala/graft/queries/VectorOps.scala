@@ -1001,8 +1001,135 @@ object VectorOps {
        |SELECT doc_id, text_rank, vec_rank, CAST(rrf AS BIGINT) AS rrf
        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  // public: encoder-generated code constructs/reads these reflectively
+  final case class MmrCand(c_id: Long, rel: Double)
+  final case class MmrSim(a_id: Long, b_id: Long, sim: Double)
+  final case class MmrGroup(q_id: Long, cands: Seq[MmrCand], sims: Seq[MmrSim])
+  final case class MmrPick(q_id: Long, sel_rank: Int, c_id: Long, score: Double)
+
+  /** Diversity-aware reranking via maximal marginal relevance (MMR,
+    * Carbonell & Goldstein 1998): from each query's cosine top-10, greedily
+    * select 5, each step maximizing `0.7·rel − 0.3·maxSim(selected)` —
+    * the dedup-at-serving-time step that keeps a retrieval batch (or a
+    * curated training slice) from being k near-copies of the best hit.
+    * `maxSim` clamps at 0 (a negatively-similar doc is simply "fully
+    * diverse"); ties break by id, so selection is fully deterministic and
+    * the oracle replays the greedy loop exactly (5 unrolled argmax CTEs).
+    *
+    * All float arithmetic that DRIVES decisions (rel, pairwise sims) is
+    * computed by the same codegen'd dot expression the oracle's `list_sum`
+    * mirrors bit-for-bit; the greedy loop itself only compares and forms
+    * `0.7·x − 0.3·y`, identical IEEE ops on both engines.
+    *
+    * Scale shape: candidate generation is the ANN problem (swap in
+    * [[annIvfTopk]]/[[annLshTopk]] past brute scale); everything after is
+    * per-query bounded — k rows, k² sims, a k-item greedy loop — grouped on
+    * q_id, embarrassingly parallel across queries, no corpus-sized state. */
+  val rankMmr: Q = (s, dir) => {
+    import s.implicits._
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = emb.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("c_id"))
+    // Materialize the top-k ONCE (queries × 10 rows): rels and both sides
+    // of the pair join reuse it, so the corpus is scanned a single time —
+    // without this the lazy plan re-derives the scan+window three times.
+    val top = cand.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("rel", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("c_id"), col("rel"), col("cv"), col("cn"))
+      .localCheckpoint()
+    val pair = top.select(col("q_id"), col("c_id").as("a_id"), col("cv").as("av"), col("cn").as("an"))
+      .join(top.select(col("q_id"), col("c_id").as("b_id"), col("cv").as("bv"), col("cn").as("bn")),
+        Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
+    val grouped = top.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("c_id"), col("rel"))).as("cands"))
+      .join(pair.groupBy(col("q_id"))
+        .agg(collect_list(struct(col("a_id"), col("b_id"), col("sim"))).as("sims")),
+        Seq("q_id"))
+    grouped.as[MmrGroup].flatMap { g =>
+      val sim = g.sims.map(x => (x.a_id, x.b_id) -> x.sim).toMap
+      var chosen = List.empty[Long] // selection order is irrelevant to max
+      val out = Seq.newBuilder[MmrPick]
+      var step = 1
+      while (step <= 5 && chosen.size < g.cands.size) {
+        var bestId = -1L; var bestScore = 0.0; var first = true
+        g.cands.foreach { c =>
+          if (!chosen.contains(c.c_id)) {
+            var maxSim = 0.0
+            chosen.foreach { sid =>
+              val sv = sim((c.c_id, sid)); if (sv > maxSim) maxSim = sv
+            }
+            val score = 0.7 * c.rel - 0.3 * maxSim
+            if (first || score > bestScore ||
+                (score == bestScore && c.c_id < bestId)) {
+              bestId = c.c_id; bestScore = score; first = false
+            }
+          }
+        }
+        out += MmrPick(g.q_id, step, bestId, bestScore)
+        chosen ::= bestId
+        step += 1
+      }
+      out.result()
+    }.toDF()
+      .select(col("q_id"), col("sel_rank"), col("c_id"),
+        round(col("score"), 4).as("mmr_score"))
+  }
+  val rankMmrSql = {
+    def dotOver(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))"
+    // step k: argmax of 0.7·rel − 0.3·max(0, sim to each of s1..s_{k-1})
+    val steps = (2 to 5).map { k =>
+      val simJoins = (1 until k).map(j =>
+        s"JOIN s$j ON s$j.q_id = t.q_id " +
+          s"JOIN sim x$j ON x$j.q_id = t.q_id AND x$j.a_id = t.c_id AND x$j.b_id = s$j.c_id")
+        .mkString("\n    ")
+      val gr = "greatest(0.0, " + (1 until k).map(j => s"x$j.sim").mkString(", ") + ")"
+      val score = s"0.7 * t.rel - 0.3 * $gr"
+      s"""s$k AS (SELECT q_id, c_id, score FROM (
+         |  SELECT t.q_id, t.c_id, $score AS score,
+         |    row_number() OVER (PARTITION BY t.q_id ORDER BY $score DESC, t.c_id) AS rn
+         |  FROM top t
+         |    $simJoins) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(k =>
+      s"SELECT q_id, $k AS sel_rank, c_id, round(score, 4) AS mmr_score FROM s$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${dotOver("q.v", "c.v")} / (q.nrm * c.nrm) AS rel, c.v AS cv, c.nrm AS cn
+       |  FROM emb q JOIN emb c ON q.vec_id < 3 AND c.vec_id <> q.vec_id),
+       |top AS (SELECT q_id, c_id, rel, cv, cn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rk
+       |  FROM scored) WHERE rk <= 10),
+       |sim AS (
+       |  SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+       |    ${dotOver("a.cv", "b.cv")} / (a.cn * b.cn) AS sim
+       |  FROM top a JOIN top b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+       |s1 AS (SELECT q_id, c_id, 0.7 * rel AS score FROM (
+       |  SELECT q_id, c_id, rel,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn
+       |  FROM top) WHERE rn = 1),
+       |$steps
+       |$out""".stripMargin
+  }
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "rank_fusion" -> (rankFusion, Some(rankFusionSql)),
+    "rank_mmr" -> (rankMmr, Some(rankMmrSql)),
     "ann_recall_eval" -> (annRecallEval, Some(annRecallEvalSql)),
     "array_hof" -> (arrayHof, Some(arrayHofSql)),
     "kmeans_quantized" -> (kmeansQuantized, Some(kmeansQuantizedSql)),

@@ -88,7 +88,8 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_incremental" -> TextOps.dedupIncremental,
       "text_classify_linear" -> TextOps.textClassifyLinear,
       "mm_interleave" -> graft.queries.MultimodalOps.mmInterleave,
-      "dedup_minhash_cc" -> TextOps.dedupMinhashCc)
+      "dedup_minhash_cc" -> TextOps.dedupMinhashCc,
+      "sample_reservoir" -> TextOps.sampleReservoir)
     // recall eval emits its single all-zero row on an empty corpus
     val rr = TextOps.dedupRecallEval(spark, emptyDir).collect()
     assert(rr.length == 1 && (0 to 2).forall(i => rr.head.getLong(i) == 0))
@@ -138,6 +139,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(VectorOps.annIvfTopk(spark, emptyDir).count() == 0)
     assert(VectorOps.annRecallEval(spark, emptyDir).count() == 0)
     assert(VectorOps.rankFusion(spark, emptyDir).count() == 0)
+    assert(VectorOps.rankMmr(spark, emptyDir).count() == 0)
     assert(graft.operators.ConnectedComponents.run(
       spark.range(0).select(col("id")),
       spark.range(0).select(col("id").as("src"), col("id").as("dst"))).count() == 0)
