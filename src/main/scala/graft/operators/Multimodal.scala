@@ -109,6 +109,11 @@ object Multimodal {
         return (n, ck, gi.width, gi.height, byteRms, 0, 0.0)
       case None => ()
     }
+    graft.functions.Jpeg.parse(bytes) match {
+      case Some(ji) =>
+        return (n, ck, ji.width, ji.height, byteRms, 0, 0.0)
+      case None => ()
+    }
     (n, ck, w, h, byteRms, 0, 0.0)
   }
 

@@ -601,9 +601,45 @@ object MultimodalOps {
       |    / (w*h), 4) AS mean_gray
       |FROM d""".stripMargin
 
+  /** REAL baseline JPEG decode through the multimodal kernel — the third
+    * image family, with HUFFMAN entropy decoding ([[graft.functions.Jpeg]]:
+    * marker walk, standard Annex-K Huffman tables, 0xFF00 unstuffing, DC
+    * differential EXTEND, dequant, full 8×8 IDCT). Fixtures are
+    * block-constant greyscale with even levels and a flat quant table, so
+    * the lossy pipeline is bit-exact end to end and the oracle states the
+    * decoded mean in closed form over the block grid. */
+  val mmDecodeJpeg: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        (lit(1) + col("doc_id") % 4).cast("int").as("wb"),
+        (lit(1) + col("doc_id") % 3).cast("int").as("hb"),
+        (col("doc_id") % 40).as("seed"))
+    val jpg = docs.select(col("doc_id"), col("wb"), col("hb"),
+      graft.functions.Jpeg.synthSeededUdf(col("wb"), col("hb"), col("seed")).as("payload"))
+    Multimodal.decodeBinary(jpg, "payload")
+      .select(col("doc_id"), col("payload"), col("wb"), col("hb"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"))
+      .withColumn("st", graft.functions.Jpeg.statsUdf(col("payload")))
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("st.sum_r").cast("double") / (col("width") * col("height")), 4)
+          .as("mean_gray"))
+  }
+  val mmDecodeJpegSql =
+    """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS wb,
+      |                  CAST(1 + doc_id % 3 AS INT) AS hb,
+      |                  doc_id % 40 AS seed
+      |           FROM documents WHERE doc_id < 200)
+      |SELECT doc_id, 8 * wb AS width, 8 * hb AS height,
+      |  round(CAST(list_sum(list_transform(range(hb), by -> list_sum(
+      |    list_transform(range(wb), bx -> 2 * ((7*bx + 23*by + 13 + 5*seed) % 128)))))
+      |    AS DOUBLE) / (wb * hb), 4) AS mean_gray
+      |FROM d""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "mm_interleave" -> (mmInterleave, Some(mmInterleaveSql)),
     "mm_decode_png" -> (mmDecodePng, Some(mmDecodePngSql)),
+    "mm_decode_jpeg" -> (mmDecodeJpeg, Some(mmDecodeJpegSql)),
     "audio_fingerprint" -> (audioFingerprint, Some(audioFingerprintSql)),
     "dedup_image_phash" -> (dedupImagePhash, Some(dedupImagePhashSql)),
     "pipeline_audio_curate" -> (pipelineAudioCurate, Some(pipelineAudioCurateSql)),

@@ -274,6 +274,27 @@ class CoreSpec extends AnyFunSuite {
       graft.functions.Aiff.parse(bytes)
       graft.functions.Adts.parse(bytes)
       graft.functions.Ppm.parse(bytes)
+      graft.functions.Png.parse(bytes)
+      graft.functions.Png.stats(bytes)
+      graft.functions.Jpeg.parse(bytes)
+      graft.functions.Jpeg.stats(bytes)
+    }
+  }
+
+  test("entropy-coded parsers never throw on header-mutated OWN fixtures (property)") {
+    // same contract, but starting from a VALID png/jpeg and mutating any
+    // byte — exercises chunk-walk, zlib, and huffman desync paths rather
+    // than the early signature rejects random bytes hit
+    val basePng = graft.functions.Png.synthPng(6, 4, 3)
+    val baseJpeg = graft.functions.Jpeg.synthJpeg(3, 2, 3)
+    val gen = Gen.zip(Gen.oneOf(true, false), Gen.choose(0, 1000),
+      Gen.choose(Byte.MinValue, Byte.MaxValue))
+    forAll(gen, n = 400) { case (usePng, off, v) =>
+      val base = if (usePng) basePng else baseJpeg
+      val b = base.clone()
+      b(off % b.length) = v
+      if (usePng) { graft.functions.Png.parse(b); graft.functions.Png.stats(b) }
+      else { graft.functions.Jpeg.parse(b); graft.functions.Jpeg.stats(b) }
     }
   }
 }

@@ -79,6 +79,7 @@ class EmptyInputSpec extends SparkSpec {
       "mm_image_resize" -> graft.queries.MultimodalOps.mmImageResize,
       "mm_decode_ppm" -> graft.queries.MultimodalOps.mmDecodePpm,
       "mm_decode_png" -> graft.queries.MultimodalOps.mmDecodePng,
+      "mm_decode_jpeg" -> graft.queries.MultimodalOps.mmDecodeJpeg,
       "dedup_containment" -> TextOps.dedupContainment,
       "dedup_url" -> TextOps.dedupUrl,
       "dedup_clusters_keepbest" -> TextOps.dedupClustersKeepbest,

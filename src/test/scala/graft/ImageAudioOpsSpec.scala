@@ -179,6 +179,77 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(Png.parse(huge).isEmpty && Png.stats(huge).isEmpty)
   }
 
+  // ---- JPEG container (Huffman entropy decode + dequant + IDCT) ----
+
+  test("jpeg: synth battery decodes exactly through the full pipeline") {
+    import graft.functions.Jpeg
+    for (seed <- 0L to 5L; wb <- 1 to 4; hb <- 1 to 3) {
+      val b = Jpeg.synthJpeg(wb, hb, seed)
+      assert(Jpeg.parse(b).contains(Jpeg.JpegInfo(8 * wb, 8 * hb)))
+      val st = Jpeg.stats(b).getOrElse(fail(s"stats None at $wb,$hb,$seed"))
+      var exp = 0L
+      for (by <- 0 until hb; bx <- 0 until wb) exp += 64L * Jpeg.blockGray(bx, by, seed)
+      assert(st.sum_g == exp && st.sum_r == exp && st.sum_b == exp,
+        s"block-constant DCT round-trip broke at $wb,$hb,$seed")
+    }
+  }
+
+  test("jpeg: byte stuffing round-trips (engineered 0xFF scan byte)") {
+    import graft.functions.Jpeg
+    // DC walk −9,−9,−9,−9,−9,−19 then +127: 5·11 + 12 = 67 prefix bits
+    // ≡ 3 (mod 8), so the final block's 8-run of 1-bits (7 amplitude ones
+    // + EOB's leading 1) starts at bit 72 — byte-aligned → an 0xFF scan
+    // byte the writer must stuff and the reader must unstuff
+    val dcs = Seq(-9, -18, -27, -36, -45, -64, 63)
+    val grays = dcs.map(dc => (dc + 64) * 2)
+    val b = Jpeg.synthJpegBlocks(7, 1, (bx, _) => grays(bx))
+    val stuffed = (2 until b.length - 3).exists(i =>
+      (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0x00)
+    assert(stuffed, "engineered fixture failed to produce an 0xFF00 pair")
+    val st = Jpeg.stats(b).getOrElse(fail("stuffed fixture did not decode"))
+    assert(st.sum_g == grays.map(64L * _).sum, "unstuffed decode wrong")
+  }
+
+  test("jpeg: corrupt and out-of-lane payloads reject; cross-codec disjoint") {
+    import graft.functions.{Jpeg, Png, Ppm}
+    val good = Jpeg.synthJpeg(3, 2, 9)
+    assert(Jpeg.parse(null).isEmpty)
+    assert(Jpeg.parse(Array[Byte]()).isEmpty)
+    assert(Jpeg.parse(good.take(20)).isEmpty)               // truncated headers
+    assert(Jpeg.stats(good.take(good.length - 20)).isEmpty) // truncated scan
+    val prog = good.clone()
+    // SOF0 -> SOF2 (progressive): find the FFC0 marker and rewrite it
+    val sof = (2 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    assert(Jpeg.parse(prog).isEmpty)
+    val oddDims = good.clone()
+    oddDims(sof + 7) = 0; oddDims(sof + 8) = 12 // width 12: not a block multiple
+    assert(Jpeg.parse(oddDims).isEmpty)
+    // a marker surfacing mid-scan must reject, not crash: overwrite the
+    // first two entropy bytes with a premature EOI
+    val sos = (2 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val markerInScan = good.clone()
+    markerInScan(sos + 10) = 0xff.toByte // SOS header is 10 bytes incl. marker
+    markerInScan(sos + 11) = 0xd9.toByte
+    assert(Jpeg.stats(markerInScan).isEmpty)
+    // cross-codec: every other container rejects JPEG and vice versa
+    assert(Jpeg.parse(Bmp.synthBmp(8, 8)).isEmpty)
+    assert(Jpeg.parse(Png.synthPng(8, 8, 1)).isEmpty)
+    assert(Jpeg.parse(Ppm.synthPpm(8, 8)).isEmpty)
+    assert(Jpeg.parse(Wav.synthPcmWav(8000, 64)).isEmpty)
+    assert(Bmp.parse(good).isEmpty && Png.parse(good).isEmpty && Ppm.parse(good).isEmpty)
+    // crafted giant dims must be rejected before any allocation
+    val huge = good.clone()
+    huge(sof + 5) = 0x7f.toByte; huge(sof + 6) = 0xf8.toByte // height 32760
+    huge(sof + 7) = 0x7f.toByte; huge(sof + 8) = 0xf8.toByte // width 32760
+    assert(Jpeg.parse(huge).isEmpty && Jpeg.stats(huge).isEmpty)
+    // the shared kernel routes JPEG to real width/height
+    val dec = graft.operators.Multimodal.decodeKernel(Jpeg.synthJpeg(2, 3, 1))
+    assert(dec._3 == 16 && dec._4 == 24 && dec._6 == 0)
+  }
+
   // ---- PCM transforms ----
 
   test("pcm resample: identity at source rate, exact decimation, corrupt-safe") {
