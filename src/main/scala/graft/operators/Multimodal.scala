@@ -114,6 +114,11 @@ object Multimodal {
         return (n, ck, ji.width, ji.height, byteRms, 0, 0.0)
       case None => ()
     }
+    graft.functions.Gif.parse(bytes) match {
+      case Some(gf) =>
+        return (n, ck, gf.width, gf.height, byteRms, 0, 0.0)
+      case None => ()
+    }
     (n, ck, w, h, byteRms, 0, 0.0)
   }
 

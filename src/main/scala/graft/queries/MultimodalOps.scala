@@ -636,10 +636,46 @@ object MultimodalOps {
       |    AS DOUBLE) / (wb * hb), 4) AS mean_gray
       |FROM d""".stripMargin
 
+  /** REAL GIF decode through the multimodal kernel — the fourth image
+    * container and the third entropy coder ([[graft.functions.Gif]]: LZW
+    * with variable-width LSB-first codes, dictionary growth/CLEAR/KwKwK,
+    * sub-block reassembly, palette expansion). The fixture synthesizer is
+    * a real greedy LZW compressor over the PNG fixture's pixel formula, so
+    * the oracle's closed-form mean is shared with [[mmDecodePng]] while the
+    * kernel exercises a genuinely compressed stream. */
+  val mmDecodeGif: Q = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+        (lit(6) + col("doc_id") % 7).cast("int").as("h"),
+        (col("doc_id") % 40).as("seed"))
+    val gif = docs.select(col("doc_id"), col("seed"),
+      graft.functions.Gif.synthSeededUdf(col("w"), col("h"), col("seed")).as("payload"))
+    Multimodal.decodeBinary(gif, "payload")
+      .select(col("doc_id"), col("payload"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"))
+      .withColumn("st", graft.functions.Gif.statsUdf(col("payload")))
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("st.sum_r").cast("double") / (col("width") * col("height")), 4)
+          .as("mean_gray"))
+  }
+  val mmDecodeGifSql =
+    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(6 + doc_id % 7 AS INT) AS h,
+      |                  doc_id % 40 AS seed
+      |           FROM documents WHERE doc_id < 200)
+      |SELECT doc_id, w AS width, h AS height,
+      |  round(CAST(list_sum(list_transform(range(h), y -> list_sum(
+      |    list_transform(range(w), x -> (7*x + 23*y + 13 + 5*seed) % 256)))) AS DOUBLE)
+      |    / (w*h), 4) AS mean_gray
+      |FROM d""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "mm_interleave" -> (mmInterleave, Some(mmInterleaveSql)),
     "mm_decode_png" -> (mmDecodePng, Some(mmDecodePngSql)),
     "mm_decode_jpeg" -> (mmDecodeJpeg, Some(mmDecodeJpegSql)),
+    "mm_decode_gif" -> (mmDecodeGif, Some(mmDecodeGifSql)),
     "audio_fingerprint" -> (audioFingerprint, Some(audioFingerprintSql)),
     "dedup_image_phash" -> (dedupImagePhash, Some(dedupImagePhashSql)),
     "pipeline_audio_curate" -> (pipelineAudioCurate, Some(pipelineAudioCurateSql)),

@@ -278,6 +278,8 @@ class CoreSpec extends AnyFunSuite {
       graft.functions.Png.stats(bytes)
       graft.functions.Jpeg.parse(bytes)
       graft.functions.Jpeg.stats(bytes)
+      graft.functions.Gif.parse(bytes)
+      graft.functions.Gif.stats(bytes)
     }
   }
 
@@ -285,16 +287,20 @@ class CoreSpec extends AnyFunSuite {
     // same contract, but starting from a VALID png/jpeg and mutating any
     // byte — exercises chunk-walk, zlib, and huffman desync paths rather
     // than the early signature rejects random bytes hit
-    val basePng = graft.functions.Png.synthPng(6, 4, 3)
-    val baseJpeg = graft.functions.Jpeg.synthJpeg(3, 2, 3)
-    val gen = Gen.zip(Gen.oneOf(true, false), Gen.choose(0, 1000),
+    val bases = Seq(
+      graft.functions.Png.synthPng(6, 4, 3),
+      graft.functions.Jpeg.synthJpeg(3, 2, 3),
+      graft.functions.Gif.synthGif(6, 4, 3))
+    val gen = Gen.zip(Gen.choose(0, 2), Gen.choose(0, 1000),
       Gen.choose(Byte.MinValue, Byte.MaxValue))
-    forAll(gen, n = 400) { case (usePng, off, v) =>
-      val base = if (usePng) basePng else baseJpeg
-      val b = base.clone()
+    forAll(gen, n = 600) { case (which, off, v) =>
+      val b = bases(which).clone()
       b(off % b.length) = v
-      if (usePng) { graft.functions.Png.parse(b); graft.functions.Png.stats(b) }
-      else { graft.functions.Jpeg.parse(b); graft.functions.Jpeg.stats(b) }
+      which match {
+        case 0 => graft.functions.Png.parse(b); graft.functions.Png.stats(b)
+        case 1 => graft.functions.Jpeg.parse(b); graft.functions.Jpeg.stats(b)
+        case _ => graft.functions.Gif.parse(b); graft.functions.Gif.stats(b)
+      }
     }
   }
 }

@@ -80,6 +80,7 @@ class EmptyInputSpec extends SparkSpec {
       "mm_decode_ppm" -> graft.queries.MultimodalOps.mmDecodePpm,
       "mm_decode_png" -> graft.queries.MultimodalOps.mmDecodePng,
       "mm_decode_jpeg" -> graft.queries.MultimodalOps.mmDecodeJpeg,
+      "mm_decode_gif" -> graft.queries.MultimodalOps.mmDecodeGif,
       "dedup_containment" -> TextOps.dedupContainment,
       "dedup_url" -> TextOps.dedupUrl,
       "dedup_clusters_keepbest" -> TextOps.dedupClustersKeepbest,

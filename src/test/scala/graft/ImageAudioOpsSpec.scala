@@ -250,6 +250,64 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(dec._3 == 16 && dec._4 == 24 && dec._6 == 0)
   }
 
+  // ---- GIF container (LZW entropy decode) ----
+
+  test("gif: synth battery decodes exactly, across LZW width boundaries") {
+    import graft.functions.Gif
+    def expected(w: Int, h: Int, seed: Long): Long = {
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w) s += (7 * x + 23 * y + 13 + 5 * seed) % 256
+      s
+    }
+    // small battery + sizes that force 9→10→11-bit codes and (at 18k px of
+    // high-entropy pixels) a full-dictionary CLEAR reset mid-stream
+    val cases = Seq((5, 3, 2L), (9, 4, 0L), (17, 11, 7L), (64, 64, 3L), (300, 60, 1L))
+    cases.foreach { case (w, h, seed) =>
+      val b = Gif.synthGif(w, h, seed)
+      assert(Gif.parse(b).contains(Gif.GifInfo(w, h)), s"parse $w x $h")
+      val st = Gif.stats(b).getOrElse(fail(s"stats None at $w x $h seed=$seed"))
+      val e = expected(w, h, seed)
+      assert((st.sum_r, st.sum_g, st.sum_b) == ((e, e, e)),
+        s"LZW round-trip broke at $w x $h seed=$seed")
+    }
+    // the compressor must emit real dictionary codes, not literals: the
+    // stream for a 64x64 image must be well under 9/8 byte-per-pixel
+    val b = Gif.synthGif(64, 64, 3)
+    assert(b.length - (13 + 768 + 10 + 1) < 64 * 64 * 9 / 8,
+      "LZW stream is literal-sized — compressor not compressing")
+    // same image as PNG: both containers must report identical sums
+    assert(Gif.stats(Gif.synthGif(5, 3, 2)).get.sum_g ==
+      graft.functions.Png.stats(graft.functions.Png.synthPng(5, 3, 2)).get.sum_g)
+  }
+
+  test("gif: corrupt and cross-codec payloads reject; kernel routes dims") {
+    import graft.functions.{Gif, Jpeg, Png, Ppm}
+    val good = Gif.synthGif(9, 4, 1)
+    assert(Gif.parse(null).isEmpty)
+    assert(Gif.parse("GIF89a but not really a gif".getBytes).isEmpty) // no GCT flag
+    assert(Gif.parse(good.take(12)).isEmpty)
+    assert(Gif.stats(good.take(good.length / 2)).isEmpty) // truncated sub-blocks
+    // decode completes at the END code, so a missing trailer is tolerated
+    assert(Gif.stats(good.take(good.length - 1)).isDefined)
+    val badMin = good.clone()
+    badMin(13 + 768 + 10) = 1 // LZW min code size below the legal floor
+    assert(Gif.stats(badMin).isEmpty)
+    val huge = good.clone()
+    huge(6) = 0xff.toByte; huge(7) = 0x7f.toByte
+    huge(8) = 0xff.toByte; huge(9) = 0x7f.toByte // 32767 x 32767 > MaxPixels
+    assert(Gif.parse(huge).isEmpty && Gif.stats(huge).isEmpty)
+    // cross-codec disjointness, both directions
+    assert(Gif.parse(Bmp.synthBmp(5, 3)).isEmpty)
+    assert(Gif.parse(Png.synthPng(5, 3, 0)).isEmpty)
+    assert(Gif.parse(Jpeg.synthJpeg(2, 2, 0)).isEmpty)
+    assert(Gif.parse(Wav.synthPcmWav(8000, 64)).isEmpty)
+    assert(Bmp.parse(good).isEmpty && Png.parse(good).isEmpty &&
+      Ppm.parse(good).isEmpty && Jpeg.parse(good).isEmpty)
+    // the shared kernel routes GIF to real width/height
+    val dec = graft.operators.Multimodal.decodeKernel(Gif.synthGif(9, 4, 0))
+    assert(dec._3 == 9 && dec._4 == 4 && dec._6 == 0)
+  }
+
   // ---- PCM transforms ----
 
   test("pcm resample: identity at source rate, exact decimation, corrupt-safe") {
