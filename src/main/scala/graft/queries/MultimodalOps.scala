@@ -671,8 +671,47 @@ object MultimodalOps {
       |    / (w*h), 4) AS mean_gray
       |FROM d""".stripMargin
 
+  /** REAL G.711 companded-audio decode ([[graft.functions.G711]]): µ-law
+    * and A-law WAVs (format tags 7/6) expanded to linear PCM through the
+    * true ITU segment/mantissa formulas — the seventh audio family and the
+    * first companded one. Codes-first fixtures keep synthesis trivial while
+    * the decode side runs the full expansion; everything is integer, so
+    * the oracle recomputes the exact decoded sums (the SQL twins of the
+    * expanders live NEXT TO the Scala ones in G711.scala). One narrow
+    * kernel pass per row, no exchange until the bounded output. */
+  val audioG711Decode: Q = (s, dir) => {
+    import graft.functions.G711
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        (lit(50) + col("doc_id") % 100).cast("int").as("n"),
+        (col("doc_id") % 40).as("seed"))
+    docs
+      .withColumn("mu", G711.decodeUdf(
+        G711.synthUdf(lit(G711.MuLaw), lit(8000), col("n"), col("seed"))))
+      .withColumn("al", G711.decodeUdf(
+        G711.synthUdf(lit(G711.ALaw), lit(8000), col("n"), col("seed"))))
+      .select(col("doc_id"), col("mu._3").as("n_samples"),
+        col("mu._4").as("ulaw_sum_abs"), col("mu._5").as("ulaw_sum"),
+        col("al._4").as("alaw_sum_abs"), col("al._5").as("alaw_sum"))
+  }
+  val audioG711DecodeSql = {
+    import graft.functions.G711
+    val code = "(37 * i + 11 + 5 * seed) % 256"
+    val u = G711.ulawSql(code); val a = G711.alawSql(code)
+    s"""WITH d AS (SELECT doc_id, CAST(50 + doc_id % 100 AS INT) AS n,
+       |                  doc_id % 40 AS seed
+       |           FROM documents WHERE doc_id < 150)
+       |SELECT doc_id, CAST(n AS INT) AS n_samples,
+       |  CAST(list_sum(list_transform(range(n), i -> abs($u))) AS BIGINT) AS ulaw_sum_abs,
+       |  CAST(list_sum(list_transform(range(n), i -> $u)) AS BIGINT) AS ulaw_sum,
+       |  CAST(list_sum(list_transform(range(n), i -> abs($a))) AS BIGINT) AS alaw_sum_abs,
+       |  CAST(list_sum(list_transform(range(n), i -> $a)) AS BIGINT) AS alaw_sum
+       |FROM d""".stripMargin
+  }
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "mm_interleave" -> (mmInterleave, Some(mmInterleaveSql)),
+    "audio_g711_decode" -> (audioG711Decode, Some(audioG711DecodeSql)),
     "mm_decode_png" -> (mmDecodePng, Some(mmDecodePngSql)),
     "mm_decode_jpeg" -> (mmDecodeJpeg, Some(mmDecodeJpegSql)),
     "mm_decode_gif" -> (mmDecodeGif, Some(mmDecodeGifSql)),

@@ -81,6 +81,7 @@ class EmptyInputSpec extends SparkSpec {
       "mm_decode_png" -> graft.queries.MultimodalOps.mmDecodePng,
       "mm_decode_jpeg" -> graft.queries.MultimodalOps.mmDecodeJpeg,
       "mm_decode_gif" -> graft.queries.MultimodalOps.mmDecodeGif,
+      "audio_g711_decode" -> graft.queries.MultimodalOps.audioG711Decode,
       "dedup_containment" -> TextOps.dedupContainment,
       "dedup_url" -> TextOps.dedupUrl,
       "dedup_clusters_keepbest" -> TextOps.dedupClustersKeepbest,

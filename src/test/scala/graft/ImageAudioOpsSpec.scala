@@ -308,6 +308,35 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(dec._3 == 9 && dec._4 == 4 && dec._6 == 0)
   }
 
+  // ---- G.711 companded audio ----
+
+  test("g711: expanders hit the published extremes; container round-trips") {
+    import graft.functions.G711
+    // published anchor values of the ITU tables (Sun formulation):
+    assert(G711.ulawToLinear(0xff) == 0)      // positive silence
+    assert(G711.ulawToLinear(0x7f) == 0)      // negative silence
+    assert(G711.ulawToLinear(0x80) == 32124)  // µ-law max magnitude
+    assert(G711.ulawToLinear(0x00) == -32124)
+    assert(G711.alawToLinear(0xd5) == 8)      // A-law smallest positive
+    assert(G711.alawToLinear(0x55) == -8)
+    assert(G711.alawToLinear(0xaa) == 32256)  // A-law max magnitude
+    assert(G711.alawToLinear(0x2a) == -32256)
+    // µ-law is symmetric through code complement-of-sign-bit
+    for (c <- 0 to 127) assert(G711.ulawToLinear(c) == -G711.ulawToLinear(c | 0x80))
+    // container: parse + decode agree with a direct reimplementation
+    val b = G711.synthG711(G711.MuLaw, 8000, 100, 3)
+    assert(G711.parse(b).contains(G711.G711Info(G711.MuLaw, 8000, 100)))
+    val Some((f, sr, n, sumAbs, sum)) = G711.decode(b)
+    assert(f == G711.MuLaw && sr == 8000 && n == 100)
+    val vals = (0 until 100).map(i => G711.ulawToLinear(((37 * i + 11 + 15) % 256).toInt))
+    assert(sumAbs == vals.map(v => math.abs(v).toLong).sum && sum == vals.map(_.toLong).sum)
+    // cross-codec: PCM16 WAVs are NOT G.711, and G.711 WAVs are not PCM16
+    assert(G711.parse(Wav.synthPcmWav(8000, 50)).isEmpty)
+    assert(Wav.pcm16Rms(b).isEmpty)
+    assert(G711.parse(b.take(40)).isEmpty)
+    assert(G711.parse(graft.functions.Gif.synthGif(5, 3, 0)).isEmpty)
+  }
+
   // ---- PCM transforms ----
 
   test("pcm resample: identity at source rate, exact decimation, corrupt-safe") {
