@@ -709,9 +709,37 @@ object MultimodalOps {
        |FROM d""".stripMargin
   }
 
+  /** REAL IMA ADPCM decode ([[graft.functions.Adpcm]]): the PREDICTIVE
+    * codec discipline — 4-bit adaptive-delta codes folded through the
+    * standard 89-entry step table, block headers re-seeding the state.
+    * The oracle replays the sequential fold exactly as a DuckDB
+    * `list_reduce` over struct state generated from the same tables
+    * (Adpcm.blockFoldSql, adjacent to the Scala step). Blocks are the
+    * parallel unit at scale; the kernel runs one narrow pass. */
+  val audioAdpcmDecode: Q = (s, dir) => {
+    import graft.functions.Adpcm
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id"), (lit(1) + col("doc_id") % 3).cast("int").as("nb"))
+    docs
+      .withColumn("d", Adpcm.decodeUdf(
+        Adpcm.synthUdf(lit(8000), col("nb"), col("doc_id"))))
+      .select(col("doc_id"), col("d._2").as("n_samples"),
+        col("d._3").as("sum_abs"), col("d._4").as("sum_linear"))
+  }
+  val audioAdpcmDecodeSql = {
+    val fold = graft.functions.Adpcm.blockFoldSql("doc_id", "b")
+    s"""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS nb
+       |           FROM documents WHERE doc_id < 150)
+       |SELECT doc_id, CAST(nb * 17 AS INT) AS n_samples,
+       |  CAST(list_sum(list_transform(range(nb), b -> ($fold).ta)) AS BIGINT) AS sum_abs,
+       |  CAST(list_sum(list_transform(range(nb), b -> ($fold).t)) AS BIGINT) AS sum_linear
+       |FROM d""".stripMargin
+  }
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "mm_interleave" -> (mmInterleave, Some(mmInterleaveSql)),
     "audio_g711_decode" -> (audioG711Decode, Some(audioG711DecodeSql)),
+    "audio_adpcm_decode" -> (audioAdpcmDecode, Some(audioAdpcmDecodeSql)),
     "mm_decode_png" -> (mmDecodePng, Some(mmDecodePngSql)),
     "mm_decode_jpeg" -> (mmDecodeJpeg, Some(mmDecodeJpegSql)),
     "mm_decode_gif" -> (mmDecodeGif, Some(mmDecodeGifSql)),

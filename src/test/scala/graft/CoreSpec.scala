@@ -280,6 +280,10 @@ class CoreSpec extends AnyFunSuite {
       graft.functions.Jpeg.stats(bytes)
       graft.functions.Gif.parse(bytes)
       graft.functions.Gif.stats(bytes)
+      graft.functions.G711.parse(bytes)
+      graft.functions.G711.decode(bytes)
+      graft.functions.Adpcm.parse(bytes)
+      graft.functions.Adpcm.decode(bytes)
     }
   }
 

@@ -337,6 +337,45 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(G711.parse(graft.functions.Gif.synthGif(5, 3, 0)).isEmpty)
   }
 
+  // ---- IMA ADPCM (predictive) ----
+
+  test("adpcm: battery round-trips against a direct reimplementation") {
+    import graft.functions.Adpcm
+    // step table authenticity: 89 entries, 16 → 32767, monotone, ~1.1×
+    assert(Adpcm.StepTable.length == 89)
+    assert(Adpcm.StepTable.head == 7 && Adpcm.StepTable.last == 32767)
+    Adpcm.StepTable.sliding(2).foreach { case Array(a, b) =>
+      assert(b > a && b <= a * 1.15 + 1 && b >= a * 1.05 - 1, s"$a -> $b")
+    }
+    for (doc <- 0L until 150L) {
+      val nb = 1 + (doc % 3).toInt
+      val bytes = Adpcm.synthAdpcm(8000, nb, doc)
+      assert(Adpcm.parse(bytes).contains(Adpcm.AdpcmInfo(8000, nb, 17)), s"parse doc=$doc")
+      val got = Adpcm.decode(bytes)
+      assert(got.isDefined, s"decode None at doc=$doc")
+      // independent fold straight from the formulas
+      var sum = 0L; var sumAbs = 0L; var n = 0
+      for (b <- 0 until nb) {
+        var p = (((31 * doc + 17 * b) % 4096) - 2048).toInt
+        var s = ((doc + 3 * b) % 89).toInt
+        sum += p; sumAbs += math.abs(p); n += 1
+        for (j <- 0 until 16) {
+          val code = ((7 * j + 5 * b + doc) % 16).toInt
+          val (p2, s2) = Adpcm.step(p, s, code)
+          p = p2; s = s2
+          sum += p; sumAbs += math.abs(p); n += 1
+        }
+      }
+      assert(got.contains((8000, n, sumAbs, sum)), s"doc=$doc got=$got want=($n,$sumAbs,$sum)")
+    }
+    // cross-codec: PCM16 / G.711 WAVs are not ADPCM and vice versa
+    val b = Adpcm.synthAdpcm(8000, 2, 1)
+    assert(Adpcm.parse(Wav.synthPcmWav(8000, 50)).isEmpty)
+    assert(Adpcm.parse(graft.functions.G711.synthG711(7, 8000, 50, 1)).isEmpty)
+    assert(Wav.pcm16Rms(b).isEmpty && graft.functions.G711.parse(b).isEmpty)
+    assert(Adpcm.parse(b.take(40)).isEmpty)
+  }
+
   // ---- PCM transforms ----
 
   test("pcm resample: identity at source rate, exact decimation, corrupt-safe") {
