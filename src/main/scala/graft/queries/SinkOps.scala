@@ -745,8 +745,48 @@ object SinkOps {
       |WHERE l_orderkey < 1000
       |GROUP BY fmt""".stripMargin
 
+  /** Streaming twin of `pipeline_audio_curate`: the multimodal curation
+    * kernel (decode → VAD trim → resample → RMS, one fused scalar UDF)
+    * applied to a STREAM of audio rows — the continuous-ingest shape where
+    * curation runs at arrival time instead of as a nightly batch. The
+    * transform is stateless (no watermark, no state store, no flush
+    * batch), so rows emit within their data micro-batch and the entry
+    * shares the batch query's oracle verbatim — the equivalence claim IS
+    * the gate. At scale the stream partitions by arrival file; the kernel
+    * cost is per-row and embarrassingly parallel. */
+  val pipelineCurateStream: Q = (s, dir) => withStreamParallelism(s, needsWatermarkFlush = false) {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-curate")
+    cleanupAtExit(tmp)
+    val src = new java.io.File(tmp.toFile, "src").getAbsolutePath
+    table(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("sr"),
+        (lit(64) + (col("doc_id") * 5) % 320).cast("int").as("len"))
+      .coalesce(4).write.mode("overwrite").parquet(src)
+    val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
+    val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
+    val q = s.readStream.schema("doc_id LONG, sr INT, len INT").parquet(src)
+      .select(col("doc_id"),
+        graft.functions.Wav.curateUdf(
+          graft.functions.Wav.synthPcmUdf(col("sr"), col("len")), lit(4000)).as("cu"))
+      .select(col("doc_id"),
+        col("cu._1").as("n_frames"), col("cu._2").as("n_voiced"),
+        col("cu._3").as("kept_samples"), col("cu._4").as("n_out"),
+        round(col("cu._5"), 4).as("rms"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    drain(q)
+    s.read.schema(
+      "doc_id LONG, n_frames INT, n_voiced INT, kept_samples INT, n_out INT, rms DOUBLE")
+      .parquet(outDir)
+  }
+  val pipelineCurateStreamSql: String = MultimodalOps.pipelineAudioCurateSql
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "k1_sink_roundtrip" -> (k1SinkRoundtrip, Some(k1SinkRoundtripSql)),
+    "pipeline_curate_stream" -> (pipelineCurateStream, Some(pipelineCurateStreamSql)),
     "k2_duckdb_roundtrip" -> (duckdbRoundtrip, Some(duckdbRoundtripSql)),
     "events_tumbling_stream" -> (eventsTumblingStream, Some(eventsTumblingStreamSql)),
     "events_hopping_stream" -> (eventsHoppingStream, Some(eventsHoppingStreamSql)),

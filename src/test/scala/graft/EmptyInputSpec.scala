@@ -83,6 +83,7 @@ class EmptyInputSpec extends SparkSpec {
       "mm_decode_gif" -> graft.queries.MultimodalOps.mmDecodeGif,
       "audio_g711_decode" -> graft.queries.MultimodalOps.audioG711Decode,
       "audio_adpcm_decode" -> graft.queries.MultimodalOps.audioAdpcmDecode,
+      "pipeline_curate_stream" -> graft.queries.SinkOps.pipelineCurateStream,
       "dedup_containment" -> TextOps.dedupContainment,
       "dedup_url" -> TextOps.dedupUrl,
       "dedup_clusters_keepbest" -> TextOps.dedupClustersKeepbest,
