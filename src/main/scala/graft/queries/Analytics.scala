@@ -1065,6 +1065,40 @@ object Analytics {
       |  CAST(trail_hours AS BIGINT) AS trail_hours
       |FROM tr WHERE trail_hours >= 12 AND n * trail_hours * 2 > trail_sum * 3""".stripMargin
 
+  /** Watermark/out-of-orderness audit — the measurement every streaming
+    * deployment needs BEFORE choosing a watermark delay: per event, its
+    * lateness against the running event-time high-water mark of its own
+    * user's stream (event_id = arrival order, the ingest sequence), then
+    * per type: how many events a 5-minute / 1-hour / 6-hour watermark
+    * would have dropped, and the worst observed lateness. One user-keyed
+    * running-max window + one agg — the window partitions by user, so the
+    * scan distributes; no global ordering anywhere. */
+  val eventsWatermarkAudit: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsWithTs(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("late_us", max(col("ts_us")).over(w) - col("ts_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 300L * 1000000, 1L).otherwise(0L)).as("late_5m"),
+        sum(when(col("late_us") > 3600L * 1000000, 1L).otherwise(0L)).as("late_1h"),
+        sum(when(col("late_us") > 6L * 3600 * 1000000, 1L).otherwise(0L)).as("late_6h"),
+        max(col("late_us")).as("max_late_us"))
+  }
+  val eventsWatermarkAuditSql =
+    """WITH l AS (
+      |  SELECT event_type,
+      |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - epoch_us(ts) AS late_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_5m,
+      |  CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_1h,
+      |  CAST(sum(CASE WHEN late_us > 21600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late_6h,
+      |  CAST(max(late_us) AS BIGINT) AS max_late_us
+      |FROM l GROUP BY event_type""".stripMargin
+
   /** First-order behavioral transition matrix: consecutive event-type pairs
     * per user (ordered by timestamp, event_id tie-break) with integer
     * transition probabilities (count·1e6 div from-total). One user-keyed
@@ -1487,6 +1521,7 @@ object Analytics {
     "agg_grouping_sets" -> (aggGroupingSets, Some(aggGroupingSetsSql)),
     "events_markov" -> (eventsMarkov, Some(eventsMarkovSql)),
     "events_rate_anomaly" -> (eventsRateAnomaly, Some(eventsRateAnomalySql)),
+    "events_watermark_audit" -> (eventsWatermarkAudit, Some(eventsWatermarkAuditSql)),
     "events_funnel" -> (eventsFunnel, Some(eventsFunnelSql)),
     "events_retention" -> (eventsRetention, Some(eventsRetentionSql)),
     "window_distribution" -> (windowDistribution, Some(windowDistributionSql)),

@@ -294,6 +294,59 @@ object TextOps {
        |WHERE len(list_filter(list_zip(a.sigv, b.sigv), p -> p[1] = p[2])) >= 6""".stripMargin
   }
 
+  /** Incremental FUZZY dedup — the daily-ingest twin of
+    * [[dedupMinhashLsh]] and the fuzzy twin of `dedup_incremental`: a new
+    * batch (doc_id ≥ 400) is screened against the accumulated STORE
+    * (doc_id < 400) by joining their LSH band buckets; a batch doc whose
+    * signature agrees with a store doc on ≥ 6/8 minhashes is a near-dup
+    * of the store and reports its earliest store match. Production shape:
+    * the store's banded signatures are a persisted index that only ever
+    * APPENDS (yesterday's corpus is never re-shingled), the batch side is
+    * small, and the join is bucket-local — per-day cost is O(batch), not
+    * O(corpus). */
+  val dedupMinhashIncremental: Q = (s, dir) => {
+    val sig = dedupMinhash(s, dir)
+      .select(col("doc_id"), array((0 until MinhashK).map(j => col(s"sig$j")): _*).as("sigv"))
+    val bands = sig.select(col("doc_id"), col("sigv"),
+        explode(transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("band"),
+            concat_ws("_", element_at(col("sigv"), b * 2 + 1), element_at(col("sigv"), b * 2 + 2))
+              .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("sigv"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist()
+    val store = bands.filter(col("doc_id") < 400)
+      .select(col("band"), col("bucket"), col("doc_id").as("store_id"), col("sigv").as("s_sig"))
+    val batch = bands.filter(col("doc_id") >= 400)
+      .select(col("band"), col("bucket"), col("doc_id").as("batch_id"), col("sigv").as("b_sig"))
+    batch.join(store, Seq("band", "bucket"))
+      .select(col("batch_id"), col("store_id"),
+        size(filter(zip_with(col("b_sig"), col("s_sig"), (x, y) => x === y), b => b))
+          .as("sig_agree"))
+      .distinct()
+      .filter(col("sig_agree") >= 6)
+      .groupBy(col("batch_id"))
+      .agg(min(col("store_id")).as("dup_of"),
+        max(col("sig_agree")).as("best_agree"),
+        countDistinct(col("store_id")).as("n_matches"))
+  }
+  val dedupMinhashIncrementalSql = {
+    s"""WITH sig AS ($dedupMinhashSql),
+       |bands AS (
+       |  SELECT doc_id, b.band, CASE b.band
+       |      WHEN 0 THEN sig0 || '_' || sig1 WHEN 1 THEN sig2 || '_' || sig3
+       |      WHEN 2 THEN sig4 || '_' || sig5 ELSE sig6 || '_' || sig7 END AS bucket,
+       |    [sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7] AS sigv
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b),
+       |pairs AS (
+       |  SELECT DISTINCT n.doc_id AS batch_id, o.doc_id AS store_id,
+       |    len(list_filter(list_zip(n.sigv, o.sigv), p -> p[1] = p[2])) AS sig_agree
+       |  FROM bands n JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+       |    AND n.doc_id >= 400 AND o.doc_id < 400)
+       |SELECT batch_id, min(store_id) AS dup_of, CAST(max(sig_agree) AS INT) AS best_agree,
+       |  count(DISTINCT store_id) AS n_matches
+       |FROM pairs WHERE sig_agree >= 6 GROUP BY batch_id""".stripMargin
+  }
+
   /** SimHash (16-bit) over token multiset: per-bit weighted vote of token
     * hashes, assembled into an integer fingerprint. Near-dups share most bits;
     * banding on the byte halves gives the LSH variant.
@@ -1814,6 +1867,7 @@ object TextOps {
     "text_chunk" -> (textChunk, Some(textChunkSql)),
     "sample_stratified" -> (sampleStratified, Some(sampleStratifiedSql)),
     "sample_reservoir" -> (sampleReservoir, Some(sampleReservoirSql)),
+    "dedup_minhash_incremental" -> (dedupMinhashIncremental, Some(dedupMinhashIncrementalSql)),
     "text_gopher" -> (textGopher, Some(textGopherSql)),
     "text_tfidf" -> (textTfidf, Some(textTfidfSql)),
     "sample_split" -> (sampleSplit, Some(sampleSplitSql)),

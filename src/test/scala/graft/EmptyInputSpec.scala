@@ -84,6 +84,7 @@ class EmptyInputSpec extends SparkSpec {
       "audio_g711_decode" -> graft.queries.MultimodalOps.audioG711Decode,
       "audio_adpcm_decode" -> graft.queries.MultimodalOps.audioAdpcmDecode,
       "pipeline_curate_stream" -> graft.queries.SinkOps.pipelineCurateStream,
+      "dedup_minhash_incremental" -> TextOps.dedupMinhashIncremental,
       "dedup_containment" -> TextOps.dedupContainment,
       "dedup_url" -> TextOps.dedupUrl,
       "dedup_clusters_keepbest" -> TextOps.dedupClustersKeepbest,
@@ -107,6 +108,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Analytics.eventsRetention(spark, emptyDir).count() == 0)
     assert(Analytics.eventsMarkov(spark, emptyDir).count() == 0)
     assert(Analytics.eventsRateAnomaly(spark, emptyDir).count() == 0)
+    assert(Analytics.eventsWatermarkAudit(spark, emptyDir).count() == 0)
     // the funnel emits its single stage-count row with all-zero stages
     val f = Analytics.eventsFunnel(spark, emptyDir).collect()
     assert(f.length == 1 && (0 to 2).forall(i => f.head.getLong(i) == 0))

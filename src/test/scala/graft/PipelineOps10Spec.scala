@@ -67,6 +67,41 @@ class PipelineOps10Spec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_incremental: batch screens against the store only") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = TextOps.dedupMinhashIncremental(spark, dir).collect()
+    assert(rows.nonEmpty, "sf0.01 fixture should surface at least one near-dup")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 400, "left side must be a batch doc")
+      assert(r.getLong(1) < 400, "dup_of must come from the store")
+      assert(r.getInt(2) >= 6 && r.getInt(2) <= 8)
+      assert(r.getLong(3) >= 1)
+    }
+    // consistency with the full-corpus LSH: each reported (dup_of, batch)
+    // is a pair the full query also finds (it reports a_id < b_id, and
+    // dup_of < 400 <= batch_id)
+    val full = graft.queries.TextOps.dedupMinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(full.contains((r.getLong(1), r.getLong(0))),
+        s"incremental pair (${r.getLong(1)}, ${r.getLong(0)}) unknown to the full LSH")
+    }
+  }
+
+  test("events_watermark_audit: lateness buckets are nested and bounded") {
+    val rows = graft.queries.Analytics.eventsWatermarkAudit(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, l5, l1, l6, mx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(l5 >= l1 && l1 >= l6, "a longer watermark can only drop fewer")
+      assert(l5 <= n && l6 >= 0)
+      assert(mx >= 0)
+      if (l5 > 0) assert(mx > 300L * 1000000, "max lateness must witness the bucket")
+    }
+  }
+
   test("sample_reservoir: exactly the k smallest priorities, deterministic") {
     val dir = "/root/testdata/sf0.01" // 500 docs > k=100
     val got = TextOps.sampleReservoir(spark, dir).collect()
