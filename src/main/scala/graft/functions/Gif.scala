@@ -193,8 +193,7 @@ object Gif {
     * formula, so both containers carry the same image and the oracle SQL
     * is shared. The encoder is a real greedy longest-match LZW. */
   def synthGif(width: Int, height: Int, seed: Long): Array[Byte] = {
-    val n = width * height
-    val px = new Array[Byte](n)
+    val px = new Array[Byte](width * height)
     var y = 0
     while (y < height) {
       var x = 0
@@ -204,6 +203,14 @@ object Gif {
       }
       y += 1
     }
+    synthGifRaster(width, height, px)
+  }
+
+  /** Same container over a caller-provided index raster — lets property
+    * tests drive the LZW encoder/decoder with arbitrary content (random
+    * pixels, long runs, all-equal planes) rather than one formula. */
+  def synthGifRaster(width: Int, height: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == width * height)
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF87a".getBytes("US-ASCII"))
     out.write(width & 0xff); out.write(width >> 8)

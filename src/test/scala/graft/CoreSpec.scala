@@ -307,4 +307,49 @@ class CoreSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("gif LZW round-trips ARBITRARY rasters exactly (property)") {
+    // the width-growth schedule and KwKwK handling must hold for any
+    // content, not just the fixture formula: random pixels (worst-case
+    // dictionary churn), long runs (KwKwK chains), and constant planes
+    val gen = Gen.zip(Gen.choose(1, 40), Gen.choose(1, 30), Gen.choose(0, 2),
+      Gen.choose(0L, Long.MaxValue - 1))
+    forAll(gen, n = 120) { case (w, h, kind, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val px = kind match {
+        case 0 => Array.fill(w * h)(rnd.nextInt(256).toByte)      // churn
+        case 1 => // run-heavy: few values, long stretches
+          val out = new Array[Byte](w * h)
+          var i = 0
+          while (i < out.length) {
+            val v = rnd.nextInt(4).toByte
+            val run = 1 + rnd.nextInt(20)
+            var j = 0
+            while (j < run && i < out.length) { out(i) = v; i += 1; j += 1 }
+          }
+          out
+        case _ => Array.fill(w * h)(7.toByte)                     // constant
+      }
+      val b = graft.functions.Gif.synthGifRaster(w, h, px)
+      val st = graft.functions.Gif.stats(b)
+        .getOrElse(fail(s"decode failed: $w x $h kind=$kind seed=$seed"))
+      val expect = px.map(p => (p & 0xff).toLong).sum
+      assert(st.sum_r == expect && st.sum_g == expect && st.sum_b == expect,
+        s"LZW round-trip mismatch: $w x $h kind=$kind seed=$seed")
+    }
+  }
+
+  test("jpeg DC pipeline round-trips ARBITRARY even block levels (property)") {
+    val gen = Gen.zip(Gen.choose(1, 8), Gen.choose(1, 6),
+      Gen.choose(0L, Long.MaxValue - 1))
+    forAll(gen, n = 120) { case (wb, hb, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val grays = Array.fill(hb, wb)(rnd.nextInt(128) * 2) // any even level
+      val b = graft.functions.Jpeg.synthJpegBlocks(wb, hb, (bx, by) => grays(by)(bx))
+      val st = graft.functions.Jpeg.stats(b)
+        .getOrElse(fail(s"decode failed: $wb x $hb seed=$seed"))
+      val expect = grays.map(_.map(64L * _).sum).sum
+      assert(st.sum_g == expect, s"huffman/IDCT round-trip mismatch: $wb x $hb seed=$seed")
+    }
+  }
 }
