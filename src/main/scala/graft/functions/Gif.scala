@@ -93,6 +93,107 @@ object Gif {
       None
     } catch { case _: Throwable => None }
 
+  /** All frames of an animated GIF: walk every image descriptor (skipping
+    * 89a extensions) and decode each frame's full-geometry raster —
+    * the VIDEO-modality shape (a GIF animation is the simplest real
+    * multi-frame container). Frames must cover the logical screen at
+    * (0,0) — the fixture contract; framed sub-rectangles are out of lane.
+    * None on any corrupt frame (a video pipeline drops the whole asset,
+    * not half an animation). */
+  def frames(bytes: Array[Byte]): Option[Seq[GifStats]] =
+    try {
+      val info = parse(bytes).getOrElse(return None)
+      val gctEntries = 2 << (bytes(10) & 0x07)
+      val palOff = 13
+      if (palOff + 3 * gctEntries > bytes.length) return None
+      var off = palOff + 3 * gctEntries
+      val out = Seq.newBuilder[GifStats]
+      var done = false
+      while (!done) {
+        if (off >= bytes.length) return None
+        (bytes(off) & 0xff) match {
+          case 0x21 =>
+            off += 2
+            while (off < bytes.length && (bytes(off) & 0xff) != 0)
+              off += 1 + (bytes(off) & 0xff)
+            if (off >= bytes.length) return None
+            off += 1
+          case 0x2c =>
+            if (off + 10 > bytes.length) return None
+            val iw = u16le(bytes, off + 5); val ih = u16le(bytes, off + 7)
+            val iflags = bytes(off + 9) & 0xff
+            if (iw != info.width || ih != info.height) return None
+            if ((iflags & 0x80) != 0 || (iflags & 0x40) != 0) return None
+            val idx = lzwDecode(bytes, off + 10, iw.toLong * ih).getOrElse(return None)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < idx.length) {
+              val p = idx(i) & 0xff
+              if (p >= gctEntries) return None
+              sr += bytes(palOff + 3 * p) & 0xff
+              sg += bytes(palOff + 3 * p + 1) & 0xff
+              sb += bytes(palOff + 3 * p + 2) & 0xff
+              i += 1
+            }
+            out += GifStats(iw, ih, sr, sg, sb)
+            // skip past this frame's data: min-code byte + sub-blocks
+            off += 10 + 1
+            while (off < bytes.length && (bytes(off) & 0xff) != 0)
+              off += 1 + (bytes(off) & 0xff)
+            if (off >= bytes.length) return None
+            off += 1
+          case 0x3b => done = true
+          case _ => return None
+        }
+      }
+      val fr = out.result()
+      if (fr.isEmpty) None else Some(fr)
+    } catch { case _: Throwable => None }
+
+  /** Animated fixture: GIF89a, `nFrames` full-screen frames, each behind a
+    * graphic-control extension (realistic 89a animation layout); frame f
+    * pixel (x, y) = (7x + 23y + 11f + 5·seed) mod 256. */
+  def synthGifAnim(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xff); out.write(width >> 8)
+    out.write(height & 0xff); out.write(height >> 8)
+    out.write(0x80 | 0x07); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    var f = 0
+    while (f < nFrames) {
+      out.write(0x21); out.write(0xf9) // graphic control extension
+      out.write(4); out.write(0); out.write(10); out.write(0); out.write(0)
+      out.write(0) // terminator
+      out.write(0x2c)
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(width & 0xff); out.write(width >> 8)
+      out.write(height & 0xff); out.write(height >> 8)
+      out.write(0)
+      val px = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          px(y * width + x) = ((7 * x + 23 * y + 11 * f + 5 * seed) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out.write(8)
+      out.write(lzwEncodeSubBlocks(px))
+      out.write(0)
+      f += 1
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  val synthAnimUdf = udf((w: Int, h: Int, nf: Int, seed: Long) => synthGifAnim(w, h, nf, seed))
+  val framesUdf = udf((b: Array[Byte]) =>
+    frames(b).map(_.map(s => (s.width, s.height, s.sum_r))))
+
   /** LZW decode starting at the min-code-size byte; returns exactly
     * `nPixels` root indices or None. LSB-first bit order per the spec. */
   private def lzwDecode(b: Array[Byte], start: Int, nPixels: Long): Option[Array[Byte]] = {

@@ -736,10 +736,48 @@ object MultimodalOps {
        |FROM d""".stripMargin
   }
 
+  /** VIDEO-modality frame sampling on a REAL multi-frame container:
+    * animated GIF (89a graphic-control layout), every frame decoded
+    * through the full LZW pipeline, then every 2nd frame sampled — the
+    * frame-extraction shape of video curation (decode → sample → score),
+    * with the generic [[mmFrameSample]]'s stub decode replaced by an
+    * honest one. Per-asset work is bounded by frames × pixels; the plan
+    * is one narrow kernel pass. */
+  val mmFrameSampleGif: Q = (s, dir) => {
+    import graft.functions.Gif
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        (lit(6) + col("doc_id") % 5).cast("int").as("w"),
+        (lit(4) + col("doc_id") % 4).cast("int").as("h"),
+        (lit(2) + col("doc_id") % 5).cast("int").as("nf"),
+        (col("doc_id") % 40).as("seed"))
+    docs
+      .withColumn("fr", Gif.framesUdf(
+        Gif.synthAnimUdf(col("w"), col("h"), col("nf"), col("seed"))))
+      .withColumn("sampled", expr("filter(fr, (x, i) -> i % 2 = 0)"))
+      .select(col("doc_id"), size(col("fr")).as("n_frames"),
+        size(col("sampled")).as("n_sampled"),
+        round(expr("aggregate(sampled, 0L, (a, x) -> a + x._3)").cast("double")
+          / (size(col("sampled")) * col("w") * col("h")), 4).as("mean_sampled"))
+  }
+  val mmFrameSampleGifSql =
+    """WITH d AS (SELECT doc_id, CAST(6 + doc_id % 5 AS INT) AS w,
+      |                  CAST(4 + doc_id % 4 AS INT) AS h,
+      |                  CAST(2 + doc_id % 5 AS INT) AS nf,
+      |                  doc_id % 40 AS seed
+      |           FROM documents WHERE doc_id < 150)
+      |SELECT doc_id, nf AS n_frames, CAST((nf + 1) // 2 AS INT) AS n_sampled,
+      |  round(CAST(list_sum(list_transform(list_filter(range(nf), f -> f % 2 = 0),
+      |      f -> list_sum(list_transform(range(h), y -> list_sum(
+      |        list_transform(range(w), x -> (7*x + 23*y + 11*f + 5*seed) % 256))))))
+      |    AS DOUBLE) / (((nf + 1) // 2) * w * h), 4) AS mean_sampled
+      |FROM d""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "mm_interleave" -> (mmInterleave, Some(mmInterleaveSql)),
     "audio_g711_decode" -> (audioG711Decode, Some(audioG711DecodeSql)),
     "audio_adpcm_decode" -> (audioAdpcmDecode, Some(audioAdpcmDecodeSql)),
+    "mm_frame_sample_gif" -> (mmFrameSampleGif, Some(mmFrameSampleGifSql)),
     "mm_decode_png" -> (mmDecodePng, Some(mmDecodePngSql)),
     "mm_decode_jpeg" -> (mmDecodeJpeg, Some(mmDecodeJpegSql)),
     "mm_decode_gif" -> (mmDecodeGif, Some(mmDecodeGifSql)),

@@ -85,6 +85,7 @@ class EmptyInputSpec extends SparkSpec {
       "audio_adpcm_decode" -> graft.queries.MultimodalOps.audioAdpcmDecode,
       "pipeline_curate_stream" -> graft.queries.SinkOps.pipelineCurateStream,
       "dedup_minhash_incremental" -> TextOps.dedupMinhashIncremental,
+      "mm_frame_sample_gif" -> graft.queries.MultimodalOps.mmFrameSampleGif,
       "dedup_containment" -> TextOps.dedupContainment,
       "dedup_url" -> TextOps.dedupUrl,
       "dedup_clusters_keepbest" -> TextOps.dedupClustersKeepbest,

@@ -308,6 +308,27 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(dec._3 == 9 && dec._4 == 4 && dec._6 == 0)
   }
 
+  // ---- animated GIF (multi-frame / video shape) ----
+
+  test("gif frames: every frame decodes to its formula; corrupt anim rejects") {
+    import graft.functions.Gif
+    val (w, h, nf, seed) = (7, 5, 4, 3L)
+    val b = Gif.synthGifAnim(w, h, nf, seed)
+    val fr = Gif.frames(b).getOrElse(fail("frames None on a valid animation"))
+    assert(fr.length == nf)
+    for (f <- 0 until nf) {
+      var e = 0L
+      for (y <- 0 until h; x <- 0 until w) e += (7 * x + 23 * y + 11 * f + 5 * seed) % 256
+      assert(fr(f) == Gif.GifStats(w, h, e, e, e), s"frame $f mismatch")
+    }
+    // a single-image GIF yields exactly its stats() as the one frame
+    val single = Gif.synthGif(5, 3, 2)
+    assert(Gif.frames(single).contains(Seq(Gif.stats(single).get)))
+    // truncation inside the SECOND frame kills the whole asset
+    assert(Gif.frames(b.take(b.length - w * h / 2)).isEmpty)
+    assert(Gif.frames("not a gif at all, truly not".getBytes).isEmpty)
+  }
+
   // ---- G.711 companded audio ----
 
   test("g711: expanders hit the published extremes; container round-trips") {
