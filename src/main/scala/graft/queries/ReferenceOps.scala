@@ -258,7 +258,65 @@ object ReferenceOps {
       |  lang AS transcription
       |FROM documents""".stripMargin
 
+  private val zipSynthUdf = udf((doc: Long) => {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    val m = 2 + (doc % 3).toInt
+    var k = 0
+    while (k < m) {
+      z.putNextEntry(new java.util.zip.ZipEntry(s"a$k.wav"))
+      val sr = 8000 + 4000 * ((doc + k) % 3).toInt
+      val len = 32 + ((doc * 7 + k * 13) % 64).toInt
+      z.write(Wav.synthPcmWav(sr, len))
+      z.closeEntry()
+      k += 1
+    }
+    z.close()
+    bos.toByteArray
+  })
+  private val zipEntriesUdf = udf((b: Array[Byte]) => {
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(b))
+    val out = Seq.newBuilder[(String, Int, Int, Int)]
+    var e = zin.getNextEntry
+    while (e != null) {
+      val bytes = zin.readAllBytes()
+      val info = Wav.parse(bytes)
+      // n_samples integer (duration·sr, exact) — a raw duration double
+      // lands on 4-decimal knife edges (e.g. 86/8000 = .01075) where
+      // Spark's HALF_UP and DuckDB's binary-double round() disagree
+      out += ((e.getName, bytes.length, info.sampling_rate,
+        math.round(info.duration * info.sampling_rate).toInt))
+      e = zin.getNextEntry
+    }
+    zin.close()
+    out.result()
+  })
+
+  /** S-family extension: ARCHIVE ingestion — audio corpora routinely
+    * arrive as zip/tar bundles, and extracting on the driver (or a
+    * pre-pass) is the anti-pattern. Each archive is one row; entries
+    * explode DISTRIBUTEDLY inside the executor (JDK zip — archives are
+    * transport, not a codec to re-implement; the honest parse is the
+    * per-entry WAV header read that follows). At scale the archive table
+    * is a binaryFile scan and per-asset work is bounded by entry bytes. */
+  val s5ZipScan: Q = (s, dir) => {
+    table(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"))
+      .withColumn("e", explode(zipEntriesUdf(zipSynthUdf(col("doc_id")))))
+      .select(col("doc_id"), col("e._1").as("entry"), col("e._2").as("n_bytes"),
+        col("e._3").as("sample_rate"), col("e._4").as("n_samples"))
+  }
+  val s5ZipScanSql =
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS m
+      |           FROM documents WHERE doc_id < 100)
+      |SELECT doc_id, 'a' || k || '.wav' AS entry,
+      |  CAST(44 + 2 * (32 + (doc_id*7 + k*13) % 64) AS INT) AS n_bytes,
+      |  CAST(8000 + 4000 * ((doc_id + k) % 3) AS INT) AS sample_rate,
+      |  CAST(32 + (doc_id*7 + k*13) % 64 AS INT) AS n_samples
+      |FROM d, UNNEST(range(m)) AS t(k)""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
+    "s5_zip_scan" -> (s5ZipScan, Some(s5ZipScanSql)),
     "path_rewriter" -> (pathRewriter, Some(pathRewriterSql)),
     "s1_scan_project" -> (s1ScanProject, Some(s1ScanProjectSql)),
     "p1_path_normalize" -> (p1PathNormalize, Some(p1PathNormalizeSql)),

@@ -86,6 +86,7 @@ class EmptyInputSpec extends SparkSpec {
       "pipeline_curate_stream" -> graft.queries.SinkOps.pipelineCurateStream,
       "dedup_minhash_incremental" -> TextOps.dedupMinhashIncremental,
       "mm_frame_sample_gif" -> graft.queries.MultimodalOps.mmFrameSampleGif,
+      "s5_zip_scan" -> graft.queries.ReferenceOps.s5ZipScan,
       "dedup_containment" -> TextOps.dedupContainment,
       "dedup_url" -> TextOps.dedupUrl,
       "dedup_clusters_keepbest" -> TextOps.dedupClustersKeepbest,
