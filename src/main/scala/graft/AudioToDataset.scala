@@ -36,7 +36,9 @@ object AudioToDataset {
       // pruning is available on ANY scheme via --path-glob (binaryFile's
       // listing-time pathGlobFilter).
       excludeSymlinks: Boolean = true,              // --follow-symlinks clears
-      pathGlobFilter: Option[String] = None)        // --path-glob
+      pathGlobFilter: Option[String] = None,        // --path-glob
+      // zip bundles explode into entries in-executor (bang-notation paths)
+      expandArchives: Boolean = false)              // --expand-archives
 
   /** The logical plan up to (but excluding) the sink: returns the dataframe
     * with columns `audio, duration, <metadata keys sorted>, shard_id` and the
@@ -51,7 +53,7 @@ object AudioToDataset {
           scala.collection.immutable.TreeMap("transcription" -> (MString: MetadataType))))
     }
     val files = AudioScan.scan(spark, cfg.input, cfg.maxDepth, cfg.metadataFile,
-      cfg.checkMimeType, cfg.excludeSymlinks, cfg.pathGlobFilter)
+      cfg.checkMimeType, cfg.excludeSymlinks, cfg.pathGlobFilter, cfg.expandArchives)
       .withColumn("wav", Wav.parseCol(col("content"))) // P5
 
     val joined = metaDf match {
@@ -83,7 +85,7 @@ object AudioToDataset {
     // for plans that project `content`) — avoids a wide pass in the sink
     val nFiles = AudioScan.scan(spark, cfg.input, cfg.maxDepth, cfg.metadataFile,
       checkMimeType = false, excludeSymlinks = cfg.excludeSymlinks,
-      pathGlobFilter = cfg.pathGlobFilter)
+      pathGlobFilter = cfg.pathGlobFilter, expandArchives = cfg.expandArchives)
       .select("path").count()
     val nShards = Some(math.max(1, math.ceil(nFiles.toDouble / cfg.filesPerShard).toInt))
     cfg.format match {
@@ -112,7 +114,8 @@ object AudioToDataset {
       checkMimeType = args.contains("--check-mime-type"),
       parquetCompression = arg("parquet-compression").getOrElse("snappy"),
       excludeSymlinks = !args.contains("--follow-symlinks"),
-      pathGlobFilter = arg("path-glob"))
+      pathGlobFilter = arg("path-glob"),
+      expandArchives = args.contains("--expand-archives"))
     // --num-threads mirrors the reference's rayon pool size (src/main.rs:79-81);
     // in Spark terms it sizes local parallelism + shuffle partitions.
     val numThreads = arg("num-threads").map(_.toInt)

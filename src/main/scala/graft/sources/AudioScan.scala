@@ -58,7 +58,8 @@ object AudioScan {
       metadataFile: Option[String] = None,
       checkMimeType: Boolean = false,
       excludeSymlinks: Boolean = true,
-      pathGlobFilter: Option[String] = None): DataFrame = {
+      pathGlobFilter: Option[String] = None,
+      expandArchives: Boolean = false): DataFrame = {
     // Hadoop Path form (unencoded) — File.toURI percent-encodes spaces and
     // would never match binaryFile's raw `path` column
     val inputHPath = new org.apache.hadoop.fs.Path(new java.io.File(input).toURI)
@@ -120,6 +121,40 @@ object AudioScan {
       }
       df = df.filter(col("path") =!= lit(abs))
       relToInput.foreach(rp => df = df.filter(col("relative_path") =!= lit(rp)))
+    }
+    // Engine extension (--expand-archives): zip bundles explode into their
+    // entries IN THE EXECUTOR — archives are transport, so the expansion
+    // happens before the MIME gate and the per-entry rows flow through the
+    // same parse/join/shard pipeline as plain files. Entry paths use jar-URL
+    // bang notation `bundle.zip!inner/name.wav`; a corrupt archive yields
+    // zero rows (fail-closed, like the symlink gate). Local decompression
+    // of one archive is the bounded unit of work — the 100 TB shape is many
+    // archives, not one giant one.
+    if (expandArchives) {
+      val entriesUdf = udf { (bytes: Array[Byte]) =>
+        try {
+          val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+          val out = Seq.newBuilder[(String, Array[Byte])]
+          var e = zin.getNextEntry
+          while (e != null) {
+            if (!e.isDirectory) out += ((e.getName, zin.readAllBytes()))
+            e = zin.getNextEntry
+          }
+          zin.close()
+          out.result()
+        } catch { case _: Exception => Seq.empty[(String, Array[Byte])] }
+      }
+      val isZip = lower(col("file_name")).endsWith(".zip")
+      val plain = df.filter(!isZip)
+      val fromZip = df.filter(isZip)
+        .withColumn("_e", explode(entriesUdf(col("content"))))
+        .withColumn("relative_path",
+          concat(col("relative_path"), lit("!"), PathNorm.normalizeCol(col("_e._1"))))
+        .withColumn("file_name", PathNorm.fileNameCol(col("relative_path")))
+        .withColumn("content", col("_e._2"))
+        .withColumn("length", length(col("content")).cast("long"))
+        .drop("_e")
+      df = plain.unionByName(fromZip.select(plain.columns.map(col).toSeq: _*))
     }
     if (checkMimeType) df = df.filter(Magic.isAudioCol(col("content"))) // F5
     df

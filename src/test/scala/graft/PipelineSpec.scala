@@ -38,6 +38,39 @@ class PipelineSpec extends SparkSpec {
     assert(audio.getAs[Array[Byte]]("bytes").sameElements(wav))
   }
 
+  test("e2e: --expand-archives explodes zip entries through the full pipeline") {
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    val wavA = Wav.synthPcmWav(16000, 1600)
+    val wavB = Wav.synthPcmWav(8000, 800)
+    val plain = Wav.synthPcmWav(22050, 441)
+    // bundle.zip: two wavs (one nested) + a non-audio member
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    for ((name, bytes) <- Seq("a.wav" -> wavA, "inner/b.wav" -> wavB,
+        "notes.txt" -> "not audio".getBytes("UTF-8"))) {
+      z.putNextEntry(new java.util.zip.ZipEntry(name)); z.write(bytes); z.closeEntry()
+    }
+    z.close()
+    writeFile(in, "sub/bundle.zip", bos.toByteArray)
+    writeFile(in, "plain.wav", plain)
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      input = in.getAbsolutePath, output = out.getAbsolutePath,
+      expandArchives = true, checkMimeType = true))
+    val df = spark.read.parquet(new java.io.File(out, "0.parquet").getAbsolutePath)
+    val byPath = df.collect().map(r => r.getAs[Row]("audio"))
+      .map(a => a.getAs[String]("path") -> a).toMap
+    // bang-notation entry paths; the non-audio member was MIME-dropped
+    assert(byPath.keySet == Set("plain.wav", "sub/bundle.zip!a.wav", "sub/bundle.zip!inner/b.wav"))
+    assert(byPath("sub/bundle.zip!a.wav").getAs[Array[Byte]]("bytes").sameElements(wavA))
+    assert(byPath("sub/bundle.zip!inner/b.wav").getAs[Int]("sampling_rate") == 8000)
+    // without the flag, the zip is one (non-audio) blob and mime drops it
+    val out2 = tmpDir("graft-out2")
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      input = in.getAbsolutePath, output = out2.getAbsolutePath, checkMimeType = true))
+    val df2 = spark.read.parquet(new java.io.File(out2, "0.parquet").getAbsolutePath)
+    assert(df2.collect().map(_.getAs[Row]("audio").getAs[String]("path")).toSeq == Seq("plain.wav"))
+  }
+
   // reference: tests/end_to_end.rs:88-131
   test("e2e: CSV metadata falls back to file_name when no relative_path") {
     val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
