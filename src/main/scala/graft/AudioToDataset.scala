@@ -96,6 +96,10 @@ object AudioToDataset {
           orderCols = Seq("audio.path"), numShards = nShards)
       case "duckdb" =>
         DuckDbShardSink.writeShards(sharded, cfg.output, metaTypes, numShards = nShards)
+      case "webdataset" => // engine extension: tar shards for training loaders
+        graft.sinks.TarShardSink.writeShards(
+          sharded, cfg.output, metaSchema.keys.toSeq,
+          orderCols = Seq("audio.path"), numShards = nShards)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
   }

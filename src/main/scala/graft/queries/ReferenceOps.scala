@@ -315,8 +315,65 @@ object ReferenceOps {
       |  CAST(32 + (doc_id*7 + k*13) % 64 AS INT) AS n_samples
       |FROM d, UNNEST(range(m)) AS t(k)""".stripMargin
 
+  private val tarSynthUdf = udf((doc: Long) => {
+    val nSamples = 2 + (doc % 2).toInt
+    val entries = (0 until nSamples).flatMap { j =>
+      val key = s"${doc}_$j"
+      val sr = 8000 + 4000 * ((doc + j) % 2).toInt
+      val len = 40 + ((doc * 3 + j * 11) % 50).toInt
+      val label = ((doc + j) % 5).toInt
+      Seq(
+        graft.functions.Tar.Entry(s"$key.wav", Wav.synthPcmWav(sr, len)),
+        graft.functions.Tar.Entry(s"$key.json",
+          s"""{"label": $label}""".getBytes("UTF-8")))
+    }
+    graft.functions.Tar.archive(entries)
+  })
+  private val tarSamplesUdf = udf((b: Array[Byte]) => {
+    graft.functions.Tar.entries(b).map { es =>
+      es.groupBy(e => e.name.lastIndexOf('.') match {
+          case -1 => e.name
+          case i => e.name.substring(0, i)
+        })
+        .toSeq.map { case (key, comps) =>
+          val sr = comps.find(_.name.endsWith(".wav"))
+            .map(e => Wav.parse(e.bytes).sampling_rate).getOrElse(0)
+          val label = comps.find(_.name.endsWith(".json"))
+            .map(e => new String(e.bytes, "UTF-8"))
+            .flatMap(s => "-?\\d+".r.findFirstIn(s)).map(_.toInt).getOrElse(-1)
+          (key, comps.length, sr, label)
+        }
+    }.getOrElse(Seq.empty)
+  })
+
+  /** WebDataset-style ingestion (S-family extension): training corpora
+    * ship as TAR SHARDS whose co-sampled files share a basename stem
+    * (`00042.wav` + `00042.json` = one sample). Each shard is one row;
+    * entries parse via the from-spec ustar reader
+    * ([[graft.functions.Tar]]), regroup into samples IN THE EXECUTOR, and
+    * each sample's components decode with their own codecs (WAV header,
+    * JSON field). At scale the shard table is a binaryFile scan and
+    * per-shard work is bounded by shard bytes — the WebDataset contract. */
+  val s6TarWebdataset: Q = (s, dir) => {
+    table(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"))
+      .withColumn("smp", explode(tarSamplesUdf(tarSynthUdf(col("doc_id")))))
+      .select(col("doc_id"), col("smp._1").as("sample_key"),
+        col("smp._2").as("n_components"), col("smp._3").as("sample_rate"),
+        col("smp._4").as("label"))
+  }
+  val s6TarWebdatasetSql =
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 2 AS INT) AS ns
+      |           FROM documents WHERE doc_id < 100)
+      |SELECT doc_id, doc_id || '_' || j AS sample_key,
+      |  CAST(2 AS INT) AS n_components,
+      |  CAST(8000 + 4000 * ((doc_id + j) % 2) AS INT) AS sample_rate,
+      |  CAST((doc_id + j) % 5 AS INT) AS label
+      |FROM d, UNNEST(range(ns)) AS t(j)""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "s5_zip_scan" -> (s5ZipScan, Some(s5ZipScanSql)),
+    "s6_tar_webdataset" -> (s6TarWebdataset, Some(s6TarWebdatasetSql)),
     "path_rewriter" -> (pathRewriter, Some(pathRewriterSql)),
     "s1_scan_project" -> (s1ScanProject, Some(s1ScanProjectSql)),
     "p1_path_normalize" -> (p1PathNormalize, Some(p1PathNormalizeSql)),

@@ -329,6 +329,38 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(Gif.frames("not a gif at all, truly not".getBytes).isEmpty)
   }
 
+  // ---- ustar / WebDataset transport ----
+
+  test("tar: round-trips; stock tar reads our archives; corrupt rejects") {
+    import graft.functions.Tar
+    val es = Seq(
+      Tar.Entry("0001.wav", Wav.synthPcmWav(8000, 100)),
+      Tar.Entry("0001.json", """{"label": 3}""".getBytes("UTF-8")),
+      Tar.Entry("dir/0002.wav", Array.tabulate(700)(_.toByte))) // >1 block
+    val b = Tar.archive(es)
+    assert(b.length % 512 == 0)
+    val back = Tar.entries(b).getOrElse(fail("own archive did not parse"))
+    assert(back.map(_.name) == es.map(_.name))
+    back.zip(es).foreach { case (g, w) => assert(g.bytes.sameElements(w.bytes)) }
+    // STOCK tar must list and extract identical content (spec conformance)
+    val d = tmpDir("graft-tar")
+    val f = writeFile(d, "t.tar", b)
+    import scala.sys.process._
+    val listed = Seq("tar", "-tf", f.getAbsolutePath).!!.trim.split("\n").toSeq
+    assert(listed == es.map(_.name), s"stock tar saw: $listed")
+    assert(Seq("tar", "-xf", f.getAbsolutePath, "-C", d.getAbsolutePath).! == 0)
+    val extracted = java.nio.file.Files.readAllBytes(
+      new java.io.File(d, "0001.wav").toPath)
+    assert(extracted.sameElements(es.head.bytes))
+    // corrupt: bad checksum, truncated data, non-octal size
+    val badCk = b.clone(); badCk(148) = '9'
+    assert(Tar.entries(badCk).isEmpty)
+    assert(Tar.entries(b.take(b.length - 1200)).isEmpty)
+    val badSize = b.clone(); badSize(124) = 'x'
+    assert(Tar.entries(badSize).isEmpty)
+    assert(Tar.entries("definitely not a tar".getBytes).isEmpty)
+  }
+
   // ---- G.711 companded audio ----
 
   test("g711: expanders hit the published extremes; container round-trips") {

@@ -71,6 +71,32 @@ class PipelineSpec extends SparkSpec {
     assert(df2.collect().map(_.getAs[Row]("audio").getAs[String]("path")).toSeq == Seq("plain.wav"))
   }
 
+  test("e2e: --format webdataset writes tar shards training loaders can read") {
+    import graft.functions.Tar
+    val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
+    val wavs = (0 until 3).map(i => s"f$i.wav" -> Wav.synthPcmWav(8000 + 4000 * i, 400 + 100 * i))
+    wavs.foreach { case (n, b) => writeFile(in, n, b) }
+    val meta = writeText(in, "metadata.jsonl",
+      wavs.map { case (n, _) => s"""{"file_name":"$n","transcription":"t $n"}""" }.mkString("\n"))
+    AudioToDataset.run(spark, AudioToDataset.Config(
+      input = in.getAbsolutePath, output = out.getAbsolutePath,
+      metadataFile = Some(meta.getAbsolutePath), format = "webdataset",
+      filesPerShard = 2))
+    assert(outputFiles(out) == Seq("0.tar", "1.tar"))
+    val es0 = Tar.entries(java.nio.file.Files.readAllBytes(
+      new java.io.File(out, "0.tar").toPath)).get
+    assert(es0.map(_.name) == Seq("000000.wav", "000000.json", "000001.wav", "000001.json"))
+    // wav bytes round-trip; the json carries path/sr/duration/metadata
+    assert(es0(0).bytes.sameElements(wavs(0)._2))
+    val j = new String(es0(1).bytes, "UTF-8")
+    assert(j.contains(""""path":"f0.wav"""") && j.contains(""""sampling_rate":8000"""))
+    assert(j.contains(""""transcription":"t f0.wav""""))
+    // stock tar agrees on the member list (conformance beyond our parser)
+    import scala.sys.process._
+    val listed = Seq("tar", "-tf", new java.io.File(out, "1.tar").getAbsolutePath).!!
+    assert(listed.trim.split("\n").toSeq == Seq("000000.wav", "000000.json"))
+  }
+
   // reference: tests/end_to_end.rs:88-131
   test("e2e: CSV metadata falls back to file_name when no relative_path") {
     val in = tmpDir("graft-in"); val out = tmpDir("graft-out")
