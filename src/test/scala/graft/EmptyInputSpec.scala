@@ -87,6 +87,7 @@ class EmptyInputSpec extends SparkSpec {
       "dedup_minhash_incremental" -> TextOps.dedupMinhashIncremental,
       "mm_frame_sample_gif" -> graft.queries.MultimodalOps.mmFrameSampleGif,
       "s5_zip_scan" -> graft.queries.ReferenceOps.s5ZipScan,
+      "s6_tar_webdataset" -> graft.queries.ReferenceOps.s6TarWebdataset,
       "dedup_containment" -> TextOps.dedupContainment,
       "dedup_url" -> TextOps.dedupUrl,
       "dedup_clusters_keepbest" -> TextOps.dedupClustersKeepbest,
