@@ -63,6 +63,60 @@ object SinkOps {
        |  CAST(floor((row_number() OVER (ORDER BY 'docs/doc' || doc_id || '.wav') - 1) / $FilesPerShard) AS INT) AS shard_id
        |FROM (SELECT doc_id FROM documents WHERE doc_id < $NDocs)""".stripMargin
 
+  /** K3 (WebDataset sink) inside the oracle gate: run the REAL pipeline
+    * with `--format webdataset` on the K1 corpus, read every tar shard
+    * back through the from-spec ustar parser — one task per shard, the
+    * exact read a training loader performs — and emit the layout facts
+    * (shard/ordinal assignment in lexicographic path order, per-sample
+    * wav byte counts, the sampling rate carried in the json member). The
+    * oracle reconstructs everything from the documents table, giving the
+    * export format the same hash-gate evidence as K1/K2. */
+  val k3WebdatasetRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val (in, _) = fixture(s, dir)
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft-wds-" + dir.replaceAll("[^a-zA-Z0-9.]", "_")).getAbsolutePath
+    Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".tar")).foreach(_.delete())
+    AudioToDataset.run(s, AudioToDataset.Config(
+      input = in, output = out, format = "webdataset", filesPerShard = FilesPerShard))
+    val shardFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.getAbsolutePath).toSeq.sorted
+    s.createDataset(shardFiles)
+      .repartition(math.max(1, shardFiles.size)) // one reader task per shard
+      .flatMap { p =>
+        val shardId = new java.io.File(p).getName.stripSuffix(".tar").toInt
+        val es = graft.functions.Tar.entries(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+          .getOrElse(sys.error(s"unreadable tar shard: $p")) // fail loud
+        es.grouped(2).map { pair =>
+          val (wav, js) = (pair(0), pair(1))
+          if (!wav.name.endsWith(".wav") || !js.name.endsWith(".json") ||
+              wav.name.stripSuffix(".wav") != js.name.stripSuffix(".json"))
+            sys.error(s"sample layout broken in $p: ${wav.name}/${js.name}")
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(js.bytes)
+          (shardId, wav.name.stripSuffix(".wav").toInt,
+            node.get("path").asText(), node.get("sampling_rate").asInt(),
+            wav.bytes.length)
+        }
+      }
+      .toDF("shard_id", "ordinal", "path", "sampling_rate", "n_bytes")
+      .select(col("shard_id"), col("ordinal"),
+        regexp_extract(col("path"), "doc(\\d+)\\.wav", 1).cast("long").as("doc_id"),
+        col("sampling_rate"), col("n_bytes"))
+  }
+  val k3WebdatasetRoundtripSql =
+    s"""SELECT CAST(floor((rn - 1) / $FilesPerShard) AS INT) AS shard_id,
+       |  CAST((rn - 1) % $FilesPerShard AS INT) AS ordinal, doc_id,
+       |  sr AS sampling_rate, CAST(44 + sr AS INT) AS n_bytes
+       |FROM (SELECT doc_id,
+       |        CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |             WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sr,
+       |        row_number() OVER (ORDER BY 'docs/doc' || doc_id || '.wav') AS rn
+       |      FROM documents WHERE doc_id < $NDocs)""".stripMargin
+
   /** K2 inside the oracle gate: run the REAL pipeline with `--format duckdb`
     * (same WAV corpus as K1 plus a JSONL sidecar carrying a String AND a
     * List-typed key), then read every shard `.duckdb` file back over JDBC —
@@ -786,6 +840,7 @@ object SinkOps {
 
   def defs: Map[String, (Q, Option[String])] = Map(
     "k1_sink_roundtrip" -> (k1SinkRoundtrip, Some(k1SinkRoundtripSql)),
+    "k3_webdataset_roundtrip" -> (k3WebdatasetRoundtrip, Some(k3WebdatasetRoundtripSql)),
     "pipeline_curate_stream" -> (pipelineCurateStream, Some(pipelineCurateStreamSql)),
     "k2_duckdb_roundtrip" -> (duckdbRoundtrip, Some(duckdbRoundtripSql)),
     "events_tumbling_stream" -> (eventsTumblingStream, Some(eventsTumblingStreamSql)),
