@@ -47,7 +47,12 @@ object Bmp {
       // overflow Int (negative rowBytes would slip past the bounds check
       // and crash the pixel loops instead of returning None)
       val rowBytesL = (w.toLong * 3 + 3) & ~3L
-      if (dataOff < 54 || dataOff.toLong + rowBytesL * h > bytes.length)
+      // rowBytesL must itself fit the buffer BEFORE multiplying by h:
+      // with w AND h both near 2^31 the product rowBytesL·h would overflow
+      // even Long (≈1.4e19 > 2^63); capping rowBytesL at bytes.length
+      // (< 2^31) bounds the product under 2^62
+      if (dataOff < 54 || rowBytesL > bytes.length ||
+          dataOff.toLong + rowBytesL * h > bytes.length)
         return None
       Some((dataOff, w, h))
     } catch { case _: Throwable => None }

@@ -52,6 +52,14 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(Bmp.parse(huge).isEmpty)
     assert(Bmp.stats(huge).isEmpty)
     assert(Bmp.ahash63(huge) == -1L)
+    // w AND h both near 2^31: rowBytes·h overflows even LONG (≈1.4e19);
+    // the rowBytes≤length pre-guard must reject before the product is formed
+    val huge2 = Bmp.synthBmp(4, 2).clone()
+    java.nio.ByteBuffer.wrap(huge2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, Int.MaxValue).putInt(22, Int.MaxValue)
+    assert(Bmp.parse(huge2).isEmpty)
+    assert(Bmp.stats(huge2).isEmpty)
+    assert(Bmp.ahash63(huge2) == -1L)
   }
 
   test("bmp resize: ceil dims, sampled grid, factor 1 = identity") {
