@@ -1301,6 +1301,53 @@ object Analytics {
       |       FROM nodes LEFT JOIN c3 ON node = dst)
       |SELECT node AS nation, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin
 
+  /** Multi-source BFS hop distance over the customer–supplier trade graph
+    * ([[graft.operators.Bfs]]) — the reachability/"crawl depth" primitive:
+    * customers and suppliers are linked when a high-quantity order connects
+    * them, and every node gets its minimum hop count from a deterministic
+    * seed set of customers. Disjoint id spaces (`cust·2`, `supp·2+1`) keep
+    * the bipartite walk in one Long key domain.
+    *
+    * Scale shape: the edge table is pre-partitioned once; each of the ≤4
+    * rounds shuffles only `frontier × degree` candidate rows and the
+    * settled-id table — never the corpus (operator scaladoc has the full
+    * argument). Output is the per-distance histogram, so the driver gate
+    * pins every node's distance (id_sum) without a |V|-sized result. The
+    * oracle replays the walk as a depth-guarded recursive CTE + `min(d)` —
+    * the bounded round count is exactly what makes the iterative plan
+    * SQL-checkable. */
+  val graphBfsDistance: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 48 && col("l_orderkey") % 3 === 0)
+      .select("l_orderkey", "l_suppkey")
+    val ord = table(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("cn"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("sn"))
+    val edges = base.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionAll(base.select(col("sn").as("src"), col("cn").as("dst")))
+    val seeds = table(s, dir, "customer")
+      .filter(col("c_custkey") % 500 === 1)
+      .select((col("c_custkey").cast("long") * 2).as("id"))
+    graft.operators.Bfs.run(edges, seeds, maxHops = 4)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("id")).cast("long").as("id_sum"))
+  }
+  val graphBfsDistanceSql =
+    """WITH RECURSIVE base AS (
+      |  SELECT CAST(o_custkey * 2 AS BIGINT) AS cn,
+      |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS sn
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_quantity >= 48 AND l_orderkey % 3 = 0),
+      |e AS (SELECT cn AS src, sn AS dst FROM base UNION ALL SELECT sn, cn FROM base),
+      |bfs(id, d) AS (
+      |  SELECT CAST(c_custkey * 2 AS BIGINT), 0 FROM customer WHERE c_custkey % 500 = 1
+      |  UNION
+      |  SELECT e.dst, d + 1 FROM bfs JOIN e ON e.src = bfs.id WHERE d < 4),
+      |md AS (SELECT id, min(d) AS dist FROM bfs GROUP BY id)
+      |SELECT dist, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS id_sum
+      |FROM md GROUP BY dist""".stripMargin
+
   /** First-touch attribution: for each purchasing user, which channel
     * (event type) started the path to their FIRST purchase? Composite
     * (ts, event_id) ordering everywhere — same-timestamp events cannot
@@ -1511,6 +1558,7 @@ object Analytics {
   def defs: Map[String, (Q, Option[String])] = Map(
     "events_attribution" -> (eventsAttribution, Some(eventsAttributionSql)),
     "graph_triangles" -> (graphTriangles, Some(graphTrianglesSql)),
+    "graph_bfs_distance" -> (graphBfsDistance, Some(graphBfsDistanceSql)),
     "events_concurrency" -> (eventsConcurrency, Some(eventsConcurrencySql)),
     "dq_audit" -> (dqAudit, Some(dqAuditSql)),
     "hll_distinct" -> (hllDistinct, Some(hllDistinctSql)),

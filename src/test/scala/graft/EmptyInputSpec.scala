@@ -98,7 +98,8 @@ class EmptyInputSpec extends SparkSpec {
       "text_classify_linear" -> TextOps.textClassifyLinear,
       "mm_interleave" -> graft.queries.MultimodalOps.mmInterleave,
       "dedup_minhash_cc" -> TextOps.dedupMinhashCc,
-      "sample_reservoir" -> TextOps.sampleReservoir)
+      "sample_reservoir" -> TextOps.sampleReservoir,
+      "graph_bfs_distance" -> Analytics.graphBfsDistance)
     // recall eval emits its single all-zero row on an empty corpus
     val rr = TextOps.dedupRecallEval(spark, emptyDir).collect()
     assert(rr.length == 1 && (0 to 2).forall(i => rr.head.getLong(i) == 0))

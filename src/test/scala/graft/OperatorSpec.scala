@@ -272,6 +272,43 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bfs: hop distances match a reference search on path, cycle, dag, random") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Bfs
+    // reference: sequential multi-source BFS (directed), truncated at maxHops
+    def ref(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Int] = {
+      val adj = edges.distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var dist = seeds.distinct.map(_ -> 0).toMap
+      var frontier = seeds.distinct
+      var h = 0
+      while (frontier.nonEmpty && h < maxHops) {
+        h += 1
+        val next = frontier.flatMap(n => adj.getOrElse(n, Nil)).distinct
+          .filterNot(dist.contains)
+        dist ++= next.map(_ -> h)
+        frontier = next
+      }
+      dist
+    }
+    def check(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Unit = {
+      val got = Bfs.run(edges.toDF("src", "dst"), seeds.toDF("id"), maxHops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == ref(edges, seeds, maxHops), s"divergence on seeds=$seeds maxHops=$maxHops")
+    }
+    val path = (0L until 10L).map(i => (i, i + 1))
+    check(path, Seq(0L), maxHops = 4)  // truncation: nodes 5..10 unreached
+    check(path, Seq(0L, 7L), maxHops = 4) // multi-source: 8..10 via the second seed
+    check(path ++ path.map(_.swap), Seq(5L), maxHops = 3) // undirected walk both ways
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6))
+    check(cycle, Seq(0L), maxHops = 10) // cycle terminates at diameter, not maxHops
+    check(Seq((1L, 2L)), Seq(9L), maxHops = 3) // seed disconnected from all edges
+    val rnd = (0 until 50).map(i => (((i * 7919) % 20).toLong, ((i * 104729) % 20).toLong))
+      .filter { case (a, b) => a != b }
+    check(rnd, Seq(0L, 13L), maxHops = 3)
+    check(rnd ++ rnd, Seq(0L), maxHops = 2) // duplicate edges collapse
+  }
+
   test("connected components: large-star/small-star equals min-label on path, cliques, random") {
     val s = spark
     import s.implicits._
