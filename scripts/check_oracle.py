@@ -68,6 +68,18 @@ def main():
                 print(f"[{name}] HUGEINT ORACLE COLUMN {huge} — "
                       f"wrap in CAST(... AS BIGINT) in the oracle SQL")
                 continue
+            # Same discipline for LIST/ARRAY-typed oracle output: the
+            # driver comparator's pandas sort_values crashes on numpy
+            # array cells (r10 mm_interleave red). House rule: emit list
+            # columns as JSON TEXT (to_json in Spark, CAST(to_json(...)
+            # AS VARCHAR) in the oracle) — see agg_collect.
+            listy = [c for c, t in zip(rel_t.columns, rel_t.types)
+                     if "[]" in str(t) or str(t).upper().startswith(("LIST", "ARRAY", "STRUCT", "MAP"))]
+            if listy:
+                results[name] = f"LIST_ORACLE_COLUMN: {listy}"
+                print(f"[{name}] LIST/NESTED ORACLE COLUMN {listy} — "
+                      f"emit as CAST(to_json(...) AS VARCHAR) (agg_collect pattern)")
+                continue
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             print(f"[{name}] ORACLE SQL ERROR: {str(e)[:200]}")

@@ -543,7 +543,9 @@ object MultimodalOps {
     * pack-to-list agg REUSES the join's output partitioning (groupBy key
     * == join key, no third exchange). Item payloads would ride the same
     * rows in production; only doc-key + item columns shuffle here. Lists
-    * are sorted by item id, so output is partitioning-independent. */
+    * are sorted by item id, so output is partitioning-independent, and
+    * emitted as JSON TEXT (house rule: the driver comparator hashes
+    * scalar columns only — see `agg_collect`). */
   val mmInterleave: Q = (s, dir) => {
     val docs = table(s, dir, "documents")
       .filter(col("doc_id") < 500).select(col("doc_id"))
@@ -554,13 +556,13 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n_items"),
         sort_array(collect_list(struct(col("vec_id"), col("label")))).as("pk"))
       .select(col("doc_id"), col("n_items"),
-        col("pk.vec_id").as("item_ids"),
-        col("pk.label").as("item_labels"))
+        to_json(col("pk.vec_id")).as("item_ids"),
+        to_json(col("pk.label")).as("item_labels"))
   }
   val mmInterleaveSql =
     """SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_items,
-      |  list(e.vec_id ORDER BY e.vec_id) AS item_ids,
-      |  list(e.label ORDER BY e.vec_id) AS item_labels
+      |  CAST(to_json(list(e.vec_id ORDER BY e.vec_id)) AS VARCHAR) AS item_ids,
+      |  CAST(to_json(list(e.label ORDER BY e.vec_id)) AS VARCHAR) AS item_labels
       |FROM documents d JOIN embeddings e ON d.doc_id = (e.vec_id * 7) % 500
       |WHERE d.doc_id < 500
       |GROUP BY d.doc_id""".stripMargin
