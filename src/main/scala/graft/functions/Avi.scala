@@ -148,4 +148,27 @@ object Avi {
   }
 
   val frameStatsUdf = udf((b: Array[Byte], stride: Int) => frameStats(b, stride))
+
+  /** Single-pass count-and-sample kernel: TOTAL frame count plus the
+    * sampled-frame stats, one container walk — the video-curation access
+    * pattern (report coverage AND score samples without re-walking the
+    * RIFF train). None on corrupt container, bad stride, or any corrupt
+    * sampled frame. */
+  def sampleStats(bytes: Array[Byte], stride: Int): Option[(Int, Array[AviFrameStat])] =
+    if (stride <= 0) None
+    else frames(bytes).flatMap { fs =>
+      val out = new Array[AviFrameStat]((fs.length + stride - 1) / stride)
+      var i = 0
+      while (i * stride < fs.length) {
+        Jpeg.stats(fs(i * stride)) match {
+          case Some(st) =>
+            out(i) = AviFrameStat(i * stride, st.width, st.height, st.sum_r)
+          case None => return None
+        }
+        i += 1
+      }
+      Some((fs.length, out))
+    }
+
+  val sampleUdf = udf((b: Array[Byte], stride: Int) => sampleStats(b, stride))
 }

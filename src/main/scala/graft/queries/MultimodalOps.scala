@@ -775,8 +775,52 @@ object MultimodalOps {
       |    AS DOUBLE) / (((nf + 1) // 2) * w * h), 4) AS mean_sampled
       |FROM d""".stripMargin
 
+  /** VIDEO frame sampling on the SECOND real multi-frame container:
+    * RIFF/AVI with an MJPEG payload train ([[graft.functions.Avi]] — the
+    * container family the reference already speaks for audio,
+    * `/root/reference/src/main.rs:586-607` walks the same fourcc/chunk
+    * discipline for WAV `fmt `). Every 2nd frame rides the FULL baseline
+    * JPEG entropy pipeline ([[graft.functions.Jpeg]]: Annex-K Huffman,
+    * EXTEND, dequant, IDCT); frame f carries seed `seed + f`, so the
+    * oracle states each sampled frame's decoded block-grid mean in closed
+    * form (the [[mmDecodeJpeg]] formula shifted per frame). One
+    * count-and-sample kernel pass per row — unsampled frames never leave
+    * the kernel, and the whole video reduces to a few stat structs before
+    * any exchange. */
+  val mmFrameSampleAvi: Q = (s, dir) => {
+    import graft.functions.Avi
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        (lit(1) + col("doc_id") % 4).cast("int").as("wb"),
+        (lit(1) + col("doc_id") % 3).cast("int").as("hb"),
+        (lit(2) + col("doc_id") % 5).cast("int").as("nf"),
+        (col("doc_id") % 40).as("seed"))
+    docs
+      .withColumn("st", Avi.sampleUdf(
+        Avi.synthUdf(col("wb"), col("hb"), col("nf"), col("seed")), lit(2)))
+      .select(col("doc_id"), col("st._1").as("n_frames"),
+        size(col("st._2")).as("n_sampled"),
+        round(expr("aggregate(st._2, 0L, (a, x) -> a + x.sumGray)").cast("double")
+          / (size(col("st._2")) * col("wb") * col("hb") * lit(64)), 4)
+          .as("mean_sampled"))
+  }
+  val mmFrameSampleAviSql =
+    """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS wb,
+      |                  CAST(1 + doc_id % 3 AS INT) AS hb,
+      |                  CAST(2 + doc_id % 5 AS INT) AS nf,
+      |                  doc_id % 40 AS seed
+      |           FROM documents WHERE doc_id < 150)
+      |SELECT doc_id, nf AS n_frames, CAST((nf + 1) // 2 AS INT) AS n_sampled,
+      |  round(CAST(list_sum(list_transform(list_filter(range(nf), f -> f % 2 = 0),
+      |      f -> list_sum(list_transform(range(hb), by -> list_sum(
+      |        list_transform(range(wb), bx ->
+      |          2 * ((7*bx + 23*by + 13 + 5*(seed+f)) % 128)))))))
+      |    AS DOUBLE) / (((nf + 1) // 2) * wb * hb), 4) AS mean_sampled
+      |FROM d""".stripMargin
+
   def defs: Map[String, (Q, Option[String])] = Map(
     "mm_interleave" -> (mmInterleave, Some(mmInterleaveSql)),
+    "mm_frame_sample_avi" -> (mmFrameSampleAvi, Some(mmFrameSampleAviSql)),
     "audio_g711_decode" -> (audioG711Decode, Some(audioG711DecodeSql)),
     "audio_adpcm_decode" -> (audioAdpcmDecode, Some(audioAdpcmDecodeSql)),
     "mm_frame_sample_gif" -> (mmFrameSampleGif, Some(mmFrameSampleGifSql)),

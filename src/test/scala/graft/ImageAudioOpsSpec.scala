@@ -337,6 +337,81 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(Gif.frames("not a gif at all, truly not".getBytes).isEmpty)
   }
 
+  // ---- RIFF/AVI container (MJPEG multi-frame / video shape) ----
+
+  test("avi: container walk + sampled JPEG decode match the closed form") {
+    import graft.functions.{Avi, Jpeg}
+    def blockSum(wb: Int, hb: Int, seed: Long): Long = {
+      var s = 0L
+      for (by <- 0 until hb; bx <- 0 until wb)
+        s += 2 * ((7 * bx + 23 * by + 13 + 5 * seed) % 128)
+      64L * s
+    }
+    val (wb, hb, nf, seed) = (3, 2, 5, 4L)
+    val b = Avi.synthAvi(wb, hb, nf, seed)
+    // the walker recovers every MJPEG payload byte-exactly, in order
+    val fr = Avi.frames(b).getOrElse(fail("frames None on a valid AVI"))
+    assert(fr.length == nf)
+    for (f <- 0 until nf)
+      assert(fr(f).sameElements(Jpeg.synthJpeg(wb, hb, seed + f)), s"frame $f payload")
+    // strided decode: every 2nd frame, exact block-grid sums
+    val (total, st) = Avi.sampleStats(b, 2).getOrElse(fail("sampleStats None"))
+    assert(total == nf && st.length == (nf + 1) / 2)
+    st.zipWithIndex.foreach { case (s0, i) =>
+      assert(s0 == Avi.AviFrameStat(2 * i, 8 * wb, 8 * hb, blockSum(wb, hb, seed + 2 * i)),
+        s"sampled frame $i stats")
+    }
+    // stride 1 == full decode; frameStats agrees with sampleStats
+    assert(Avi.frameStats(b, 1).get.length == nf)
+    assert(Avi.frameStats(b, 2).get.toSeq == st.toSeq)
+    // odd-length JPEG payloads exercise RIFF 2-byte chunk padding: walk a
+    // battery of shapes and require exact recovery regardless of parity
+    for (s2 <- 0L until 4L) {
+      val v = Avi.synthAvi(1 + (s2 % 3).toInt, 1 + (s2 % 2).toInt, 3, s2)
+      val fs = Avi.frames(v).getOrElse(fail(s"battery seed=$s2"))
+      assert(fs.length == 3)
+    }
+  }
+
+  test("avi: corrupt and cross-container payloads reject") {
+    import graft.functions.{Avi, Gif, Jpeg, Png}
+    val good = Avi.synthAvi(2, 2, 3, 1L)
+    assert(Avi.frames(null).isEmpty)
+    assert(Avi.frames(good.take(20)).isEmpty)            // below min header
+    assert(Avi.frames(good.take(good.length / 2)).isEmpty) // truncated movi
+    val wav = Wav.synthPcmWav(8000, 64)
+    assert(Avi.frames(wav).isEmpty)                      // RIFF but "WAVE " form
+    val lyingSize = good.clone()
+    lyingSize(4) = 0xff.toByte; lyingSize(5) = 0xff.toByte
+    lyingSize(6) = 0xff.toByte; lyingSize(7) = 0x7f.toByte // riff size > file
+    assert(Avi.frames(lyingSize).isEmpty)
+    // a corrupt SAMPLED frame kills the asset; stride<=0 is rejected
+    val badFrame = good.clone()
+    // smash bytes inside the movi payload region (first frame's JPEG SOI)
+    val moviAt = {
+      var i = 12; var found = -1
+      while (found < 0 && i + 12 < badFrame.length) {
+        if (new String(badFrame.slice(i, i + 4), "US-ASCII") == "LIST" &&
+            new String(badFrame.slice(i + 8, i + 12), "US-ASCII") == "movi") found = i
+        i += 1
+      }
+      found
+    }
+    assert(moviAt > 0)
+    badFrame(moviAt + 20) = 0x77 // inside first 00dc payload
+    assert(Avi.sampleStats(badFrame, 1).isEmpty)
+    assert(Avi.sampleStats(good, 0).isEmpty && Avi.sampleStats(good, -2).isEmpty)
+    // cross-container disjointness, both directions
+    assert(Avi.frames(Gif.synthGif(5, 3, 0)).isEmpty)
+    assert(Avi.frames(Png.synthPng(5, 3, 0)).isEmpty)
+    assert(Avi.frames(Jpeg.synthJpeg(2, 2, 0)).isEmpty)
+    assert(Gif.parse(good).isEmpty && Png.parse(good).isEmpty &&
+      Jpeg.parse(good).isEmpty && Bmp.parse(good).isEmpty)
+    // WAV parser must not claim the AVI (same RIFF family, different form
+    // fourcc) — it reports the reference's 0.0/0 fallback
+    assert(Wav.parse(good) == Wav.WavInfo(0.0, 0))
+  }
+
   // ---- ustar / WebDataset transport ----
 
   test("tar: round-trips; stock tar reads our archives; corrupt rejects") {
