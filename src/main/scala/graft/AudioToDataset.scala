@@ -44,6 +44,16 @@ object AudioToDataset {
     * with columns `audio, duration, <metadata keys sorted>, shard_id` and the
     * resolved metadata schema. */
   def plan(spark: SparkSession, cfg: Config): (DataFrame, Metadata.MetaSchema) = {
+    val (df, sch, _) = planWithCount(spark, cfg)
+    (df, sch)
+  }
+
+  /** [[plan]] plus the post-filter file count (free: it is the shard
+    * ranking's pass-1 grand total) — the CLI sink path sizes its shard
+    * repartition from it WITHOUT a second scan. The reference lists the
+    * input exactly once (src/main.rs:662-712); so do we. */
+  private[graft] def planWithCount(
+      spark: SparkSession, cfg: Config): (DataFrame, Metadata.MetaSchema, Long) = {
     val (metaDf, metaSchema) = cfg.metadataFile match {
       case Some(mf) =>
         val (df, sch) = Metadata.load(spark, mf)
@@ -72,21 +82,18 @@ object AudioToDataset {
     // from the platform-dependent directory iterator, SURVEY.md §7.4).
     // Ranks come from the skinny-path two-phase ranking so audio bytes never
     // pass through a single-partition window.
-    val sharded = Sharding.shardConsecutiveByKey(
+    val (sharded, nFiles) = Sharding.shardConsecutiveByKeyCounted(
       assembled.withColumn("_order", col("audio.path")),
-      "_order", cfg.filesPerShard).drop("_order")
-    (sharded, metaSchema)
+      "_order", cfg.filesPerShard)
+    (sharded.drop("_order"), metaSchema, nFiles)
   }
 
   def run(spark: SparkSession, cfg: Config): Unit = {
-    val (sharded, metaSchema) = plan(spark, cfg)
+    val (sharded, metaSchema, nFiles) = planWithCount(spark, cfg)
     val metaTypes = metaSchema.types.toSeq
-    // shard count from a content-pruned scan (binaryFile only reads bytes
-    // for plans that project `content`) — avoids a wide pass in the sink
-    val nFiles = AudioScan.scan(spark, cfg.input, cfg.maxDepth, cfg.metadataFile,
-      checkMimeType = false, excludeSymlinks = cfg.excludeSymlinks,
-      pathGlobFilter = cfg.pathGlobFilter, expandArchives = cfg.expandArchives)
-      .select("path").count()
+    // shard count = ceil(post-filter files / filesPerShard), carried out of
+    // the plan's own ranking pass — no second listing, and (unlike the old
+    // count-only rescan) it reflects EVERY filter including the MIME sniff
     val nShards = Some(math.max(1, math.ceil(nFiles.toDouble / cfg.filesPerShard).toInt))
     cfg.format match {
       case "parquet" =>

@@ -49,6 +49,14 @@ object Sharding {
     * rank over `(group, sort_key, tiebreak)` for distributed per-group
     * ranking without a per-group window. */
   def cumSumBy(df: DataFrame, orderCols: Seq[String], valueCol: Column, outCol: String): DataFrame =
+    cumSumByCounted(df, orderCols, valueCol, outCol)._1
+
+  /** [[cumSumBy]] that ALSO returns the grand total (the fold of pass 1's
+    * per-partition totals) — already on the driver when the scan runs, so
+    * consumers that need "sum of everything" (e.g. a shard count) get it
+    * for ZERO extra jobs and zero extra input listings. */
+  def cumSumByCounted(df: DataFrame, orderCols: Seq[String], valueCol: Column,
+      outCol: String): (DataFrame, Long) =
     twoPassScan(df, orderCols, valueCol, outCol,
       zero = 0L, exclusive = false)(_ + _) // null-safe: null values count 0
 
@@ -59,10 +67,11 @@ object Sharding {
     * participate). Max is associative, so it rides the same two-pass scan
     * as [[cumSumBy]]; exclusive semantics because the main consumer
     * ([[Skyline.globalSkyline]]) needs "best among strictly earlier keys".
+    * (Returns only the frame — the pass-1 fold is a MAX here, not a count.)
     */
   def cumMaxBy(df: DataFrame, orderCols: Seq[String], valueCol: Column, outCol: String): DataFrame =
     twoPassScan(df, orderCols, valueCol, outCol,
-      zero = Long.MinValue, exclusive = true)(math.max)
+      zero = Long.MinValue, exclusive = true)(math.max)._1
 
   /** The shared two-pass distributed prefix scan over any associative
     * `op` with identity `zero` (null values coalesce to `zero`, so they
@@ -74,7 +83,7 @@ object Sharding {
     * running value (prefix over strictly-preceding rows). */
   private def twoPassScan(
       df: DataFrame, orderCols: Seq[String], valueCol: Column, outCol: String,
-      zero: Long, exclusive: Boolean)(op: (Long, Long) => Long): DataFrame = {
+      zero: Long, exclusive: Boolean)(op: (Long, Long) => Long): (DataFrame, Long) = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
@@ -114,8 +123,9 @@ object Sharding {
         c
       }
     }
-    GraftBridge.internalCreateDataFrame(spark, out,
-      StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false)))
+    (GraftBridge.internalCreateDataFrame(spark, out,
+      StructType(df.schema.fields :+ StructField(outCol, LongType, nullable = false))),
+      offsets(n)) // the fold over ALL partitions — grand total under `op`
   }
 
   /** Exact consecutive chunking WITHOUT a single-partition window over the
@@ -125,10 +135,19 @@ object Sharding {
     * through one task. Keys are ranked DISTINCT (generic type), so duplicate
     * key values share a shard instead of multiplying rows through the join.
     */
-  def shardConsecutiveByKey(df: DataFrame, keyCol: String, filesPerShard: Int): DataFrame = {
-    val ranked = cumSum(df.select(col(keyCol)).distinct(), keyCol, lit(1L), "_rank")
+  def shardConsecutiveByKey(df: DataFrame, keyCol: String, filesPerShard: Int): DataFrame =
+    shardConsecutiveByKeyCounted(df, keyCol, filesPerShard)._1
+
+  /** [[shardConsecutiveByKey]] that ALSO returns the distinct-key count —
+    * free (it is the ranking scan's pass-1 grand total), so callers that
+    * need the shard count (the CLI sinks size their repartition by it)
+    * never re-list or re-scan the input to count. */
+  def shardConsecutiveByKeyCounted(
+      df: DataFrame, keyCol: String, filesPerShard: Int): (DataFrame, Long) = {
+    val (ranked, nKeys) = cumSumByCounted(
+      df.select(col(keyCol)).distinct(), Seq(keyCol), lit(1L), "_rank")
     val shardMap = ranked.select(col(keyCol),
       floor((col("_rank") - 1) / filesPerShard).cast("int").as("shard_id"))
-    df.join(shardMap, Seq(keyCol))
+    (df.join(shardMap, Seq(keyCol)), nKeys)
   }
 }

@@ -415,7 +415,11 @@ class OperatorSpec extends SparkSpec {
       .parquet("/root/testdata/sf0.001/embeddings.parquet").count()
     assert(total == nVec, "every media item must land in exactly one sample")
     out.foreach { r =>
-      val ids = r.getSeq[Long](2)
+      // lists ride as JSON text (driver-comparator house rule) — parse back
+      val ids = r.getString(2).stripPrefix("[").stripSuffix("]") match {
+        case "" => Seq.empty[Long]
+        case s0 => s0.split(",").toSeq.map(_.trim.toLong)
+      }
       assert(ids.length == r.getLong(1).toInt)
       assert(ids == ids.sorted, "attachment lists must be deterministic")
       assert(ids.forall(v => (v * 7) % 500 == r.getLong(0)))
