@@ -160,6 +160,66 @@ object Adpcm {
   val synthUdf = udf((sr: Int, nb: Int, doc: Long) => synthAdpcm(sr, nb, doc))
   val decodeUdf = udf((b: Array[Byte]) => decode(b))
 
+  /** One time-windowed audio segment: `blocksPerChunk` whole ADPCM blocks
+    * (the last chunk may be shorter). Sample positions are global to the
+    * file; sums are over the chunk's decoded PCM. */
+  final case class ChunkStat(
+      chunk_id: Int, start_sample: Long, n_samples: Int,
+      sum_abs: Long, sum_linear: Long)
+
+  /** Long-audio TIME-WINDOW segmentation — [[graft.queries.TextOps.textChunk]]'s
+    * audio twin: split the stream into consecutive windows of
+    * `blocksPerChunk` blocks and decode each independently. This is
+    * HONEST chunking for a predictive codec precisely because block
+    * headers re-seed (predictor, step index): a chunk's decode never
+    * depends on bytes outside it, so at 100 TB a byte-range task decodes
+    * its own chunks with zero cross-talk — the block header is the
+    * parallel unit. None on corrupt container or bad chunk size. */
+  def chunkStats(bytes: Array[Byte], blocksPerChunk: Int): Option[Array[ChunkStat]] =
+    try {
+      if (blocksPerChunk <= 0) return None
+      layout(bytes).map { case (dataOff, len, _, ba) =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val nBlocks = len / ba
+        val spb = (ba - 4) * 2 + 1
+        val nChunks = (nBlocks + blocksPerChunk - 1) / blocksPerChunk
+        val out = new Array[ChunkStat](nChunks)
+        var c = 0
+        while (c < nChunks) {
+          val bLo = c * blocksPerChunk
+          val bHi = math.min(bLo + blocksPerChunk, nBlocks)
+          var sum = 0L; var sumAbs = 0L; var n = 0
+          var b = bLo
+          while (b < bHi) {
+            val off = dataOff + b * ba
+            var pred: Int = bb.getShort(off)
+            var idx = bytes(off + 2) & 0xff
+            if (idx > 88) idx = 88
+            sum += pred; sumAbs += math.abs(pred); n += 1
+            var k = 0
+            while (k < ba - 4) {
+              val byte = bytes(off + 4 + k) & 0xff
+              var half = 0
+              while (half < 2) {
+                val code = if (half == 0) byte & 0x0f else byte >> 4
+                val (p, i) = step(pred, idx, code)
+                pred = p; idx = i
+                sum += pred; sumAbs += math.abs(pred); n += 1
+                half += 1
+              }
+              k += 1
+            }
+            b += 1
+          }
+          out(c) = ChunkStat(c, bLo.toLong * spb, n, sumAbs, sum)
+          c += 1
+        }
+        out
+      }
+    } catch { case _: Throwable => None }
+
+  val chunkUdf = udf((b: Array[Byte], bpc: Int) => chunkStats(b, bpc))
+
   /** DuckDB twin of the per-block fold: a `list_reduce` over struct state
     * {p, s, t, ta} seeded from the header formula, folding the nibble
     * formula for block `B` of document `DOC` — generated from the SAME

@@ -738,6 +738,43 @@ object MultimodalOps {
        |FROM d""".stripMargin
   }
 
+  /** Long-audio TIME-WINDOW segmentation ([[graft.functions.Adpcm.chunkStats]])
+    * — `text_chunk`'s audio twin: each fixture stream splits into
+    * consecutive 2-block (34-sample) windows, each decoded INDEPENDENTLY
+    * because ADPCM block headers re-seed the predictor — the property
+    * that makes a byte-range task at 100 TB self-sufficient. One narrow
+    * kernel pass per file, then a per-row explode into segment rows
+    * (no shuffle, linear in corpus size); the oracle replays each
+    * chunk's block folds via the shared [[graft.functions.Adpcm.blockFoldSql]]
+    * generator. */
+  val audioChunkSegments: Q = (s, dir) => {
+    import graft.functions.Adpcm
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 120)
+      .select(col("doc_id"), (lit(2) + col("doc_id") % 5).cast("int").as("nb"))
+    docs
+      .withColumn("ch", explode(Adpcm.chunkUdf(
+        Adpcm.synthUdf(lit(8000), col("nb"), col("doc_id")), lit(2))))
+      .select(col("doc_id"), col("ch.chunk_id").as("chunk_id"),
+        col("ch.start_sample").as("start_sample"),
+        col("ch.n_samples").as("n_samples"),
+        col("ch.sum_abs").as("sum_abs"),
+        col("ch.sum_linear").as("sum_linear"))
+  }
+  val audioChunkSegmentsSql = {
+    val fold = graft.functions.Adpcm.blockFoldSql("doc_id", "b")
+    s"""WITH d AS (SELECT doc_id, CAST(2 + doc_id % 5 AS INT) AS nb
+       |           FROM documents WHERE doc_id < 120),
+       |c AS (SELECT doc_id, nb, unnest(range((nb + 1) // 2)) AS chunk_id FROM d)
+       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  CAST(chunk_id * 34 AS BIGINT) AS start_sample,
+       |  CAST((least(chunk_id * 2 + 2, nb) - chunk_id * 2) * 17 AS INT) AS n_samples,
+       |  CAST(list_sum(list_transform(range(chunk_id * 2, least(chunk_id * 2 + 2, nb)),
+       |    b -> ($fold).ta)) AS BIGINT) AS sum_abs,
+       |  CAST(list_sum(list_transform(range(chunk_id * 2, least(chunk_id * 2 + 2, nb)),
+       |    b -> ($fold).t)) AS BIGINT) AS sum_linear
+       |FROM c""".stripMargin
+  }
+
   /** VIDEO-modality frame sampling on a REAL multi-frame container:
     * animated GIF (89a graphic-control layout), every frame decoded
     * through the full LZW pipeline, then every 2nd frame sampled — the
@@ -821,6 +858,7 @@ object MultimodalOps {
   def defs: Map[String, (Q, Option[String])] = Map(
     "mm_interleave" -> (mmInterleave, Some(mmInterleaveSql)),
     "mm_frame_sample_avi" -> (mmFrameSampleAvi, Some(mmFrameSampleAviSql)),
+    "audio_chunk_segments" -> (audioChunkSegments, Some(audioChunkSegmentsSql)),
     "audio_g711_decode" -> (audioG711Decode, Some(audioG711DecodeSql)),
     "audio_adpcm_decode" -> (audioAdpcmDecode, Some(audioAdpcmDecodeSql)),
     "mm_frame_sample_gif" -> (mmFrameSampleGif, Some(mmFrameSampleGifSql)),

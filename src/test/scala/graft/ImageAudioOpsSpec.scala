@@ -512,6 +512,35 @@ class ImageAudioOpsSpec extends SparkSpec {
     assert(Adpcm.parse(b.take(40)).isEmpty)
   }
 
+  test("adpcm chunks: segment sums partition the full decode; bounds honest") {
+    import graft.functions.Adpcm
+    for (doc <- 0L until 40L; bpc <- 1 to 4) {
+      val nb = 2 + (doc % 5).toInt
+      val bytes = Adpcm.synthAdpcm(8000, nb, doc)
+      val full = Adpcm.decode(bytes).get
+      val ch = Adpcm.chunkStats(bytes, bpc).getOrElse(fail(s"None doc=$doc bpc=$bpc"))
+      // chunk grid: count, contiguous global sample positions, sizes
+      assert(ch.length == (nb + bpc - 1) / bpc)
+      ch.zipWithIndex.foreach { case (c, i) =>
+        assert(c.chunk_id == i && c.start_sample == i.toLong * bpc * 17)
+        val blocks = math.min(bpc, nb - i * bpc)
+        assert(c.n_samples == blocks * 17)
+      }
+      // segmentation is LOSSLESS: chunk stats partition the full decode
+      assert(ch.map(_.n_samples.toLong).sum == full._2)
+      assert(ch.map(_.sum_abs).sum == full._3)
+      assert(ch.map(_.sum_linear).sum == full._4)
+      // a chunk-size of >= nb degenerates to the whole-file decode
+      val one = Adpcm.chunkStats(bytes, nb + 3).get
+      assert(one.length == 1 && one(0).sum_linear == full._4)
+    }
+    // bad chunk size / corrupt container reject
+    val b = Adpcm.synthAdpcm(8000, 3, 1)
+    assert(Adpcm.chunkStats(b, 0).isEmpty && Adpcm.chunkStats(b, -1).isEmpty)
+    assert(Adpcm.chunkStats(b.take(40), 2).isEmpty)
+    assert(Adpcm.chunkStats(Wav.synthPcmWav(8000, 50), 2).isEmpty)
+  }
+
   // ---- PCM transforms ----
 
   test("pcm resample: identity at source rate, exact decimation, corrupt-safe") {
