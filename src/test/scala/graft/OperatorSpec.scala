@@ -116,6 +116,33 @@ class OperatorSpec extends SparkSpec {
       .filter(col("ns") > 1).count() == 0)
   }
 
+  test("counted scan: pass-1 grand total == count, shard count rides free") {
+    val s = spark
+    import s.implicits._
+    // the CLI's single-listing contract rests on this: the total returned
+    // by the counted variants must equal the actual row/key count for
+    // every partitioning and for empty input
+    for (n <- Seq(0, 1, 37, 500)) {
+      val df = (0 until n).map(i => ((i * 7919) % math.max(n, 1), (i % 13).toLong))
+        .toDF("k", "v").repartition(8)
+      val (withCum, total) =
+        Sharding.cumSumByCounted(df, Seq("k"), col("v"), "cum")
+      assert(total == (0 until n).map(_ % 13).sum.toLong, s"sum total n=$n")
+      assert(withCum.count() == n)
+      val keyed = (0 until n).map(i => (f"k$i%04d", i)).toDF("key", "p")
+      val (sharded, nKeys) =
+        Sharding.shardConsecutiveByKeyCounted(keyed, "key", filesPerShard = 10)
+      assert(nKeys == n.toLong, s"key count n=$n")
+      if (n > 0)
+        assert(sharded.agg(max(col("shard_id"))).head.getInt(0) ==
+          (n - 1) / 10, "max shard id consistent with the free count")
+    }
+    // duplicate keys: the count is DISTINCT keys (the unit shards chunk by)
+    val dup = (0 until 60).map(i => (f"k${i % 20}%03d", i)).toDF("key", "p")
+    val (_, nK) = Sharding.shardConsecutiveByKeyCounted(dup, "key", 7)
+    assert(nK == 20L)
+  }
+
   test("multimodal decode: stub kernel over binary column, null-safe") {
     val s = spark
     import s.implicits._
