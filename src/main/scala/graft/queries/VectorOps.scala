@@ -119,20 +119,26 @@ object VectorOps {
       when(element_at(col("v"), i1) - element_at(col("v"), i2) > 0,
         lit(1L << j)).otherwise(lit(0L))
     } ++ extraBitCols(col("v"), b, extra, DedupBits)).reduce(_ + _)
-    val banded = emb.select(col("vec_id"), explode(array((0 until DedupBands).map(b =>
-      struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
-      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("b_id")),
+    // Verify inside the band join (see dedupSemantic for the full r11
+    // sf100 adjudication): shuffle ∝ corpus (banded vectors), never
+    // ∝ candidate pairs; collision rows go skinny in the join stage and
+    // the threshold filter runs before any further exchange. The distinct
+    // moves only surviving 24-byte pair rows.
+    val banded = emb.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until DedupBands).map(b =>
+          struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.select(col("band"), col("bucket"),
+        col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")),
         Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    cand
-      .join(emb.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an")), Seq("a_id"))
-      .join(emb.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")), Seq("b_id"))
       .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cos") > 0.3)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
+      .distinct()
   }
   val dedupEmbeddingSql = {
     val bands = (0 until DedupBands).map { b =>
@@ -775,27 +781,38 @@ object VectorOps {
       when(element_at(col("v"), i1) - element_at(col("v"), i2) > 0,
         lit(1L << j)).otherwise(lit(0L))
     } ++ extraBitCols(col("v"), b, extra, SemBits)).reduce(_ + _)
-    val banded = asg.select(col("cid"), col("vec_id"),
+    // Verify INSIDE the band join — the r11 sf100 lesson (found when this
+    // query exhausted 60 GB of spill disk at 2M vectors, twice):
+    // materializing the candidate PAIR set and then joining both vectors
+    // onto it shuffles pairs × ~1 KB — and the pair mass is n·load/2·bands
+    // (≈120 M here; LINEAR in n by the adaptive-bit schedule, but with a
+    // constant that dwarfs the corpus). Shuffling pair-id rows first
+    // (distinct, or dropDuplicates riding the join exchange) still left
+    // the wide joins carrying every surviving pair. The scale-correct
+    // plan: both sides of the bucket self-join already HOLD their
+    // vectors, so compute the cosine in the join output and go SKINNY
+    // immediately — shuffle is n·bands·(vector width) ≈ 8 GB/side at 2M
+    // (∝ corpus, NOT ∝ pairs); collision rows reduce to 32-byte
+    // (cid, a_id, b_id, cos) inside the join stage, the Tau filter kills
+    // the random-collision bulk before anything else sees it, and the
+    // terminal keep-lowest groupBy absorbs multi-band duplicates exactly
+    // (min/max are duplicate-insensitive — ≤SemBands redundant cosines
+    // per true pair is CPU, not shuffle). 346 s/fail → measured green at
+    // sf100, and sf10 unchanged.
+    val banded = asg.select(col("cid"), col("vec_id"), col("v"), col("nrm"),
         explode(array((0 until SemBands).map(b =>
           struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
-      .select(col("cid"), col("vec_id"),
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.select(col("cid"), col("band"), col("bucket"), col("vec_id").as("a_id"))
-      .join(banded.select(col("cid"), col("band"), col("bucket"), col("vec_id").as("b_id")),
+    banded.select(col("cid"), col("band"), col("bucket"),
+        col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+      .join(banded.select(col("cid"), col("band"), col("bucket"),
+        col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")),
         Seq("cid", "band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      // no distinct: the terminal groupBy(b_id, cid) aggregation absorbs
-      // multi-band duplicate pairs exactly (min/max are
-      // duplicate-insensitive), so the full pair-set exchange a distinct
-      // would cost is saved — duplicated pairs just recompute one cosine
-      // each, bounded by the band count (measured no worse at sf10, and
-      // one exchange fewer is the scale-dominant term)
-      .select("cid", "a_id", "b_id")
-    cand
-      .join(asg.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an")), Seq("a_id"))
-      .join(asg.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")), Seq("b_id"))
       .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cos") > Tau)
+      .select(col("cid"), col("a_id"), col("b_id"), col("cos"))
       .groupBy(col("b_id").as("vec_id"), col("cid"))
       .agg(min(col("a_id")).as("dup_of"), round(max(col("cos")), 4).as("max_cosine"))
   }
