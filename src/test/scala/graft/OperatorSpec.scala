@@ -143,6 +143,44 @@ class OperatorSpec extends SparkSpec {
     assert(nK == 20L)
   }
 
+  test("dedup embedding/semantic: clone-heavy corpus — full clone recall, no dup rows") {
+    // The r11 sf100 failure mode in miniature: a corpus where every vector
+    // has exact clones (identical → identical sign-LSH buckets in EVERY
+    // band). Pins (a) recall: every clone pair must surface with cosine
+    // exactly 1.0 (clones can never be separated by any band), and
+    // (b) the fused verify-in-join rewrite emits each pair ONCE despite
+    // the per-band duplicate collision rows.
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("clones")
+    val nBase = 40; val c = 5
+    def vec(b: Int): Seq[Float] =
+      (0 until 64).map(i => (((b * 37 + i * 11 + 3) % 17) - 8).toFloat / 8f)
+    val rows = for (cl <- 0 until c; b <- 0 until nBase)
+      yield ((cl * nBase + b).toLong, vec(b), b)
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val emb = graft.queries.VectorOps.dedupEmbedding(s, dir.getPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // no duplicate (a, b) rows survive the per-band collision duplication
+    assert(emb.map(p => (p._1, p._2)).distinct.length == emb.length)
+    val at = emb.map(p => (p._1, p._2) -> p._3).toMap
+    for (b <- 0 until nBase; c1 <- 0 until c; c2 <- c1 + 1 until c) {
+      val pair = ((c1 * nBase + b).toLong, (c2 * nBase + b).toLong)
+      assert(at.get(pair).contains(1.0), s"clone pair $pair missing or cos != 1")
+    }
+
+    val sem = graft.queries.VectorOps.dedupSemantic(s, dir.getPath)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val semAt = sem.map(t => t._1 -> t).toMap
+    assert(sem.map(_._1).distinct.length == sem.length) // one row per dropped doc
+    for (id <- nBase until nBase * c) {  // every non-first clone is dropped
+      val t = semAt.getOrElse(id.toLong, fail(s"clone $id not reported as dup"))
+      assert(t._2 < id && t._3 == 1.0, s"clone $id: dup_of/max_cosine wrong: $t")
+    }
+  }
+
   test("multimodal decode: stub kernel over binary column, null-safe") {
     val s = spark
     import s.implicits._
