@@ -19,9 +19,26 @@ object Bench {
     // (measured in SCALING.md round-11).
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    // Generic conf passthrough for scale experiments (driver leaves it
+    // unset → zero effect): "k=v;k=v". Used by the SCALING.md round-11
+    // runtime-bloom-filter measurements.
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('='); (kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Runtime bloom-filter joins: Spark enables the optimizer rule by
+      // default but its 10 MB creation-side cap excludes every TPC-H-sized
+      // dimension; these thresholds let a ≤512 MB filtered build side
+      // prune a ≥1 GB probe scan BEFORE the shuffle. Inert at the driver's
+      // sf0.1 (all scans < 1 GB); measured at sf100: q5 268 s → 139 s
+      // (SCALING.md round-11). Semantics-preserving, EXTRA_CONF can
+      // override.
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1GB")
+    val spark = extraConf.foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
