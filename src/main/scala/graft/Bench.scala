@@ -38,6 +38,14 @@ object Bench {
       // override.
       .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
       .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1GB")
+      // RocksDB state store: incremental per-batch state updates instead
+      // of the HDFS store's full in-memory map copy per version. Parity at
+      // sf0.1 (25.6 s vs 26.1 s streaming subtotal); 5× on the stateful
+      // entries at sf100 (events_stateful_stream 161 → 30 s,
+      // events_ohlc_stream 87 → 16 s — SCALING.md round-11). Verify runs
+      // the same provider so correctness is gated on it.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = extraConf.foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -24,6 +24,10 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as ns-long (converted
       // to µs in graft.queries.Util.eventsWithTs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same state-store provider as Bench (RocksDB — adopted round 11,
+      // SCALING.md): the correctness gate must run what the bench runs
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // per-process managed-table warehouse: concurrent sibling JVMs must
       // never share (or sweep) each other's tables — see EphemeralWarehouse
       .config("spark.sql.warehouse.dir", graft.core.EphemeralWarehouse.dir)
