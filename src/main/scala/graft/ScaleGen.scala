@@ -35,7 +35,14 @@ object ScaleGen {
   // two disjoint 10-letter alphabets; rotating the first by k%10 and the
   // second by (k/10)%10 yields UP TO 100 distinct compositions of
   // bijections — factor > 100 would silently reuse copy 0's identity map
-  // and reintroduce the verbatim-duplicate pathology, so generate() rejects it
+  // and reintroduce the verbatim-duplicate pathology, so generate() rejects it.
+  // Past 100×, CHAIN the generator (sf10 dir → ×10 → sf100, the round-11
+  // third decade): rotation composition folds the 1000 copies into exactly
+  // 100 bijection classes, i.e. deliberate 10-WAY EXACT-CLONE classes —
+  // duplicate multiplicity real crawls have. Dedup outputs then scale with
+  // TRUE DUPLICATE MASS (~300× pairs for 10× rows at sf100), never
+  // quadratically; adjudicate output-bound flags against that, not row
+  // count (SCALING.md round-11).
   val MaxFactor = 100
   private val Alpha1 = "aeiounrstl"
   private val Alpha2 = "bcdfghjkmp"

@@ -81,7 +81,7 @@ object Avi {
   def synthAvi(wBlocks: Int, hBlocks: Int, nFrames: Int, seed: Long): Array[Byte] = {
     val w = 8 * wBlocks; val h = 8 * hBlocks
     val frames = (0 until nFrames).map(f => Jpeg.synthJpeg(wBlocks, hBlocks, seed + f))
-    val maxBuf = frames.map(_.length).max
+    val maxBuf = frames.map(_.length).maxOption.getOrElse(0) // 0-frame AVI is legal
     def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
       val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
       cc(id) ++ le32(payload.length) ++ payload ++ pad

@@ -371,6 +371,11 @@ class ImageAudioOpsSpec extends SparkSpec {
       val fs = Avi.frames(v).getOrElse(fail(s"battery seed=$s2"))
       assert(fs.length == 3)
     }
+    // a zero-frame AVI is a legal container: empty movi, empty sample set
+    val empty = Avi.synthAvi(2, 2, 0, 1L)
+    assert(Avi.frames(empty).exists(_.isEmpty))
+    assert(Avi.sampleStats(empty, 2).contains((0, Array.empty[Avi.AviFrameStat])) ||
+      Avi.sampleStats(empty, 2).exists { case (n, st) => n == 0 && st.isEmpty })
   }
 
   test("avi: corrupt and cross-container payloads reject") {
