@@ -103,6 +103,10 @@ class EmptyInputSpec extends SparkSpec {
     // recall eval emits its single all-zero row on an empty corpus
     val rr = TextOps.dedupRecallEval(spark, emptyDir).collect()
     assert(rr.length == 1 && (0 to 2).forall(i => rr.head.getLong(i) == 0))
+    // GD training on an empty corpus must not die (the greatest(n,1) guard
+    // vs ANSI div-by-zero): 3 report rows, weights NULL — no phantom model
+    val tr = TextOps.trainLogregQuality(spark, emptyDir).collect()
+    assert(tr.length == 3 && tr.forall(_.isNullAt(1)), "train_logreg_quality not empty-safe")
     ops.foreach { case (name, q) =>
       assert(q(spark, emptyDir).count() == 0, s"$name not empty-safe")
     }
