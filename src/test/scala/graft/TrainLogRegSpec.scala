@@ -35,6 +35,15 @@ class TrainLogRegSpec extends SparkSpec {
     // (485/500) — the model actually learns, it does not just terminate.
   }
 
+  test("held-out eval: the even-trained model generalizes to the odd split") {
+    val r = SparkEntry.queries("train_logreg_eval")(spark, Sf).collect()(0)
+    val got = Seq("n_eval", "tp", "fp", "tn", "fn", "precision_ppm", "recall_ppm")
+      .map(c => r.getAs[Long](c))
+    // 250 held-out docs the model never saw: 238 correct (95.2%),
+    // precision 129/131, recall 129/139 — integer-exact reference trace.
+    assert(got == Seq(250L, 129L, 2L, 109L, 10L, 984732L, 928057L), s"got $got")
+  }
+
   test("gradient pass: literal-folded weights, no join, one 7-long exchange") {
     val g = queries.TextOps.logregGradient(
       queries.TextOps.logregFeatures(spark, Sf), Array(0L, 0L, 0L, 0L))
