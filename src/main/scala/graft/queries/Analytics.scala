@@ -1245,6 +1245,21 @@ object Analytics {
       |      FROM events)
       |WHERE rank <= 5""".stripMargin
 
+  /** The same exact top-5-per-type through the BOUNDED-STATE aggregate
+    * ([[graft.functions.TopKByValueDesc]] via `GroupTopK.topKByValueDesc`)
+    * instead of windows: map-side combine reduces every task to k rows per
+    * group, so NOTHING but k-entry partial states crosses the wire — the
+    * formulation that survives a 1000-executor corpus. Shares
+    * [[topkEventsSaltedSql]] (identical result contract, plain-SQL window
+    * oracle); the sf100 run that motivated it: salted windows 20.6 s vs
+    * scan floor ~3 s — the window pair shuffles and sorts all 100M rows,
+    * this aggregate shuffles 160 of them. */
+  val topkEventsAgg: Q = (s, dir) =>
+    graft.operators.GroupTopK.topKByValueDesc(
+      table(s, dir, "events").select("event_id", "event_type", "value"),
+      groupCols = Seq("event_type"), valueCol = "value", idCol = "event_id", k = 5)
+      .select(col("event_type"), col("rank"), col("event_id"), col("value"))
+
   /** Weighted PageRank over the customer-nation → supplier-nation purchase
     * graph, 3 iterations of [[graft.operators.PageRank]] in integer
     * fixed-point — bit-exact, so the oracle UNROLLS the same three
@@ -1566,6 +1581,7 @@ object Analytics {
     "events_hopping" -> (eventsHopping, Some(eventsHoppingSql)),
     "events_ohlc_bars" -> (eventsOhlcBars, Some(eventsOhlcBarsSql)),
     "topk_events_salted" -> (topkEventsSalted, Some(topkEventsSaltedSql)),
+    "topk_events_agg" -> (topkEventsAgg, Some(topkEventsSaltedSql)),
     "agg_grouping_sets" -> (aggGroupingSets, Some(aggGroupingSetsSql)),
     "events_markov" -> (eventsMarkov, Some(eventsMarkovSql)),
     "events_rate_anomaly" -> (eventsRateAnomaly, Some(eventsRateAnomalySql)),

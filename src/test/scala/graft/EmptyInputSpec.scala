@@ -128,6 +128,7 @@ class EmptyInputSpec extends SparkSpec {
     // hll keeps the merged '__all__' row even with no events
     val h = Analytics.hllDistinct(spark, emptyDir).collect()
     assert(h.length == 1 && h.head.getString(0) == "__all__" && h.head.getLong(1) == 0)
+    assert(Analytics.topkEventsAgg(spark, emptyDir).count() == 0)
   }
 
   test("lakehouse operators return cleanly on empty tables") {

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** `TopKByValueDesc` / `GroupTopK.topKByValueDesc` — the bounded-state
+  * top-k aggregate. Pins (a) exact agreement with the salted-window
+  * formulation on real data (same oracle contract); (b) the order edge
+  * cases a window gets free but an aggregate must implement: NULLS LAST,
+  * value ties broken by id ASC, groups smaller than k, k-boundary merges
+  * across many partitions; (c) the plan claim: no WindowExec, partial+final
+  * ObjectHashAggregate — the input never crosses the wire unreduced.
+  */
+class TopKAggSpec extends SparkSpec {
+
+  test("agg form == salted window form on sf0.01 events (same result contract)") {
+    val dir = "/root/testdata/sf0.01"
+    val a = SparkEntry.queries("topk_events_agg")(spark, dir)
+      .orderBy("event_type", "rank").collect().map(_.toSeq)
+    val b = SparkEntry.queries("topk_events_salted")(spark, dir)
+      .orderBy("event_type", "rank").collect().map(_.toSeq)
+    assert(a.length == 25 && a.toSeq == b.toSeq)
+  }
+
+  test("NULLS LAST, id-asc ties, short groups, and the cross-partition merge path") {
+    import spark.implicits._
+    // group g1: ties at 9.0 (ids 3,4), a null (id 9), and filler — top-5 of 8
+    // group g2: only 2 rows, one null — short group keeps both, null last
+    val rows = Seq[(String, Long, Option[Double])](
+      ("g1", 1L, Some(5.0)), ("g1", 2L, Some(7.0)), ("g1", 4L, Some(9.0)),
+      ("g1", 3L, Some(9.0)), ("g1", 9L, None), ("g1", 5L, Some(1.0)),
+      ("g1", 6L, Some(8.0)), ("g1", 7L, Some(6.0)),
+      ("g2", 11L, Some(2.0)), ("g2", 12L, None))
+    val df = rows.toDF("event_type", "event_id", "value").repartition(7)
+    val got = graft.operators.GroupTopK
+      .topKByValueDesc(df, Seq("event_type"), "value", "event_id", k = 5)
+      .orderBy("event_type", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val want = Seq(
+      ("g1", 1L, 3L, Some(9.0)), ("g1", 2L, 4L, Some(9.0)), ("g1", 3L, 6L, Some(8.0)),
+      ("g1", 4L, 2L, Some(7.0)), ("g1", 5L, 7L, Some(6.0)),
+      ("g2", 1L, 11L, Some(2.0)), ("g2", 2L, 12L, None))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  test("merge is exercised hard: 64 partitions of interleaved ranks reproduce the window answer") {
+    import spark.implicits._
+    // 10k rows, 3 groups, values collide every 50 — k-boundary merges in
+    // every partial state; reference = the plain window on the same frame
+    val df = (0 until 10000).map { i =>
+      (s"t${i % 3}", i.toLong, Some((i % 50).toDouble))
+    }.toDF("event_type", "event_id", "value").repartition(64)
+    val got = graft.operators.GroupTopK
+      .topKByValueDesc(df, Seq("event_type"), "value", "event_id", k = 5)
+      .orderBy("event_type", "rank").collect().map(_.toSeq)
+    val want = df.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("value").desc_nulls_last, col("event_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("event_type"), col("rank").cast("long"), col("event_id"), col("value"))
+      .orderBy("event_type", "rank").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("plan: no WindowExec; partial+final ObjectHashAggregate reduce before the exchange") {
+    val df = SparkEntry.queries("topk_events_agg")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    def all(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: all(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: all(r.child)
+        case n => Seq(n)
+      }.distinct
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val nodes = all(plan).map(_.getClass.getSimpleName)
+    assert(!nodes.exists(_.startsWith("Window")), s"window leaked into the agg plan: $nodes")
+    assert(nodes.count(_.startsWith("ObjectHashAggregate")) >= 2,
+      s"expected partial+final object aggregation: $nodes")
+  }
+}
