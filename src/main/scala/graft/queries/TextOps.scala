@@ -1380,18 +1380,26 @@ object TextOps {
     * ×/÷ is bit-portable, counts stay exact below 2^53 (≈9e15 bigrams, past
     * the 100 TB point), and unlike an all-integer form no intermediate can
     * overflow (the true PMI ratio itself approaches N for perfectly
-    * correlated rare pairs). One windowed pair build + three count aggs +
-    * two term joins; top-15 via TakeOrdered. */
+    * correlated rare pairs). Pair build is the NARROW slice/zip_with
+    * projection (the `bpe_pair_counts` shape): the original
+    * posexplode+lead window shuffled AND sorted every token row
+    * (~280M at sf100) before the first count — the round-5 shingle-family
+    * anti-pattern, caught here by the round-11 sixth sf100 battery
+    * (89.6 s → see SCALING.md). Now: three map-side-combining count aggs
+    * + two term joins, no window anywhere; top-15 via TakeOrdered. */
   val textPmi: Q = (s, dir) => {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = table(s, dir, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val bi = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("tok").as("x"), col("nxt").as("y"))
+    val bi = table(s, dir, "documents")
+      .select(split(col("text"), " ").as("t"))
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= 5)
-    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val uni = table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     // Σ(len−1) straight off documents — NOT count−countDistinct over the
     // exploded tokens (mixing countDistinct into an agg plans through
     // Expand, doubling the exploded row count)
