@@ -939,20 +939,24 @@ object TextOps {
     * block counts and its text re-assembled WITHOUT the boilerplate blocks,
     * in original order.
     *
-    * Scale shape: explode → per-(doc,block) assembly (one shuffle on
-    * doc_id), block-frequency agg with map-side combine (shuffle on block
-    * text), and the boilerplate set — rare by construction — broadcasts
-    * back. Order-preserving reassembly is sort_array over (blk, text)
-    * structs, never a single-partition window. */
+    * Scale shape: blocks are sliced straight off each row's token array
+    * (narrow projection, one block-row explode — never a token-row shuffle;
+    * the oracle's list_slice build mirrors it), block-frequency agg with
+    * map-side combine on the block HASH, and the boilerplate set — rare by
+    * construction — broadcasts back. Order-preserving reassembly is
+    * sort_array over (blk, text) structs, never a single-partition
+    * window. */
   val textBlockDedup: Q = (s, dir) => {
-    val toks = table(s, dir, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val blocks = toks
-      .withColumn("blk", expr("pos div 8"))
-      .groupBy(col("doc_id"), col("blk"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ").as("block_text"))
+    // blocks come straight off the token ARRAY (slice per 8-token window,
+    // narrow projection + one explode of block rows) — the original
+    // token-posexplode → groupBy(doc_id, blk) → collect_list/array_sort
+    // re-assembly shuffled every token row just to glue them back together
+    // (sf100: 168.0 s → 37.5 s isolated, round-11 sixth-battery audit)
+    val blocks = table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), floor((size(col("t")) - 1) / 8).cast("int")),
+          b => array_join(slice(col("t"), b * 8 + 1, lit(8)), " "))).as(Seq("blk", "block_text")))
     // frequency + flagging run on the block HASH (longs through the
     // shuffle/broadcast, not multi-KB block strings); reassembly below is
     // the only consumer that needs the actual text
@@ -1184,20 +1188,23 @@ object TextOps {
 
   /** BPE TRAINING statistics (the other side of [[textBpe]]'s apply): count
     * adjacent-token pairs corpus-wide and return the top-20 merge candidates
-    * — iteration 1 of the BPE training loop. One windowed pair build + one
-    * map-side-combining count agg + TakeOrdered top-k (never a
-    * single-partition window). */
-  val bpePairCounts: Q = (s, dir) => {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    * — iteration 1 of the BPE training loop. Pair build is the NARROW
+    * slice/zip_with projection ([[bpeTrainMerges]]'s shape): the original
+    * posexplode+lead window shuffled and sorted every token row before the
+    * first count — caught at sf100 by the round-11 sixth-battery audit
+    * (133.7 s → 18.9 s isolated). One map-side-combining count agg +
+    * TakeOrdered top-k; no window, no pre-count shuffle. */
+  val bpePairCounts: Q = (s, dir) =>
     table(s, dir, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .groupBy(concat_ws(" ", col("tok"), col("nxt")).as("pair"))
+      .select(split(col("text"), " ").as("t"))
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("pair"))
+      .groupBy(col("pair"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
-  }
   val bpePairCountsSql =
     """WITH pairs AS (
       |  SELECT unnest(list_transform(range(1, len(t)),
