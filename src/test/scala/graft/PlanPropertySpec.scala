@@ -175,4 +175,16 @@ class PlanPropertySpec extends SparkSpec {
       .filter(_.getClass.getSimpleName.startsWith("HashAggregate"))
     assert(aggs.size == 2, s"store collapse must be partial+final, got ${aggs.size}")
   }
+
+  test("token-pair/block family: no window ever touches corpus rows (the sf100 audit, pinned)") {
+    // text_pmi 89.6->18.2 s, bpe_pair_counts 133.7->16.5 s, text_block_dedup
+    // 168.0->36.8 s at sf100 once their lead()-window / collect_list
+    // reassembly builds became narrow array projections — a regression here
+    // re-shuffles and re-sorts every token row at scale.
+    for (q <- Seq("text_pmi", "bpe_pair_counts", "text_block_dedup")) {
+      val plan = executed(query(q))
+      assert(!allNodes(plan).exists(_.getClass.getSimpleName.startsWith("Window")),
+        s"$q: a window crept back into the corpus path:\n$plan")
+    }
+  }
 }

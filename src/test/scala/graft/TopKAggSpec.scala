@@ -65,6 +65,43 @@ class TopKAggSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("property: random data (nulls, heavy ties, random k) matches a driver-side reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val gen = for {
+      k <- Gen.chooseNum(1, 8)
+      n <- Gen.chooseNum(0, 300)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        id <- Gen.chooseNum(0L, 10000L)
+        v <- Gen.frequency(6 -> Gen.chooseNum(0, 9).map(d => Some(d.toDouble)), 1 -> Gen.const(None))
+      } yield (g, id, v))
+    } yield (k, rows.distinctBy(r => (r._1, r._2))) // unique (group, id): the total-order contract
+    (0 until 12).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { case (k, rows) =>
+        val got = graft.operators.GroupTopK
+          .topKByValueDesc(rows.toDF("event_type", "event_id", "value").repartition(9),
+            Seq("event_type"), "value", "event_id", k)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+          .sortBy(t => (t._1, t._2)).toSeq
+        val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+          rs.sortWith { (a, b) =>
+            (a._3, b._3) match {
+              case (Some(x), Some(y)) => x > y || (x == y && a._2 < b._2)
+              case (Some(_), None)    => true
+              case (None, Some(_))    => false
+              case (None, None)       => a._2 < b._2
+            }
+          }.take(k).zipWithIndex.map { case ((_, id, v), j) => (g, (j + 1).toLong, id, v) }
+        }.sortBy(t => (t._1, t._2))
+        assert(got == want, s"seed $i (k=$k, n=${rows.size}): $got != $want")
+      }
+    }
+  }
+
   test("plan: no WindowExec; partial+final ObjectHashAggregate reduce before the exchange") {
     val df = SparkEntry.queries("topk_events_agg")(spark, "/root/testdata/sf0.001")
     df.collect()
