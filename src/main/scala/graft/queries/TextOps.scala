@@ -1895,25 +1895,72 @@ object TextOps {
     * POST-update weights + squared loss and training accuracy measured
     * with the PRE-update weights. */
   val trainLogregQuality: Q = (s, dir) => {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val feat = logregFeatures(s, dir).persist()
-    var w = Array(0L, 0L, 0L, 0L)
+    val (_, rows) = logregRounds(feat, Array(0L, 0L, 0L, 0L), rounds = 3, iterOffset = 0)
+    logregReport(s, rows)
+  }
+
+  /** `rounds` reporting GD rounds over `feat` from `w0`: returns the final
+    * weights (None once the corpus is empty — reports go NULL, the job does
+    * not die) and one report Row per round (POST-update weights, PRE-update
+    * sse / accuracy). The shared loop behind the trainer and the
+    * warm-start incremental phases. */
+  private def logregRounds(
+      feat: DataFrame, w0: Array[Long], rounds: Int, iterOffset: Int)
+      : (Option[Array[Long]], Seq[org.apache.spark.sql.Row]) = {
+    var w = w0
     var dead = false
-    val rows = (1 to 3).map { i =>
+    val rows = (1 to rounds).map { i =>
       val g = if (dead) null else logregGradient(feat, w).collect()(0)
       if (g == null || g.isNullAt(0)) {
         dead = true // no corpus -> no model: NULL weights, not a crash
-        org.apache.spark.sql.Row(i.toLong, null, null, null, null, null, null)
+        org.apache.spark.sql.Row((i + iterOffset).toLong, null, null, null, null, null, null)
       } else {
         w = logregUpdate(w, g)
-        org.apache.spark.sql.Row(i.toLong, w(0), w(1), w(2), w(3),
+        org.apache.spark.sql.Row((i + iterOffset).toLong, w(0), w(1), w(2), w(3),
           g.getAs[Long]("sse"), g.getAs[Long]("n_correct"))
       }
     }
+    (if (dead) None else Some(w), rows)
+  }
+
+  private def logregReport(s: SparkSession, rows: Seq[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq("iter", "w0", "w1", "w2", "w3", "sse", "n_correct")
       .map(StructField(_, LongType, nullable = true)))
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** WARM-START INCREMENTAL TRAINING — the daily-retrain shape the dedup
+    * lane already has (`dedup_incremental` / `dedup_minhash_incremental`):
+    * yesterday's model is a weight STORE, and today's batch continues
+    * training FROM it, touching only the batch — 2 GD rounds on the day-1
+    * half (doc_id%4<2), then ONE round on the day-2 quarter (doc_id%4=2)
+    * seeded with the stored weights. Cost of the increment is O(batch)
+    * (one gradient pass over day-2 rows), never O(corpus) — day-1 is not
+    * re-read, exactly how per-snapshot retraining must amortize at 100 TB.
+    * The oracle composes two prefixed CTE chains, the second seeded from
+    * the first's final weight CTE; the gate pins the whole continuous
+    * trajectory (warm-start round 3 opens at 97.6% on the UNSEEN day-2
+    * batch at sf0.01 — the stored model transfers). */
+  val trainLogregIncremental: Q = (s, dir) => {
+    val feat = logregFeatures(s, dir).persist()
+    val day1 = feat.filter(col("doc_id") % 4 < 2)
+    val day2 = feat.filter(col("doc_id") % 4 === 2)
+    val (w1, rows1) = logregRounds(day1, Array(0L, 0L, 0L, 0L), rounds = 2, iterOffset = 0)
+    val rows2 = w1 match {
+      case Some(w) => logregRounds(day2, w, rounds = 1, iterOffset = 2)._2
+      // no stored model (empty day-1): the increment reports NULL too —
+      // same propagation as the oracle's NULL-weight CTE chain
+      case None => Seq(org.apache.spark.sql.Row(3L, null, null, null, null, null, null))
+    }
+    logregReport(s, rows1 ++ rows2)
+  }
+  val trainLogregIncrementalSql =
+    s"""WITH ${logregSqlChain(" WHERE doc_id % 4 < 2", prefix = "a", rounds = 2)},
+       |${logregSqlChain(" WHERE doc_id % 4 = 2", prefix = "b", rounds = 1,
+          initW = "aw2", iterOffset = 2)}
+       |SELECT * FROM ar1 UNION ALL SELECT * FROM ar2 UNION ALL SELECT * FROM br1""".stripMargin
 
   /** Centered small-integer features + {0,1} label for [[trainLogregQuality]]
     * / [[trainLogregEval]]. Keyed by doc_id so the eval query can split
@@ -1969,8 +2016,10 @@ object TextOps {
           .as("n_correct"),
         count(lit(1)).as("n"))
   }
-  /** The centered-feature SELECT list shared by every logreg oracle CTE. */
-  private val logregFeatSqlCols =
+  /** The centered-feature SELECT list shared by every logreg oracle CTE.
+    * A def, not a val: oracle-SQL vals above it call the chain builder at
+    * object init, and a val here would still be null at that point. */
+  private def logregFeatSqlCols =
     """CAST(1 AS BIGINT) AS x0,
       |    CAST(length(text) // 50 - 6 AS BIGINT) AS x1,
       |    CAST(len(string_split(text, ' ')) // 10 - 5 AS BIGINT) AS x2,
@@ -1978,15 +2027,23 @@ object TextOps {
       |      AS BIGINT) AS x3,
       |    CAST(CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS BIGINT) AS y""".stripMargin
 
-  /** Shared DuckDB CTE chain (no leading WITH): feat -> w0 -> 3 GD rounds
-    * (s/g/w/r per round). `featWhere` narrows the training corpus — "" for
-    * the full-corpus trainer, a doc_id split for the held-out evaluator. */
-  private def logregSqlChain(featWhere: String): String = {
+  /** Shared DuckDB CTE chain (no leading WITH): <p>feat -> <p>w0 -> GD
+    * rounds (<p>s/g/w/r per round). `featWhere` narrows the training corpus
+    * — "" for the full-corpus trainer, a doc_id split for the held-out
+    * evaluator / incremental phases. `prefix` namespaces the CTEs so two
+    * chains compose in one query; `initW` seeds round 1 from another
+    * chain's weight CTE instead of zeros (the warm-start hook);
+    * `iterOffset` shifts the reported iter numbers so composed chains emit
+    * one continuous trajectory. */
+  private def logregSqlChain(
+      featWhere: String, prefix: String = "", rounds: Int = 3,
+      initW: String = "", iterOffset: Int = 0): String = {
+    val p = prefix
     def round(i: Int) =
-      s"""s$i AS (SELECT f.*, greatest(0, least(1000000,
+      s"""${p}s$i AS (SELECT f.*, greatest(0, least(1000000,
          |    500000 + (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3) // 4)) AS p
-         |  FROM feat f, w${i - 1} w),
-         |g$i AS (SELECT
+         |  FROM ${p}feat f, ${p}w${i - 1} w),
+         |${p}g$i AS (SELECT
          |    CAST(sum(x0*(p - y*1000000)) AS BIGINT) AS g0,
          |    CAST(sum(x1*(p - y*1000000)) AS BIGINT) AS g1,
          |    CAST(sum(x2*(p - y*1000000)) AS BIGINT) AS g2,
@@ -1994,23 +2051,26 @@ object TextOps {
          |    CAST(sum(((p - y*1000000) // 1000) * ((p - y*1000000) // 1000)) AS BIGINT) AS sse,
          |    CAST(sum(CASE WHEN (CASE WHEN p > 500000 THEN 1 ELSE 0 END) = y
          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-         |    count(*) AS n FROM s$i),
-         |w$i AS (SELECT
+         |    count(*) AS n FROM ${p}s$i),
+         |${p}w$i AS (SELECT
          |    CAST(w.w0 - (g.g0 // (greatest(g.n, 1) * 5)) AS BIGINT) AS w0,
          |    CAST(w.w1 - (g.g1 // (greatest(g.n, 1) * 5)) AS BIGINT) AS w1,
          |    CAST(w.w2 - (g.g2 // (greatest(g.n, 1) * 5)) AS BIGINT) AS w2,
          |    CAST(w.w3 - (g.g3 // (greatest(g.n, 1) * 5)) AS BIGINT) AS w3
-         |  FROM w${i - 1} w, g$i g),
-         |r$i AS (SELECT CAST($i AS BIGINT) AS iter, w.w0, w.w1, w.w2, w.w3,
-         |    g.sse, g.n_correct FROM w$i w, g$i g)""".stripMargin
-    s"""feat AS (
+         |  FROM ${p}w${i - 1} w, ${p}g$i g),
+         |${p}r$i AS (SELECT CAST(${i + iterOffset} AS BIGINT) AS iter,
+         |    w.w0, w.w1, w.w2, w.w3,
+         |    g.sse, g.n_correct FROM ${p}w$i w, ${p}g$i g)""".stripMargin
+    val w0cte =
+      if (initW.isEmpty)
+        s"""${p}w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+           |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin
+      else s"${p}w0 AS (SELECT * FROM $initW)"
+    s"""${p}feat AS (
        |  SELECT $logregFeatSqlCols
        |  FROM documents$featWhere),
-       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
-       |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
-       |${round(1)},
-       |${round(2)},
-       |${round(3)}""".stripMargin
+       |$w0cte,
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
   }
 
   val trainLogregQualitySql =
@@ -2075,6 +2135,7 @@ object TextOps {
     "domain_stats" -> (domainStats, Some(domainStatsSql)),
     "train_logreg_quality" -> (trainLogregQuality, Some(trainLogregQualitySql)),
     "train_logreg_eval" -> (trainLogregEval, Some(trainLogregEvalSql)),
+    "train_logreg_incremental" -> (trainLogregIncremental, Some(trainLogregIncrementalSql)),
     "label_propagation" -> (labelPropagation, Some(labelPropagationSql)),
     "bpe_train_merges" -> (bpeTrainMerges, Some(bpeTrainMergesSql)),
     "pipeline_quality_filter" -> (pipelineQualityFilter, Some(pipelineQualityFilterSql)),

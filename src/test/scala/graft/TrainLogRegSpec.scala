@@ -44,6 +44,23 @@ class TrainLogRegSpec extends SparkSpec {
     assert(got == Seq(250L, 129L, 2L, 109L, 10L, 984732L, 928057L), s"got $got")
   }
 
+  test("warm-start increment: one O(batch) round on unseen day-2 continues the day-1 model") {
+    val rows = SparkEntry.queries("train_logreg_incremental")(spark, Sf)
+      .orderBy("iter").collect().map { r =>
+        (r.getAs[Long]("iter"), r.getAs[Long]("w0"), r.getAs[Long]("w1"),
+          r.getAs[Long]("w2"), r.getAs[Long]("w3"), r.getAs[Long]("sse"),
+          r.getAs[Long]("n_correct"))
+      }
+    // Reference trace: 2 rounds on the 250-doc day-1 half, then ONE round
+    // on the 125-doc day-2 quarter seeded with the stored weights. The
+    // warm-start round opens at 122/125 (97.6%) on data the model never
+    // saw — the store transfers; sse keeps falling across the seam.
+    assert(rows.length == 3)
+    assert(rows(0) == ((1L, 2400L, 237200L, 212000L, 138000L, 62500000L, 122L)), s"iter1: ${rows(0)}")
+    assert(rows(1) == ((2L, 7664L, 295044L, 263382L, 157189L, 17990418L, 244L)), s"iter2: ${rows(1)}")
+    assert(rows(2) == ((3L, 10364L, 330780L, 296935L, 163427L, 6126164L, 122L)), s"iter3: ${rows(2)}")
+  }
+
   test("gradient pass: literal-folded weights, no join, one 7-long exchange") {
     val g = queries.TextOps.logregGradient(
       queries.TextOps.logregFeatures(spark, Sf), Array(0L, 0L, 0L, 0L))
