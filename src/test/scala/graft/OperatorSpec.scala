@@ -236,6 +236,42 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("valueAtRanks: histogram selection == driver-side sort on random data (ties, nulls, tiny groups)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 6).foreach { trial =>
+      val nGroups = 1 + rnd.nextInt(4)
+      val rows = (0 until 1 + rnd.nextInt(400)).map { _ =>
+        val g = s"g${rnd.nextInt(nGroups)}"
+        // heavy tie mass + occasional nulls + a constant-valued group g0
+        val v: Option[Double] =
+          if (rnd.nextInt(10) == 0) None
+          else if (g == "g0") Some(7.0)
+          else Some((rnd.nextInt(40) / 4.0))
+        (g, v)
+      }
+      val df = rows.toDF("g", "v").repartition(7)
+      // request every rank of a few groups (exhaustive), tiny bucket count
+      // to force multi-rank probes inside one bucket
+      val byG = rows.groupBy(_._1)
+      def ranksOf(n: Long, nNull: Long): Seq[(String, Long)] =
+        (1L to n).map(r => (s"r$r", r))
+      val got = graft.operators.RankSelect
+        .valueAtRanks(df, "g", "v", ranksOf, buckets = 4)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .sortBy(t => (t._1, t._2.drop(1).toInt))
+      // reference: full sort, NULLS FIRST, value at each 1-based rank
+      val want = byG.toSeq.flatMap { case (g, rs) =>
+        val sorted = rs.map(_._2).sortBy(v => (v.isDefined, v.getOrElse(0.0)))
+        sorted.zipWithIndex.map { case (v, i) => (g, s"r${i + 1}", v) }
+      }.sortBy(t => (t._1, t._2.drop(1).toInt))
+      assert(got.toSeq == want, s"trial $trial: ${got.toSeq} != $want")
+    }
+  }
+
   test("sql extension: char_fold_hash registered and codegen result matches scala") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT char_fold_hash('abc') AS h").head().getLong(0)

@@ -56,11 +56,37 @@ class PlanPropertySpec extends SparkSpec {
       s"scan not pruned: ${li.requiredSchema.fieldNames.mkString(",")}")
   }
 
-  test("topk_per_group: rank limit runs below AND above the exchange (WindowGroupLimit)") {
+  test("topk_per_group: bounded-state aggregate — no WindowExec, partial+final object agg") {
+    // Rewritten round 12 onto TopKByValueDesc: the window form (even with
+    // WindowGroupLimit's partial rank limit) still map-side SORTS every
+    // join-output row; the aggregate shuffles only k-entry states per
+    // (segment, task). Measured at sf100: 43.7 s -> scan floor (SCALING.md).
     val plan = executed(query("topk_per_group"))
-    val limits = allNodes(plan)
-      .filter(_.getClass.getSimpleName.startsWith("WindowGroupLimit"))
-    assert(limits.size >= 2, s"expected partial+final WindowGroupLimit, got ${limits.size}\n$plan")
+    val nodes = allNodes(plan).map(_.getClass.getSimpleName)
+    assert(!nodes.exists(_.startsWith("Window")),
+      s"window machinery leaked back into topk_per_group:\n$plan")
+    assert(nodes.count(_.startsWith("ObjectHashAggregate")) >= 2,
+      s"expected partial+final ObjectHashAggregate, got: $nodes\n$plan")
+  }
+
+  test("tpch dim joins: AQE picks broadcast WITHOUT forced hints (growth-safe plans)") {
+    // Round 12 removed explicit broadcast() hints from every sf-proportional
+    // dimension build (customer/part/supplier and their filtered
+    // projections): a forced hint pins the build side in executor memory at
+    // EVERY scale, which at the fourth decade is an OOM, and it disables
+    // AQE's demote-to-SMJ escape. The expectation moves HERE: at test scale
+    // the runtime sizes are tiny, so the planner must still choose
+    // BroadcastHashJoin on its own — and at a scale where the build side
+    // outgrows the threshold it may demote, which is the point.
+    Seq("q3_top_revenue", "q5_region_revenue", "q8_market_share",
+        "q9_nation_profit", "q10_returned_revenue", "q14_promo_share").foreach { q0 =>
+      val names = allNodes(executed(query(q0))).map(_.getClass.getSimpleName)
+      assert(names.exists(_.startsWith("BroadcastHashJoin")),
+        s"$q0: planner stopped broadcasting the (tiny here) dim side")
+      assert(!names.exists(n => n.startsWith("CartesianProduct") ||
+        n.startsWith("BroadcastNestedLoopJoin")),
+        s"$q0: dim join degraded to a product shape")
+    }
   }
 
   test("text_repetition: narrow scan, zero shuffles") {

@@ -102,6 +102,40 @@ class TopKAggSpec extends SparkSpec {
     }
   }
 
+  test("NaN sorts greatest (first under DESC) and -0.0 ties 0.0 — exactly the window order") {
+    import spark.implicits._
+    // NaN breaks `x > y`/`x == y` total ordering: under the naive comparator
+    // the insert position of a NaN row is partition-dependent. Spark's
+    // window sort treats NaN as the LARGEST double and normalizes -0.0 to
+    // 0.0 (NormalizeFloatingNumbers); the aggregate must match both.
+    val rows = Seq[(String, Long, Option[Double])](
+      ("g", 1L, Some(Double.NaN)), ("g", 2L, Some(Double.PositiveInfinity)),
+      ("g", 3L, Some(0.0)), ("g", 4L, Some(-0.0)), ("g", 5L, Some(1.0)),
+      ("g", 6L, Some(Double.NaN)), ("g", 7L, None),
+      ("g", 8L, Some(Double.NegativeInfinity)))
+    val df = rows.toDF("event_type", "event_id", "value").repartition(5)
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    val got = graft.operators.GroupTopK
+      .topKByValueDesc(df, Seq("event_type"), "value", "event_id", k = 8)
+      .orderBy("rank").collect().map(canon)
+    val want = df.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("value").desc_nulls_last, col("event_id"))))
+      .filter(col("rank") <= 8)
+      .select(col("event_type"), col("rank").cast("long"), col("event_id"), col("value"))
+      .orderBy("rank").collect().map(canon)
+    // doubleToLongBits canonicalizes every NaN to one bit pattern but keeps
+    // -0.0 distinct from 0.0 — the ORIGINAL value must survive into the
+    // output even though the two compare equal (ids break the tie)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("g", 1L, 1L), ("g", 2L, 6L), ("g", 3L, 2L), ("g", 4L, 5L),
+        ("g", 5L, 3L), ("g", 6L, 4L), ("g", 7L, 8L), ("g", 8L, 7L)), got.toSeq.toString)
+    assert(got.toSeq == want.toSeq, s"agg ${got.toSeq} != window ${want.toSeq}")
+  }
+
   test("plan: no WindowExec; partial+final ObjectHashAggregate reduce before the exchange") {
     val df = SparkEntry.queries("topk_events_agg")(spark, "/root/testdata/sf0.001")
     df.collect()
