@@ -46,12 +46,28 @@ object Bench {
       // the same provider so correctness is gated on it.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val spark = extraConf.foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
+      // AQE broadcast decisions on MEASURED runtime sizes up to 256 MB:
+      // round 12 removed the forced broadcast() hints from every
+      // sf-proportional dimension build (a hint pins the build in executor
+      // memory at ANY scale and disables AQE's demote-to-SMJ escape — the
+      // fourth-decade OOM). The default 10 MB runtime cap would instead
+      // demote the measured-24-200 MB sf100 builds that were benched green;
+      // 256 MB keeps those exact plans while staying a size-BOUNDED,
+      // growth-safe rule: a build that outgrows it demotes automatically.
+      // The STATIC threshold stays at 10 MB — pre-shuffle estimates are
+      // file-size upper bounds, only runtime sizes earn the bigger budget.
+      // Inert at the driver's sf0.1 (every dim is already < 10 MB).
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256MB")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // process-private managed tables (see graft.core.EphemeralWarehouse)
       .config("spark.sql.warehouse.dir", graft.core.EphemeralWarehouse.dir)
+    // extraConf folds LAST so the passthrough can override EVERY built-in
+    // config above (scale experiments own the semantics risk) — it used to
+    // fold before the ui/timezone/nanos/warehouse group, which made those
+    // four silently un-overridable.
+    val spark = extraConf.foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: touch every table (footer read + full scan) so per-query

@@ -29,10 +29,22 @@ case class TopKByValueDesc(k: Int)
       Seq[(Long, Option[Double])]] {
   require(k > 0, s"k must be positive, got $k")
 
+  /** IEEE `>`/`==` are NOT a total order (NaN compares false to
+    * everything), so a naive comparator would make NaN rows'
+    * insert/merge position partition-dependent. Match Spark's window sort
+    * exactly: NaN is the LARGEST double (first under DESC) and -0.0 ties
+    * 0.0 (NormalizeFloatingNumbers) — `Double.compare` gives the NaN rule,
+    * the 0.0-normalization handles the signed zero it would otherwise
+    * split. */
+  private def cmpVal(x: Double, y: Double): Int =
+    java.lang.Double.compare(if (x == 0.0) 0.0 else x, if (y == 0.0) 0.0 else y)
+
   /** Total order: value DESC NULLS LAST, id ASC. */
   private def before(a: (Option[Double], Long), b: (Option[Double], Long)): Boolean =
     (a._1, b._1) match {
-      case (Some(x), Some(y)) => x > y || (x == y && a._2 < b._2)
+      case (Some(x), Some(y)) =>
+        val c = cmpVal(x, y)
+        c > 0 || (c == 0 && a._2 < b._2)
       case (Some(_), None)    => true
       case (None, Some(_))    => false
       case (None, None)       => a._2 < b._2

@@ -130,14 +130,22 @@ object AsOfJoin {
         carry.map(p => best.getField(p).as(s"asof_$p")): _*)
   }
 
-  private def composed(
+  /** The tagged union the backward composition windows over, exposed
+    * (package-private) so BucketBench can persist it as a bucketed+sorted
+    * layout and run [[carryFrom]] straight off the scan — measuring
+    * whether the as-of's one exchange amortizes away under layout the way
+    * the equi-join's does. Returns the union plus the generated internal
+    * (key, time, side, payload) column names and the left column list the
+    * carry phase needs. */
+  private[graft] def taggedUnion(
       left: DataFrame,
       right: DataFrame,
       key: String,
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      forward: Boolean): DataFrame = {
+      forward: Boolean)
+      : (DataFrame, (String, String, String, String), Seq[String]) = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
     // withColumn/select silently replace same-named columns, so the five
@@ -148,8 +156,7 @@ object AsOfJoin {
     val taken = (leftCols ++ right.columns).toSet
     def free(base: String): String =
       Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
-    val (kC, tC, sideC, rC, bestC) =
-      (free("_k"), free("_t"), free("_side"), free("_r"), free("_rbest"))
+    val (kC, tC, sideC, rC) = (free("_k"), free("_t"), free("_side"), free("_r"))
     payload.foreach(p => require(!leftCols.contains(s"asof_$p"),
       s"output column 'asof_$p' already exists in the left frame"))
     // forward = backward over negated time (see asOfForward doc); from here
@@ -157,7 +164,6 @@ object AsOfJoin {
     val negate: Column => Column = if (forward) c => -c else identity
     // side numbering puts the right row INSIDE the frame at equal times:
     // the frame ends at current row, so right must sort first (0 vs 1)
-    val (leftSide, rightSide) = (1, 0)
     // The payload travels as ONE struct (non-null for every right row), so
     // first/last(_, ignoreNulls) carries the whole matching right row
     // atomically — a NULL payload VALUE in the matched row stays NULL, and
@@ -167,23 +173,49 @@ object AsOfJoin {
       StructField(p, right.schema(p).dataType, nullable = true)))
     val l = left
       .withColumn(tC, negate(col(leftTime)))
-      .withColumn(sideC, lit(leftSide))
+      .withColumn(sideC, lit(1))
       .select(Seq(col(key).as(kC), col(tC), col(sideC)) ++
         leftCols.map(col) :+ lit(null).cast(payloadType).as(rC): _*)
     val r = right
       .withColumn(tC, negate(col(rightTime)))
-      .withColumn(sideC, lit(rightSide))
+      .withColumn(sideC, lit(0))
       .select(Seq(col(key).as(kC), col(tC), col(sideC)) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col): _*).as(rC): _*)
-    val ordered = Window.partitionBy(col(kC)).orderBy(col(tC), col(sideC))
-    val w = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pick = last(col(rC), ignoreNulls = true)
-    val carried = l.unionByName(r)
-      .select(
-        (Seq(col(kC), col(tC), col(sideC)) ++ leftCols.map(col) :+
-          pick.over(w).as(bestC)): _*)
-    carried.filter(col(sideC) === leftSide)
+    (l.unionByName(r), (kC, tC, sideC, rC), leftCols)
+  }
+
+  /** The carry phase over a [[taggedUnion]] (or anything
+    * schema-identical, e.g. its bucketed+sorted materialization): one
+    * running-frame window on the key, keep left rows, unpack the payload. */
+  private[graft] def carryFrom(
+      unioned: DataFrame,
+      names: (String, String, String, String),
+      leftCols: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val (kC, tC, sideC, rC) = names
+    def freeBest(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(unioned.columns.contains).next()
+    val bestC = freeBest("_rbest")
+    val w = Window.partitionBy(col(kC)).orderBy(col(tC), col(sideC))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.select(
+      (Seq(col(kC), col(tC), col(sideC)) ++ leftCols.map(col) :+
+        last(col(rC), ignoreNulls = true).over(w).as(bestC)): _*)
+    carried.filter(col(sideC) === 1)
       .select(leftCols.map(col) ++ payload.map(p => col(s"$bestC.$p").as(s"asof_$p")): _*)
+  }
+
+  private def composed(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      forward: Boolean): DataFrame = {
+    val (unioned, names, leftCols) =
+      taggedUnion(left, right, key, leftTime, rightTime, payload, forward)
+    carryFrom(unioned, names, leftCols, payload)
   }
 }

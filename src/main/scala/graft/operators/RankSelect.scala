@@ -66,4 +66,133 @@ object RankSelect {
     }
     picked.select((col(groupCol) +: col("_n").as("n") +: outs): _*)
   }
+
+  /** Exact VALUE AT GLOBAL RANK per group — with NO corpus sort at all.
+    *
+    * [[percentileCont]] (and the ntile composition before round 12) still
+    * pay one full range-partitioned SORT of every row
+    * ([[Sharding.cumSumBy]]) even though only a handful of rank positions
+    * are ever read back; at the third decade that sort IS the query
+    * (window_ntile: ~47 s of its 47 s at sf100, SCALING.md). This is the
+    * classic distributed SELECTION answer — find the value at rank k by
+    * histogram probing:
+    *
+    *   pass 0  per-group n / null count / min / max          (tiny agg)
+    *   pass 1  per-(group, equi-width bucket) counts — partials combine
+    *           map-side, so the exchange carries ≤ groups·buckets rows,
+    *           NEVER corpus rows; the driver walks the cumulative counts
+    *           to locate the bucket holding each requested rank
+    *   pass 2  rows of the ≤|ranks| hit buckets only (~n/buckets each)
+    *           get a bucket-local row_number; the row at the residual
+    *           offset is the answer
+    *
+    * Rank semantics: 1-based over value ASC NULLS FIRST; a rank inside the
+    * null prefix resolves to a NULL value. Ties are benign — any tie order
+    * yields the same value at a rank. Contracts: `groupCol` must be
+    * LOW-CARDINALITY (this exists for the few-huge-groups straggler
+    * regime; the driver holds ≤ groups·buckets count rows — the same
+    * bounded-collect class as kmeans' K=64 centroids) with
+    * equality-well-defined atomic values, and values must be NaN-free
+    * (equi-width bucketing has no NaN bucket). Adversarial mass on one
+    * point inside a bucket degrades pass 2 to that bucket's size; the
+    * all-equal case short-circuits on the driver, and the general escape
+    * (recursive refinement) is documented, not needed at any benched
+    * scale.
+    *
+    * @param ranksOf needed ranks per group as (label, rank) pairs, given
+    *                the group's total row count n (nulls INCLUDED) and its
+    *                null count
+    * @return (groupCol, label, value) — one row per requested (group, label)
+    */
+  def valueAtRanks(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ranksOf: (Long, Long) => Seq[(String, Long)],
+      buckets: Int = 1024): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+    val spark = df.sparkSession
+    val gType = df.schema(groupCol).dataType
+    val ev = df.select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
+    val outSchema = StructType(Seq(StructField("_g", gType),
+      StructField("label", StringType, nullable = false),
+      StructField("value", DoubleType)))
+    def finish(res: DataFrame): DataFrame =
+      res.select(col("_g").as(groupCol), col("label"), col("value"))
+
+    // pass 0: one row per group — the low-cardinality contract
+    val stats = ev.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), count(col("_v")).as("_nv"),
+        min(col("_v")).as("_lo"), max(col("_v")).as("_hi"))
+      .collect()
+
+    // driver: answer what needs no probing; queue the rest
+    val direct = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val pending = scala.collection.mutable.ArrayBuffer
+      .empty[(Any, Double, Double, Long, String)] // (g, lo, hi, nonNullRank, label)
+    stats.foreach { r =>
+      val (g, n, nv) = (r.get(0), r.getLong(1), r.getLong(2))
+      val nNull = n - nv
+      ranksOf(n, nNull).foreach { case (label, rank) =>
+        require(rank >= 1 && rank <= n, s"rank $rank outside [1, $n] for group $g")
+        val rNN = rank - nNull
+        if (rNN <= 0) direct += Row(g, label, null)               // null prefix
+        else {
+          val (lo, hi) = (r.getDouble(3), r.getDouble(4))         // nv > 0 here
+          if (rNN == 1) direct += Row(g, label, lo)               // group min
+          else if (rNN == nv) direct += Row(g, label, hi)         // group max
+          else if (lo == hi) direct += Row(g, label, lo)          // all equal
+          else pending += ((g, lo, hi, rNN, label))
+        }
+      }
+    }
+    val directDf = spark.createDataFrame(direct.asJava, outSchema)
+    if (pending.isEmpty) return finish(directDf)
+
+    // pass 1: per-group equi-width histogram over [lo, hi]
+    val boundsDf = spark.createDataFrame(
+      pending.map(p => (p._1, p._2, p._3)).distinct.map(t => Row(t._1, t._2, t._3)).asJava,
+      StructType(Seq(StructField("_bg", gType), StructField("_blo", DoubleType),
+        StructField("_bhi", DoubleType))))
+    // null-safe join keys throughout: a NULL group key is a legal group
+    val bucketed = ev.filter(col("_v").isNotNull)
+      .join(broadcast(boundsDf), col("_g") <=> col("_bg")) // groups with no probe drop out
+      .withColumn("_b", least(floor((col("_v") - col("_blo")) /
+        (col("_bhi") - col("_blo")) * buckets), lit(buckets - 1)).cast("int"))
+      .select(col("_g"), col("_b"), col("_v"))
+    val hist = bucketed.groupBy(col("_g"), col("_b")).agg(count(lit(1)).as("_c")).collect()
+
+    // driver: cumulative bucket counts → (bucket, in-bucket offset) per rank
+    val byG = hist.groupBy(_.get(0))
+    val probes = pending.map { case (g, _, _, rNN, label) =>
+      val bs = byG(g).map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+      var cum = 0L
+      var hit: Option[(Int, Long)] = None
+      for ((b, c) <- bs if hit.isEmpty) {
+        if (rNN <= cum + c) hit = Some((b, rNN - cum))
+        cum += c
+      }
+      val (b, off) = hit.getOrElse(
+        throw new IllegalStateException(s"rank $rNN beyond histogram mass $cum for group $g"))
+      Row(g, b, off, label)
+    }
+    val probeDf = spark.createDataFrame(probes.asJava,
+      StructType(Seq(StructField("_pg", gType), StructField("_pb", IntegerType),
+        StructField("_off", LongType), StructField("label", StringType))))
+
+    // pass 2: only hit buckets survive; a bucket-local row_number picks the
+    // row at the offset (ties: equal values, any order picks the same one)
+    val hitBuckets = probeDf.select(col("_pg").as("_hg"), col("_pb").as("_hb")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g"), col("_b")).orderBy(col("_v"))
+    val probedVals = bucketed
+      .join(broadcast(hitBuckets), col("_g") <=> col("_hg") && col("_b") === col("_hb"))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .join(broadcast(probeDf),
+        col("_g") <=> col("_pg") && col("_b") === col("_pb") && col("_rn") === col("_off"))
+      .select(col("_g"), col("label"), col("_v").as("value"))
+    finish(directDf.unionByName(probedVals))
+  }
 }

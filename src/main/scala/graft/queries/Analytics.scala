@@ -39,14 +39,19 @@ object Analytics {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3 shape: fact-fact join + agg + deterministic top-10.
-    * customer is broadcast; orders⋈lineitem shuffles on orderkey once. */
+    * orders⋈lineitem shuffles on orderkey once; the skinny filtered
+    * customer projection is left UNHINTED — customer grows with the corpus,
+    * so the broadcast-vs-shuffle call belongs to AQE's measured runtime
+    * size (a forced hint would pin a fourth-decade build in executor
+    * memory). PlanPropertySpec pins that the planner still picks
+    * BroadcastHashJoin at test scale. */
   val q3TopRevenue: Q = (s, dir) => {
     val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
     val ord = table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     val li = table(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -59,8 +64,10 @@ object Analytics {
       |WHERE c_mktsegment = 'BUILDING'
       |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
-  /** TPC-H Q5 shape: 5-way join through the dimension chain; all dims
-    * broadcast, single shuffle on the fact keys. */
+  /** TPC-H Q5 shape: 5-way join through the dimension chain; single
+    * shuffle on the fact keys. nation/region hint-broadcast (BOUNDED
+    * tables); customer is sf-proportional, so its join strategy is AQE's
+    * runtime-size call, not a forced hint. */
   val q5RegionRevenue: Q = (s, dir) => {
     val region = table(s, dir, "region")
     val nation = table(s, dir, "nation")
@@ -68,7 +75,7 @@ object Analytics {
     val ord = table(s, dir, "orders")
     val li = table(s, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
@@ -391,7 +398,8 @@ object Analytics {
     * oracle via conditional aggregation). */
   val pivotStatus: Q = (s, dir) =>
     table(s, dir, "orders")
-      .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(table(s, dir, "customer"), // sf-proportional: AQE's call
+        col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)))
@@ -441,29 +449,54 @@ object Analytics {
   val windowNtile: Q = (s, dir) => {
     // ntile over LOW-CARDINALITY partitions (a handful of event types) is
     // the classic scale straggler: each type's millions of rows collapse
-    // into one window task. Computed instead as a distributed composition
-    // with bit-identical semantics — the oracle still uses native SQL
-    // ntile, proving equivalence: global rank via the two-pass prefix
-    // count over (event_type, value, event_id) range partitioning, per-type
-    // row counts and start ranks from a tiny broadcast agg, then the exact
-    // ntile bucket formula (first n%k buckets get one extra row).
-    val ev = table(s, dir, "events").select(col("event_type"), col("value"), col("event_id"))
-    val ranked = graft.operators.Sharding.cumSumBy(
-      ev, Seq("event_type", "value", "event_id"), lit(1L), "_rank")
-    val groups = ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("_n"), min(col("_rank")).as("_start"))
-    ranked.join(broadcast(groups), Seq("event_type"))
-      .withColumn("_r", col("_rank") - col("_start") + 1) // 1-based rank within type
-      .withColumn("_qs", expr("_n div 4"))
-      .withColumn("_rem", col("_n") % 4)
-      .withColumn("quartile",
-        when(col("_r") <= col("_rem") * (col("_qs") + 1),
-          expr("(_r - 1) div (_qs + 1)") + 1)
-          .otherwise(col("_rem") + expr("(_r - 1 - _rem * (_qs + 1)) div greatest(_qs, 1)") + 1)
-          .cast("int"))
-      .groupBy(col("event_type"), col("quartile"))
-      .agg(count(lit(1)).as("n"), round(min(col("value")), 2).as("lo"),
-        round(max(col("value")), 2).as("hi"))
+    // into one window task. Round 12: the previous distributed composition
+    // (two-pass prefix count) still paid ONE full range-partitioned SORT of
+    // the corpus just to read 8 rank positions per type back out — 47.4 s
+    // of window_ntile's 47.4 s at sf100 (SCALING.md). This is SELECTION,
+    // not sorting: the quartile COUNTS are pure arithmetic on n, and lo/hi
+    // are the values AT the quartile boundary ranks —
+    // [[graft.operators.RankSelect.valueAtRanks]] finds those by histogram
+    // probing (two counting passes + a bucket-local sort of ~n/1024
+    // survivors), so no corpus row is ever sorted or shuffled. The oracle
+    // still uses native SQL ntile, proving equivalence; ties across a
+    // boundary select the same tied value either way, and the event_id
+    // tiebreak in the ntile ORDER BY never reaches the output (it only
+    // permutes equal values).
+    val ev = table(s, dir, "events").select(col("event_type"), col("value")).persist()
+    // exact ntile(4) sizing: first n%4 quartiles get one extra row
+    def quartBounds(n: Long): Seq[(Int, Long, Long, Long)] = {
+      val qs = n / 4; val rem = n % 4
+      (1 to 4).map { q =>
+        val size = qs + (if (q <= rem) 1L else 0L)
+        val end = qs * q + math.min(q.toLong, rem)
+        (q, size, end - size + 1, end)
+      }.filter(_._2 > 0)
+    }
+    val vals = graft.operators.RankSelect.valueAtRanks(
+      ev, "event_type", "value",
+      (n, nNull) => quartBounds(n).flatMap { case (q, _, start, end) =>
+        // lo mirrors min()-ignores-nulls under the NULLS-FIRST rank order:
+        // the first NON-null rank of the quartile (a rank still inside the
+        // null prefix resolves to NULL — the all-null quartile)
+        Seq((s"lo_$q", if (end <= nNull) end else math.max(start, nNull + 1)),
+          (s"hi_$q", end))
+      })
+    val lo = vals.filter(col("label").startsWith("lo_"))
+      .select(col("event_type").as("_et1"),
+        substring(col("label"), 4, 1).cast("int").as("_q1"), col("value").as("_lov"))
+    val hi = vals.filter(col("label").startsWith("hi_"))
+      .select(col("event_type").as("_et2"),
+        substring(col("label"), 4, 1).cast("int").as("_q2"), col("value").as("_hiv"))
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("_n"))
+      .select(col("event_type"), col("_n"),
+        explode(array((1 to 4).map(lit(_)): _*)).as("quartile"))
+      .withColumn("n",
+        expr("_n div 4") + when(col("quartile") <= col("_n") % 4, 1L).otherwise(0L))
+      .filter(col("n") > 0)
+      .join(broadcast(lo), col("event_type") === col("_et1") && col("quartile") === col("_q1"))
+      .join(broadcast(hi), col("event_type") === col("_et2") && col("quartile") === col("_q2"))
+      .select(col("event_type"), col("quartile").cast("int").as("quartile"), col("n"),
+        round(col("_lov"), 2).as("lo"), round(col("_hiv"), 2).as("hi"))
   }
   val windowNtileSql =
     """SELECT event_type, quartile, count(*) AS n, round(min(value), 2) AS lo, round(max(value), 2) AS hi
@@ -646,8 +679,8 @@ object Analytics {
     val n2 = table(s, dir, "nation")
       .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey")) // sf-proportional: AQE's call
+      .join(cust, col("o_custkey") === col("c_custkey")) // sf-proportional: AQE's call
       .join(broadcast(n1), col("s_nationkey") === col("snk"))
       .join(broadcast(n2), col("c_nationkey") === col("cnk"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -682,7 +715,7 @@ object Analytics {
     val cust = table(s, dir, "customer")
     val nat = table(s, dir, "nation")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")) // sf-proportional: AQE's call
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -704,7 +737,7 @@ object Analytics {
   val q19Disjunctive: Q = (s, dir) => {
     val li = table(s, dir, "lineitem")
     val part = table(s, dir, "part")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey")) // part is sf-proportional: AQE's call
       .filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 11)) ||
@@ -736,10 +769,10 @@ object Analytics {
       .select(col("p_partkey"), col("p_brand"))
     val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
     val w = Window.partitionBy(col("l_partkey"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey")) // part/supplier sf-proportional: AQE's call
       .withColumn("min_price", min(col("l_extendedprice")).over(w))
       .filter(col("l_extendedprice") === col("min_price"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_brand"), col("s_name"),
         round(col("min_price"), 2).as("min_price"))
   }
@@ -777,7 +810,7 @@ object Analytics {
         "left_semi")
       .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2") &&
         col("d2") > col("l_shipdate"), "left_anti")
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey")) // sf-proportional: AQE's call
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
@@ -821,15 +854,24 @@ object Analytics {
       |  w_rows AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
 
-  /** Per-group top-k: 3 highest-value orders per market segment — the
-    * rank-then-filter window shape (partitioned window, no global sort). */
+  /** Per-group top-k: 3 highest-value orders per market segment. Rewritten
+    * (round 12) from the rank-then-filter window onto the BOUNDED-STATE
+    * aggregate [[graft.functions.TopKByValueDesc]]: with 5 huge segments,
+    * any window form — even with WindowGroupLimit's partial rank cut —
+    * still map-side SORTS every join-output row, measured 43.7 s at sf100;
+    * the aggregate's map-side combine reduces each task to k rows per
+    * segment, so only k-entry states cross the wire (same shape as
+    * `topk_events_agg`, 5.3× there). The customer join is unhinted —
+    * sf-proportional, AQE's runtime-size call. The oracle stays the plain
+    * SQL row_number, proving the aggregate is result-identical. */
   val topkPerGroup: Q = (s, dir) => {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    table(s, dir, "orders")
-      .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+    val joined = table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(table(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    graft.operators.GroupTopK.topKByValueDesc(
+      joined, groupCols = Seq("c_mktsegment"), valueCol = "o_totalprice",
+      idCol = "o_orderkey", k = 3, rankCol = "rk")
       .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"))
   }
@@ -1277,8 +1319,8 @@ object Analytics {
     val n1 = table(s, dir, "nation").select(col("n_nationkey").as("cnk"), col("n_name").as("src"))
     val n2 = table(s, dir, "nation").select(col("n_nationkey").as("snk"), col("n_name").as("dst"))
     val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")) // sf-proportional: AQE's call
+      .join(supp, col("l_suppkey") === col("s_suppkey")) // sf-proportional: AQE's call
       .join(broadcast(n1), col("c_nationkey") === col("cnk"))
       .join(broadcast(n2), col("s_nationkey") === col("snk"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))

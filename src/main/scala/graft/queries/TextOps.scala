@@ -2039,9 +2039,18 @@ object TextOps {
       featWhere: String, prefix: String = "", rounds: Int = 3,
       initW: String = "", iterOffset: Int = 0): String = {
     val p = prefix
+    // NULL-model propagation (degenerate-input parity with the Scala
+    // trainer): once a round's weights go NULL (empty split), the engine
+    // reports NULL rows and never scores again — but DuckDB's
+    // least/greatest IGNORE NULLs, so an unguarded score would fold a NULL
+    // z to a concrete p=1000000 and the next round would emit numbers the
+    // engine never computes. Guard the score on w0 IS NULL, and make
+    // n_correct's CASE re-propagate the NULL p (its inner CASE would
+    // otherwise collapse NULL to pred=0 and count y=0 rows).
     def round(i: Int) =
-      s"""${p}s$i AS (SELECT f.*, greatest(0, least(1000000,
-         |    500000 + (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3) // 4)) AS p
+      s"""${p}s$i AS (SELECT f.*, CASE WHEN w.w0 IS NULL THEN NULL
+         |    ELSE greatest(0, least(1000000,
+         |    500000 + (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3) // 4)) END AS p
          |  FROM ${p}feat f, ${p}w${i - 1} w),
          |${p}g$i AS (SELECT
          |    CAST(sum(x0*(p - y*1000000)) AS BIGINT) AS g0,
@@ -2049,7 +2058,8 @@ object TextOps {
          |    CAST(sum(x2*(p - y*1000000)) AS BIGINT) AS g2,
          |    CAST(sum(x3*(p - y*1000000)) AS BIGINT) AS g3,
          |    CAST(sum(((p - y*1000000) // 1000) * ((p - y*1000000) // 1000)) AS BIGINT) AS sse,
-         |    CAST(sum(CASE WHEN (CASE WHEN p > 500000 THEN 1 ELSE 0 END) = y
+         |    CAST(sum(CASE WHEN p IS NULL THEN NULL
+         |      WHEN (CASE WHEN p > 500000 THEN 1 ELSE 0 END) = y
          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
          |    count(*) AS n FROM ${p}s$i),
          |${p}w$i AS (SELECT
@@ -2116,8 +2126,13 @@ object TextOps {
        |  SELECT $logregFeatSqlCols
        |  FROM documents WHERE doc_id % 2 = 1),
        |sc AS (SELECT e.y,
+       |    -- coalesce, not NULL-propagate: the Scala evaluator falls back
+       |    -- to ZERO weights when training died on an empty split
+       |    -- (logregTrain.getOrElse), so the oracle must score the same
+       |    -- zero model, not emit NULLs
        |    CASE WHEN greatest(0, least(1000000,
-       |      500000 + (w.w0*e.x0 + w.w1*e.x1 + w.w2*e.x2 + w.w3*e.x3) // 4)) > 500000
+       |      500000 + (coalesce(w.w0, 0)*e.x0 + coalesce(w.w1, 0)*e.x1
+       |        + coalesce(w.w2, 0)*e.x2 + coalesce(w.w3, 0)*e.x3) // 4)) > 500000
        |      THEN 1 ELSE 0 END AS pred
        |  FROM ev e, w3 w),
        |a AS (SELECT count(*) AS n_eval,

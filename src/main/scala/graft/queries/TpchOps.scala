@@ -75,10 +75,13 @@ object TpchOps {
         .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
         col("s_nationkey") === col("snk"))
       .select("s_suppkey", "supp_nation")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    // part/custEur/suppNation are sf-proportional builds: no forced
+    // broadcast hints — AQE decides on measured runtime size (the bounded
+    // nation/region hints above stay)
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custEur), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(custEur, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
       .agg(sum(when(col("supp_nation") === "NATION_1", col("vol_cents")).otherwise(0L)).as("mkt_cents"),
         sum(col("vol_cents")).as("all_cents"))
@@ -122,8 +125,8 @@ object TpchOps {
         col("s_nationkey") === col("snk"))
       .select("s_suppkey", "supp_nation")
     table(s, dir, "lineitem")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(part, col("l_partkey") === col("p_partkey")) // sf-proportional: AQE's call
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .withColumn("profit_cents",
         floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
           col("p_retailprice") * lit(0.1) * col("l_quantity")) * 100).cast("long"))
@@ -220,7 +223,7 @@ object TpchOps {
       .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
       .select(col("l_partkey"), volCents.as("vol_cents"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey")) // sf-proportional: AQE's call
       .agg(sum(when(col("p_type") === "PROMO", col("vol_cents")).otherwise(0L)).as("promo_cents"),
         sum(col("vol_cents")).as("all_cents"))
       .select(
@@ -251,7 +254,7 @@ object TpchOps {
       .groupBy(col("l_suppkey")).agg(sum(col("vol_cents")).as("rev_cents"))
     val mx = rev.agg(max(col("rev_cents")).as("mx"))
     rev.crossJoin(broadcast(mx)).filter(col("rev_cents") === col("mx"))
-      .join(broadcast(table(s, dir, "supplier").select("s_suppkey", "s_name")),
+      .join(table(s, dir, "supplier").select("s_suppkey", "s_name"), // sf-proportional: AQE's call
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), (col("rev_cents") / 100.0).as("total_revenue"))
   }
@@ -277,8 +280,8 @@ object TpchOps {
       .select("p_partkey", "p_brand", "p_type", "p_size")
     val excl = table(s, dir, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")
     table(s, dir, "lineitem").select("l_partkey", "l_suppkey")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(part, col("l_partkey") === col("p_partkey")) // part/excl sf-proportional: AQE's call
+      .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -299,12 +302,12 @@ object TpchOps {
       .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
       .select("p_partkey")
     val fil = table(s, dir, "lineitem")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey")) // sf-proportional: AQE's call
       .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
         floor(col("l_extendedprice") * 100).cast("long").as("cents"))
     val per = fil.groupBy(col("l_partkey"))
       .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cnt"))
-    fil.join(broadcast(per), Seq("l_partkey"))
+    fil.join(per, Seq("l_partkey")) // per grows with |part|: AQE's call
       .filter(col("qty") * 5 * col("cnt") < col("sq"))
       .agg((sum(col("cents")) / 700.0).as("avg_yearly"), count(lit(1)).as("n"))
   }
@@ -330,8 +333,8 @@ object TpchOps {
       .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
       .filter(col("total_qty") > 300)
     table(s, dir, "orders")
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(table(s, dir, "customer").select("c_custkey", "c_name")),
+      .join(big, col("o_orderkey") === col("l_orderkey")) // big/customer grow with sf: AQE's call
+      .join(table(s, dir, "customer").select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         // floor-cents, not round(_, 2): Spark rounds via BigDecimal HALF_UP
@@ -364,7 +367,7 @@ object TpchOps {
     val qty = table(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey")) // sf-proportional: AQE's call
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("qty_ps"))
     val w = Window.partitionBy(col("l_partkey"))
@@ -372,7 +375,7 @@ object TpchOps {
       .filter(col("qty_ps") * 2 > col("qty_p"))
       .select(col("l_suppkey")).distinct()
     picked
-      .join(broadcast(table(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")),
+      .join(table(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey"), // sf-proportional
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name").as("supp_nation"))
