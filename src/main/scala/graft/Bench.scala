@@ -46,17 +46,22 @@ object Bench {
       // the same provider so correctness is gated on it.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // AQE broadcast decisions on MEASURED runtime sizes up to 256 MB:
-      // round 12 removed the forced broadcast() hints from every
+      // Broadcast decisions bounded at 256 MB instead of forced hints:
+      // round 12 removed the explicit broadcast() hints from every
       // sf-proportional dimension build (a hint pins the build in executor
-      // memory at ANY scale and disables AQE's demote-to-SMJ escape — the
-      // fourth-decade OOM). The default 10 MB runtime cap would instead
-      // demote the measured-24-200 MB sf100 builds that were benched green;
-      // 256 MB keeps those exact plans while staying a size-BOUNDED,
-      // growth-safe rule: a build that outgrows it demotes automatically.
-      // The STATIC threshold stays at 10 MB — pre-shuffle estimates are
-      // file-size upper bounds, only runtime sizes earn the bigger budget.
-      // Inert at the driver's sf0.1 (every dim is already < 10 MB).
+      // memory at ANY scale and disables the demote-to-SMJ escape — the
+      // fourth-decade OOM). The default 10 MB caps would instead demote
+      // the measured-24-200 MB sf100 builds that were benched green; 256 MB
+      // keeps those exact plans while staying a size-BOUNDED, growth-safe
+      // rule: a build that outgrows it demotes automatically. The STATIC
+      // threshold must rise TOO, not just AQE's: estimates are pre-filter
+      // upper bounds (file size × projection ratio), and a static SMJ has
+      // already WRITTEN the probe side's shuffle map output by the time
+      // AQE sees the small runtime build — measured on q9_nation_profit at
+      // sf100: 16.9 s (broadcast) vs 187.7 s (static SMJ, AQE-converted
+      // too late — the 600M-row profit scan shuffled first). Inert at the
+      // driver's sf0.1 (every dim estimate is already < 10 MB).
+      .config("spark.sql.autoBroadcastJoinThreshold", "256MB")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256MB")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

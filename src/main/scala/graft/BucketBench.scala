@@ -151,12 +151,14 @@ object BucketBench {
       out.write.format("noop").mode("overwrite").save()
       out
     }
-    // equality across layouts: order-free checksum (count + wrapping hash
-    // sum — both sides wrap identically), one row collected
+    // equality across layouts: order-free checksum (count + bit_xor of row
+    // hashes — xor is associative/commutative and cannot overflow, while a
+    // SUM of 100M int64 hashes throws under ANSI), one row collected
     def checksum(u: DataFrame): (Long, Long) = {
       val r = graft.operators.AsOfJoin.carryFrom(u, names, leftCols, payload)
-        .agg(count(lit(1)), sum(xxhash64(col("event_id"), col("user_id"), col("ts_us"),
-          col("asof_o_orderkey"), col("asof_o_price")))).collect()(0)
+        .select(xxhash64(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_o_orderkey"), col("asof_o_price")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
       (r.getLong(0), r.getLong(1))
     }
 

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A FOURTH-decade probe (virtual sf1000) for the lanes that can honestly
+  * run on this box.
+  *
+  * A materialized sf1000 is ~150 GB of parquet — past this box's free
+  * disk (53 GB at round 12), so the corpus is VIRTUAL: the plan unions
+  * `copies` (default 10) key-shifted reads of the sf100 tables. What that
+  * buys honestly, and what it does not:
+  *
+  *   - every DECODE, AGGREGATION STATE, map-side combine, and SHUFFLE runs
+  *     at true sf1000 volume (6G lineitem rows, 50M docs) — the machinery
+  *     being probed another decade up;
+  *   - the scan I/O re-reads the same 11 GB file 10×, which the page
+  *     cache serves after pass one — so these numbers measure the
+  *     COMPUTE/SHUFFLE path, and the cold-disk term must be extrapolated
+  *     separately (it is linear in bytes: SCALING.md's q1 adjudication).
+  *
+  * The shuffle-HEAVY lanes (q5's fact-fact SMJ: ~25 GB of shuffle per run
+  * at sf100 → ~250 GB at sf1000) exceed the box's disk in SHUFFLE SPILL
+  * alone and are not probed — that is the single-box disk ceiling,
+  * documented as such in SCALING.md, and exactly the resource a
+  * 1000-executor cluster widens.
+  *
+  * Three lanes, mirroring their registry queries:
+  *   q1  — `q1_agg`'s full-scan aggregate (tiny group count);
+  *   q6  — `q6_filter_agg`'s pushed-filter aggregate;
+  *   dedup — `dedup_sha256`'s exact-dup detector (hash groupBy; the
+  *           clone-mass generator makes every sf100 clone class 10× wider
+  *           here, so duplicate OUTPUT grows super-row on purpose).
+  *
+  * Usage: runMain graft.ScaleProbe <sf100Dir> [copies] [lanes]
+  * Prints one JSON line of lane timings.
+  */
+object ScaleProbe {
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val lanes = (if (args.length > 2) args(2) else "q1,q6,dedup").split(",").toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", graft.core.EphemeralWarehouse.dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** `copies` plan-level reads of `name`, each with `idCol` shifted into
+      * its own key space (clone rows stay distinguishable, as a real
+      * decade-up corpus's would be). */
+    def virtualTable(name: String, idCol: String): DataFrame =
+      (0 until copies).map { i =>
+        spark.read.parquet(s"$sfDir/$name.parquet")
+          .withColumn(idCol, col(idCol) + lit(i.toLong * 1000000000000L))
+      }.reduce(_.unionByName(_))
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    if (lanes("q1")) {
+      // q1_agg's shape over 6G rows: group states are 6 rows; everything
+      // is map-side combine + one tiny exchange
+      val li = virtualTable("lineitem", "l_orderkey")
+      timings += "q1_virtual" -> time(noop(
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))))
+    }
+    if (lanes("q6")) {
+      val li = virtualTable("lineitem", "l_orderkey")
+      timings += "q6_virtual" -> time(noop(
+        li.filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n"))))
+    }
+    if (lanes("dedup")) {
+      // dedup_sha256's shape at 50M docs: the exchange carries one row per
+      // DISTINCT hash after map-side combine — clone mass collapses before
+      // the wire, which is the property being verified another decade up
+      val docs = virtualTable("documents", "doc_id")
+      timings += "dedup_sha256_virtual" -> time(noop(
+        docs.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+          .filter(col("n_copies") > 1)))
+    }
+
+    val line = timings.map { case (k, v) => f""""$k":$v%.1f""" }
+      .mkString(s"""{"copies":$copies,"sf_dir":"$sfDir",""", ",", "}")
+    println(line)
+    spark.stop()
+  }
+}

@@ -109,7 +109,19 @@ object RankSelect {
       groupCol: String,
       valueCol: String,
       ranksOf: (Long, Long) => Seq[(String, Long)],
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024): DataFrame =
+    valueAtRanksWithStats(df, groupCol, valueCol, ranksOf, buckets)._1
+
+  /** [[valueAtRanks]] plus the pass-0 per-group stats it collected anyway —
+    * (group, n, nNull) — so a caller that also needs group counts (the
+    * ntile composition derives every quartile size from n) does not pay a
+    * FOURTH corpus scan to re-aggregate them. */
+  def valueAtRanksWithStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ranksOf: (Long, Long) => Seq[(String, Long)],
+      buckets: Int = 1024): (DataFrame, Seq[(Any, Long, Long)]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
@@ -127,6 +139,8 @@ object RankSelect {
       .agg(count(lit(1)).as("_n"), count(col("_v")).as("_nv"),
         min(col("_v")).as("_lo"), max(col("_v")).as("_hi"))
       .collect()
+    val statsOut: Seq[(Any, Long, Long)] =
+      stats.toSeq.map(r => (r.get(0), r.getLong(1), r.getLong(1) - r.getLong(2)))
 
     // driver: answer what needs no probing; queue the rest
     val direct = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -149,7 +163,7 @@ object RankSelect {
       }
     }
     val directDf = spark.createDataFrame(direct.asJava, outSchema)
-    if (pending.isEmpty) return finish(directDf)
+    if (pending.isEmpty) return (finish(directDf), statsOut)
 
     // pass 1: per-group equi-width histogram over [lo, hi]
     val boundsDf = spark.createDataFrame(
@@ -193,6 +207,6 @@ object RankSelect {
       .join(broadcast(probeDf),
         col("_g") <=> col("_pg") && col("_b") === col("_pb") && col("_rn") === col("_off"))
       .select(col("_g"), col("label"), col("_v").as("value"))
-    finish(directDf.unionByName(probedVals))
+    (finish(directDf.unionByName(probedVals)), statsOut)
   }
 }

@@ -462,7 +462,10 @@ object Analytics {
     // boundary select the same tied value either way, and the event_id
     // tiebreak in the ntile ORDER BY never reaches the output (it only
     // permutes equal values).
-    val ev = table(s, dir, "events").select(col("event_type"), col("value")).persist()
+    // NOT persisted: the passes re-scan a 2-column parquet projection
+    // (~3 s each at sf100), while caching 100M deserialized string rows
+    // costs more in build + GC than all re-scans combined
+    val ev = table(s, dir, "events").select(col("event_type"), col("value"))
     // exact ntile(4) sizing: first n%4 quartiles get one extra row
     def quartBounds(n: Long): Seq[(Int, Long, Long, Long)] = {
       val qs = n / 4; val rem = n % 4
@@ -472,7 +475,7 @@ object Analytics {
         (q, size, end - size + 1, end)
       }.filter(_._2 > 0)
     }
-    val vals = graft.operators.RankSelect.valueAtRanks(
+    val (vals, stats) = graft.operators.RankSelect.valueAtRanksWithStats(
       ev, "event_type", "value",
       (n, nNull) => quartBounds(n).flatMap { case (q, _, start, end) =>
         // lo mirrors min()-ignores-nulls under the NULLS-FIRST rank order:
@@ -481,21 +484,29 @@ object Analytics {
         Seq((s"lo_$q", if (end <= nNull) end else math.max(start, nNull + 1)),
           (s"hi_$q", end))
       })
+    // quartile sizing is pure arithmetic on the pass-0 stats — a tiny
+    // driver-built frame, not a fourth corpus scan
+    val quartRows = stats.flatMap { case (g, n, _) =>
+      quartBounds(n).map { case (q, size, _, _) =>
+        org.apache.spark.sql.Row(g.asInstanceOf[String], q, size)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val quart = s.createDataFrame(quartRows.asJava, StructType(Seq(
+      StructField("event_type", StringType), StructField("quartile", IntegerType),
+      StructField("n", LongType)))
+    )
     val lo = vals.filter(col("label").startsWith("lo_"))
       .select(col("event_type").as("_et1"),
         substring(col("label"), 4, 1).cast("int").as("_q1"), col("value").as("_lov"))
     val hi = vals.filter(col("label").startsWith("hi_"))
       .select(col("event_type").as("_et2"),
         substring(col("label"), 4, 1).cast("int").as("_q2"), col("value").as("_hiv"))
-    ev.groupBy(col("event_type")).agg(count(lit(1)).as("_n"))
-      .select(col("event_type"), col("_n"),
-        explode(array((1 to 4).map(lit(_)): _*)).as("quartile"))
-      .withColumn("n",
-        expr("_n div 4") + when(col("quartile") <= col("_n") % 4, 1L).otherwise(0L))
-      .filter(col("n") > 0)
+    quart
       .join(broadcast(lo), col("event_type") === col("_et1") && col("quartile") === col("_q1"))
       .join(broadcast(hi), col("event_type") === col("_et2") && col("quartile") === col("_q2"))
-      .select(col("event_type"), col("quartile").cast("int").as("quartile"), col("n"),
+      .select(col("event_type"), col("quartile"), col("n"),
         round(col("_lov"), 2).as("lo"), round(col("_hiv"), 2).as("hi"))
   }
   val windowNtileSql =

@@ -69,6 +69,19 @@ class PlanPropertySpec extends SparkSpec {
       s"expected partial+final ObjectHashAggregate, got: $nodes\n$plan")
   }
 
+  test("window_ntile: selection not sorting — the full-corpus range exchange stays gone") {
+    // Round 12 replaced the prefix-count composition (one range-partitioned
+    // sort of every event row) with RankSelect.valueAtRanks histogram
+    // probing: counting aggregates + a bucket-local window over ~n/1024
+    // survivors. The old plan's signature was a RangePartitioning exchange
+    // over the corpus; its absence IS the scale claim (28.6 s vs 47.4 s at
+    // sf100, and nothing corpus-sized crosses the wire on a cluster).
+    val plan = executed(query("window_ntile"))
+    val rangeEx = shuffles(plan).filter(_.outputPartitioning
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
+    assert(rangeEx.isEmpty, s"the full-corpus range sort leaked back:\n$plan")
+  }
+
   test("tpch dim joins: AQE picks broadcast WITHOUT forced hints (growth-safe plans)") {
     // Round 12 removed explicit broadcast() hints from every sf-proportional
     // dimension build (customer/part/supplier and their filtered
