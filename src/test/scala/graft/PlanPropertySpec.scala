@@ -76,10 +76,12 @@ class PlanPropertySpec extends SparkSpec {
     // survivors. The old plan's signature was a RangePartitioning exchange
     // over the corpus; its absence IS the scale claim (28.6 s vs 47.4 s at
     // sf100, and nothing corpus-sized crosses the wire on a cluster).
-    val plan = executed(query("window_ntile"))
-    val rangeEx = shuffles(plan).filter(_.outputPartitioning
-      .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
-    assert(rangeEx.isEmpty, s"the full-corpus range sort leaked back:\n$plan")
+    Seq("window_ntile", "agg_percentiles_dist").foreach { q0 =>
+      val plan = executed(query(q0))
+      val rangeEx = shuffles(plan).filter(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
+      assert(rangeEx.isEmpty, s"$q0: the full-corpus range sort leaked back:\n$plan")
+    }
   }
 
   test("tpch dim joins: AQE picks broadcast WITHOUT forced hints (growth-safe plans)") {
