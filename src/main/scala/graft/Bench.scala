@@ -46,22 +46,27 @@ object Bench {
       // the same provider so correctness is gated on it.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // Broadcast decisions bounded at 256 MB instead of forced hints:
+      // Broadcast decisions bounded by SIZE instead of forced hints:
       // round 12 removed the explicit broadcast() hints from every
       // sf-proportional dimension build (a hint pins the build in executor
       // memory at ANY scale and disables the demote-to-SMJ escape — the
       // fourth-decade OOM). The default 10 MB caps would instead demote
-      // the measured-24-200 MB sf100 builds that were benched green; 256 MB
-      // keeps those exact plans while staying a size-BOUNDED, growth-safe
-      // rule: a build that outgrows it demotes automatically. The STATIC
-      // threshold must rise TOO, not just AQE's: estimates are pre-filter
-      // upper bounds (file size × projection ratio), and a static SMJ has
-      // already WRITTEN the probe side's shuffle map output by the time
-      // AQE sees the small runtime build — measured on q9_nation_profit at
-      // sf100: 16.9 s (broadcast) vs 187.7 s (static SMJ, AQE-converted
-      // too late — the 600M-row profit scan shuffled first). Inert at the
-      // driver's sf0.1 (every dim estimate is already < 10 MB).
-      .config("spark.sql.autoBroadcastJoinThreshold", "256MB")
+      // the measured-24-200 MB sf100 builds that were benched green. The
+      // STATIC threshold must rise TOO, not just AQE's: a leaf-level
+      // static SMJ schedules BOTH children's shuffle map phases together,
+      // so the fact side has already written its exchange by the time AQE
+      // sees the small runtime build and converts — measured on
+      // q9_nation_profit at sf100: 16.9 s (hinted) vs 187.7 s (AQE-only)
+      // vs 14.1 s (both thresholds). The bounds are ASYMMETRIC on
+      // principle: the static planner decides from pre-filter,
+      // column-pruned FILE-byte estimates that understate in-memory build
+      // size 3-5×, so it gets the tight 64 MB bound (big enough for every
+      // sf100 dim estimate, ≤45 MB; small enough to exclude middle-scale
+      // fact projections); AQE decides from measured exchange bytes and
+      // gets the looser 256 MB. Both demote automatically when a build
+      // outgrows them — the growth-safe property a hint cannot have.
+      // Inert at the driver's sf0.1 (every dim estimate is < 10 MB).
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256MB")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
