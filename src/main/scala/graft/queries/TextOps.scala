@@ -1077,17 +1077,29 @@ object TextOps {
     * floor(1e9 / count). Integer arithmetic throughout, so the per-doc sum
     * is order-free and bit-exact cross-engine (a real LM's −log p is not).
     *
-    * Scale shape: one explode + term-count agg (map-side combine), one
-    * shuffle join tokens⋈vocab on term, one per-doc agg. The vocabulary is
-    * Zipf-small relative to the corpus but unbounded, so the join stays a
-    * shuffle join (AQE may broadcast it when stats allow). */
+    * Scale shape (round 12): everything term-level rides the (doc, term)
+    * TF pre-aggregation — raw token rows never cross the wire. The
+    * previous form joined the token EXPLODE (a leaf) against the vocab
+    * aggregate on term; a leaf-level static SMJ schedules both children's
+    * shuffle maps together, so ~10 tokens/row × corpus rows had already
+    * shuffled before AQE could broadcast the runtime-small vocab (the
+    * q9_nation_profit trap, measured there 11×). Now: one map-side-
+    * combining agg to (doc_id, term, tf) — the only corpus-mass exchange,
+    * and it carries distinct PAIRS, not tokens; vocab = a second tiny agg
+    * OVER tf (term counts re-derive as sum(tf), reusing the pair
+    * exchange); the join sits above an exchange, so AQE converts it to a
+    * broadcast in time when the measured vocab is small and demotes when
+    * it is not (Heaps-law unbounded — exactly why it carries no hint).
+    * surprise_sum = Σ tf·floor(1e9/c) is the same integer per doc. */
   val textLmScore: Q = (s, dir) => {
     val toks = table(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-    toks.join(vocab, Seq("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    tf.join(vocab, Seq("term"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(expr("1000000000 div c")).as("surprise_sum"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * expr("1000000000 div c")).as("surprise_sum"))
       .withColumn("avg_surprise", expr("surprise_sum div n_tokens"))
   }
   val textLmScoreSql =
