@@ -16,6 +16,10 @@ object Explain {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror Bench's size-bounded broadcast thresholds so audited plans
+      // are the plans the bench actually runs (see Bench.scala rationale)
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "256MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
