@@ -93,6 +93,30 @@ object ScaleProbe {
           .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
             count(lit(1)).as("n"))))
     }
+    if (lanes("embedgen")) {
+      // MATERIALIZE a fourth-decade embeddings table (20M vectors ≈ 5 GB —
+      // the one big table that fits the disk): 10 copies of sf100, copy i
+      // CYCLICALLY SHIFTED by 7i dims. A shift is orthogonal, applied to
+      // both sides of any pair it preserves dot products and norms — so
+      // each shift class reproduces sf100's near-dup geometry EXACTLY
+      // (true output = 10× sf100's, never a clone-mass explosion), while
+      // cross-class cosines are generic (~0, below every dedup threshold)
+      // and only stress the LSH buckets — which is the point: does the
+      // adaptive band-width schedule hold at 10× the corpus? Run
+      // `Bench SPARK_GRAFT_ONLY=dedup_embedding` with SPARK_GRAFT_SF_DIR
+      // pointed at the output dir afterwards.
+      val out = s"${sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "target/scale/sf1000e")}/embeddings.parquet"
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val shifted = (0 until copies).map { i =>
+        val k = (7 * i) % 64
+        val e = if (k == 0) col("embedding")
+          else concat(slice(col("embedding"), k + 1, 64 - k), slice(col("embedding"), 1, k))
+        emb.select((col("vec_id") + lit(i.toLong * 1000000000000L)).as("vec_id"),
+          e.as("embedding"), col("label"))
+      }.reduce(_.unionByName(_))
+      timings += "embedgen" -> time(
+        shifted.repartition(64).write.mode("overwrite").parquet(out))
+    }
     if (lanes("dedup")) {
       // dedup_sha256's shape at 50M docs: the exchange carries one row per
       // DISTINCT hash after map-side combine — clone mass collapses before
