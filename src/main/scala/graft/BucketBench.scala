@@ -151,15 +151,20 @@ object BucketBench {
       out.write.format("noop").mode("overwrite").save()
       out
     }
-    // equality across layouts: order-free checksum (count + bit_xor of row
-    // hashes — xor is associative/commutative and cannot overflow, while a
-    // SUM of 100M int64 hashes throws under ANSI), one row collected
-    def checksum(u: DataFrame): (Long, Long) = {
+    // equality across layouts: order-free checksum — count + bit_xor of row
+    // hashes PLUS the sums of each hash's 32-bit halves. Xor alone cancels
+    // under any EVEN multiset discrepancy (a dropped pair plus a duplicated
+    // pair hashes clean); the half-sums break that symmetry and stay
+    // ANSI-overflow-safe (each half < 2^32, so the sum holds to ~2^31 rows,
+    // where a raw SUM of int64 hashes throws). One row collected.
+    def checksum(u: DataFrame): Seq[Long] = {
       val r = graft.operators.AsOfJoin.carryFrom(u, names, leftCols, payload)
         .select(xxhash64(col("event_id"), col("user_id"), col("ts_us"),
           col("asof_o_orderkey"), col("asof_o_price")).as("h"))
-        .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
-      (r.getLong(0), r.getLong(1))
+        .agg(count(lit(1)), expr("bit_xor(h)"),
+          sum(expr("h & 4294967295")), sum(expr("shiftright(h, 32) & 4294967295")))
+        .collect()(0)
+      (0 to 3).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
     }
 
     run(unioned) // untimed warm-up: equalize page-cache state

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -16,22 +15,11 @@ object Verify {
     // config/AQE drift that re-introduces an exchange fails the row loudly
     // instead of silently regressing.
     System.setProperty("graft.assertPlans", "true")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as ns-long (converted
-      // to µs in graft.queries.Util.eventsWithTs)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // same state-store provider as Bench (RocksDB — adopted round 11,
-      // SCALING.md): the correctness gate must run what the bench runs
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // per-process managed-table warehouse: concurrent sibling JVMs must
-      // never share (or sweep) each other's tables — see EphemeralWarehouse
-      .config("spark.sql.warehouse.dir", graft.core.EphemeralWarehouse.dir)
-      .getOrCreate()
+    // The SHARED engine config ([[graft.core.GraftSession]]) — identical to
+    // Bench's: the correctness gate runs the same planner thresholds the
+    // bench and the SCALING.md claims run (round-11 RocksDB principle,
+    // round-13 applied to the calibrated broadcast bounds too).
+    val spark = graft.core.GraftSession.builder(cpus, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Recursive delete — each query's prior dump is removed BEFORE the

@@ -26,10 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object RankSelect {
 
+  /** Hard ceiling on `groupCol` cardinality (see [[valueAtRanks]]): the
+    * driver holds one stats row per group (pass 0) and up to groups×buckets
+    * histogram rows (pass 1) — 4096 groups × 1024 buckets ≈ 4M count rows,
+    * comfortably bounded; past it the caller is in the many-groups regime
+    * where a plain aggregate parallelizes fine and this operator's driver
+    * state would grow without bound. */
+  val MaxGroups = 4096
+
   /** One row per group: `groupCol`, `n`, and one `percentile_cont` column
     * per `(outName, p)` — exact, type-7 interpolation (= Spark
     * `percentile`, DuckDB `quantile_cont`). Nulls in `valueCol` are
     * ignored, matching the aggregate forms.
+    *
+    * CONTRACT (inherited from [[valueAtRanks]], enforced by [[MaxGroups]]):
+    * `groupCol` must be LOW-CARDINALITY. This form collect()s one row per
+    * group plus up to groups×buckets histogram rows to the driver — it
+    * exists for the few-huge-groups straggler regime where `percentile()`
+    * funnels each group through one reducer. A high-cardinality `groupCol`
+    * fails loudly (it would be better served by a plain sort-based
+    * aggregate anyway: many groups already parallelize). The input must
+    * also be DETERMINISTIC (see [[valueAtRanks]]).
     *
     * Round 12: rides [[valueAtRanks]] — each percentile needs only the
     * TWO values bracketing `p·(n−1)`, so this is selection, not ranking:
@@ -100,16 +117,28 @@ object RankSelect {
     *
     * Rank semantics: 1-based over value ASC NULLS FIRST; a rank inside the
     * null prefix resolves to a NULL value. Ties are benign — any tie order
-    * yields the same value at a rank. Contracts: `groupCol` must be
-    * LOW-CARDINALITY (this exists for the few-huge-groups straggler
-    * regime; the driver holds ≤ groups·buckets count rows — the same
-    * bounded-collect class as kmeans' K=64 centroids) with
-    * equality-well-defined atomic values, and values must be NaN-free
-    * (equi-width bucketing has no NaN bucket). Adversarial mass on one
-    * point inside a bucket degrades pass 2 to that bucket's size; the
-    * all-equal case short-circuits on the driver, and the general escape
-    * (recursive refinement) is documented, not needed at any benched
-    * scale.
+    * yields the same value at a rank. Contracts:
+    *   - `groupCol` must be LOW-CARDINALITY (this exists for the
+    *     few-huge-groups straggler regime; the driver holds ≤
+    *     groups·buckets count rows — the same bounded-collect class as
+    *     kmeans' K=64 centroids) with equality-well-defined atomic values.
+    *     ENFORCED: more than [[MaxGroups]] groups raises
+    *     IllegalArgumentException instead of silently OOMing the driver
+    *     (pass 0 probes through a limit, so the overflow itself is cheap).
+    *   - values must be NaN-free (equi-width bucketing has no NaN bucket).
+    *     ±Infinity IS handled: a group whose min or max is infinite cannot
+    *     be equi-width bucketed ((v−lo)/(hi−lo) degenerates), so it is
+    *     routed to a SINGLE bucket explicitly — pass 2 degrades to that
+    *     group's full in-bucket sort, correct at any rank (spec-pinned).
+    *   - the input plan must be DETERMINISTIC: passes 1 and 2 re-execute
+    *     the same lazy plan, and a nondeterministic source (rand(),
+    *     unstable sampling) can make the probed bucket contents disagree
+    *     with the histogram — surfacing as IllegalStateException at best,
+    *     a wrong value at worst. Persist such inputs before calling.
+    * Adversarial mass on one point inside a bucket degrades pass 2 to
+    * that bucket's size; the all-equal case short-circuits on the driver,
+    * and the general escape (recursive refinement) is documented, not
+    * needed at any benched scale.
     *
     * @param ranksOf needed ranks per group as (label, rank) pairs, given
     *                the group's total row count n (nulls INCLUDED) and its
@@ -146,11 +175,20 @@ object RankSelect {
     def finish(res: DataFrame): DataFrame =
       res.select(col("_g").as(groupCol), col("label"), col("value"))
 
-    // pass 0: one row per group — the low-cardinality contract
+    // pass 0: one row per group — the low-cardinality contract, ENFORCED:
+    // the collect goes through limit(MaxGroups+1), so a high-cardinality
+    // group column costs one truncated fetch and a clear error, never an
+    // unbounded driver materialization
     val stats = ev.groupBy(col("_g"))
       .agg(count(lit(1)).as("_n"), count(col("_v")).as("_nv"),
         min(col("_v")).as("_lo"), max(col("_v")).as("_hi"))
+      .limit(MaxGroups + 1)
       .collect()
+    require(stats.length <= MaxGroups,
+      s"valueAtRanks: '$groupCol' exceeds $MaxGroups groups — this operator " +
+        "serves the few-huge-groups regime (driver holds one stats row per " +
+        "group plus up to groups*buckets histogram rows); a high-cardinality " +
+        "grouping already parallelizes under a plain sort/percentile aggregate")
     val statsOut: Seq[(Any, Long, Long)] =
       stats.toSeq.map(r => (r.get(0), r.getLong(1), r.getLong(1) - r.getLong(2)))
 
@@ -183,10 +221,17 @@ object RankSelect {
       StructType(Seq(StructField("_bg", gType), StructField("_blo", DoubleType),
         StructField("_bhi", DoubleType))))
     // null-safe join keys throughout: a NULL group key is a legal group
+    // An infinite lo/hi (or a span overflowing to +Inf) makes the
+    // equi-width ratio NaN/degenerate — route those groups to ONE bucket
+    // explicitly: pass 2 degrades to the group's full in-bucket sort,
+    // correct at any rank, instead of leaning on floor(NaN)→0 casts
+    val span = col("_bhi") - col("_blo")
     val bucketed = ev.filter(col("_v").isNotNull)
       .join(broadcast(boundsDf), col("_g") <=> col("_bg")) // groups with no probe drop out
-      .withColumn("_b", least(floor((col("_v") - col("_blo")) /
-        (col("_bhi") - col("_blo")) * buckets), lit(buckets - 1)).cast("int"))
+      .withColumn("_b",
+        when(span >= lit(Double.PositiveInfinity), lit(0))
+          .otherwise(least(floor((col("_v") - col("_blo")) /
+            span * buckets), lit(buckets - 1)).cast("int")))
       .select(col("_g"), col("_b"), col("_v"))
     val hist = bucketed.groupBy(col("_g"), col("_b")).agg(count(lit(1)).as("_c")).collect()
 
