@@ -643,6 +643,75 @@ object Analytics {
       ev, ord, key = "user_id", leftTime = "ts_us", rightTime = "ot_us",
       payload = Seq("o_orderkey", "o_price"))
   }
+
+  /** [[joinAsof]] over a BUCKETED+SORTED layout of its tagged union — the
+    * recurring-layout result BucketBench measured at sf100 (123.0 →
+    * 7.1 s/run, 17.3×, amortizes after 1 layout write; SCALING.md round 12)
+    * promoted under the oracle gate: the as-of's ONE exchange + sort is
+    * paid at layout-write time (bucketBy key, sortBy (key, time, side),
+    * repartition-by-key first so every bucket is a single file — Spark
+    * only trusts bucket sort order for single-file buckets), and the carry
+    * window then runs straight off the scan with ZERO shuffle. Under
+    * `-Dgraft.assertPlans=true` (Verify's session) the zero-exchange plan
+    * property is require()d in the same configuration the driver runs —
+    * the `join_bucketed` precedent.
+    *
+    * Double-gated: the EMITTED rows come from the bucketed carry (so the
+    * driver hashes the layout path against join_asof's own DuckDB ASOF
+    * oracle), and an order-free checksum — count + bit_xor + ANSI-safe
+    * 32-bit-half sums of row hashes (xor alone cancels under even multiset
+    * discrepancies) — is require()d equal against the straight-from-source
+    * carry in-process. Hermetic: process-private warehouse + nonce table
+    * name ([[graft.core.EphemeralWarehouse]]; the returned frame is lazy,
+    * so the table must outlive this call — the shutdown hook cleans up). */
+  val joinAsofBucketed: Q = (s, dir) => {
+    val ev = eventsWithTs(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val ordW = Window.partitionBy(col("o_custkey"), col("ot_us")).orderBy(col("o_orderkey").desc)
+    val ord = table(s, dir, "orders")
+      .withColumn("ot_us", unix_micros(col("o_orderdate").cast("timestamp"))) // NTZ → UTC instant
+      .withColumn("_rn", row_number().over(ordW)).filter(col("_rn") === 1).drop("_rn")
+      .select(col("o_custkey").as("user_id"), col("ot_us"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("o_price"))
+    val payload = Seq("o_orderkey", "o_price")
+    val (unioned, names, leftCols) = graft.operators.AsOfJoin.taggedUnion(
+      ev, ord, key = "user_id", leftTime = "ts_us", rightTime = "ot_us",
+      payload = payload, forward = false)
+    val (kC, tC, sideC, _) = names
+    val buckets = 16
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val uName = s"graft_asof_u_$nonce"
+    unioned.repartition(buckets, col(kC))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, kC).sortBy(kC, tC, sideC).saveAsTable(uName)
+    val carried = graft.operators.AsOfJoin.carryFrom(
+      s.table(uName), names, leftCols, payload)
+    if (sys.props.get("graft.assertPlans").contains("true")) {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exec = carried.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+      require(shuffles.isEmpty,
+        s"bucketed as-of carry must run exchange-free (${shuffles.size} exchanges):\n$exec")
+    }
+    // losslessness gate: order-free checksum, one row collected per side
+    def checksum(df: DataFrame): Seq[Long] = {
+      val r = df.select(xxhash64(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_o_orderkey"), col("asof_o_price")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)"),
+          sum(expr("h & 4294967295")), sum(expr("shiftright(h, 32) & 4294967295")))
+        .collect()(0)
+      (0 to 3).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+    }
+    val fromSource = graft.operators.AsOfJoin.carryFrom(unioned, names, leftCols, payload)
+    require(checksum(carried) == checksum(fromSource),
+      "bucketed as-of layout changed the result")
+    carried
+  }
+
   val joinAsofSql =
     """WITH ord AS (
       |  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS ot_us,
@@ -1656,6 +1725,7 @@ object Analytics {
     "window_range_frame" -> (windowRangeFrame, Some(windowRangeFrameSql)),
     "join_range" -> (joinRange, Some(joinRangeSql)),
     "join_asof" -> (joinAsof, Some(joinAsofSql)),
+    "join_asof_bucketed" -> (joinAsofBucketed, Some(joinAsofSql)),
     "join_full_outer" -> (joinFullOuter, Some(joinFullOuterSql)),
     "agg_collect" -> (aggCollect, Some(aggCollectSql)),
     "agg_having" -> (aggHaving, Some(aggHavingSql)),
