@@ -1092,6 +1092,17 @@ object TextOps {
     * it is not (Heaps-law unbounded — exactly why it carries no hint).
     * surprise_sum = Σ tf·floor(1e9/c) is the same integer per doc. */
   val textLmScore: Q = (s, dir) => {
+    // Round 13 measured-negative: a fused per-row tokenize+count kernel
+    // (array-of-(term, tf)-structs from one compiled pass, the SpanHashes
+    // recipe) was built, oracle-greened, and A/B'd against this explode
+    // form INTERLEAVED at sf100 in both orders — warm-equalized it was
+    // consistently ~1.5-2× SLOWER (legacy ~33-44 s vs kernel ~53-74 s;
+    // SCALING.md round 13). Root cause: ~10-token documents leave almost
+    // no repeat mass to pre-count, so the kernel's per-row map, generic
+    // struct rows, and codegen-fallback boundary cost more than the
+    // per-token explode+hash-agg they replace (split+explode+count is
+    // fully whole-stage-codegen'd). The explode form stays; do not
+    // re-litigate without longer documents.
     val toks = table(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

@@ -109,8 +109,38 @@ object VectorOps {
         lit(1L << (shift + j))).otherwise(lit(0L))
     }
 
+  /** Scratch dir for band-local pair dumps: process-private (rides the
+    * [[graft.core.EphemeralWarehouse]] shutdown cleanup) + per-call nonce,
+    * so concurrent sessions/queries can never collide. */
+  private def bandScratch(tag: String): String = {
+    val d = new java.io.File(graft.core.EphemeralWarehouse.dir,
+      s"bands_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  /** Between band jobs: nudge the JVM so the finished band's now-unreachable
+    * ShuffleDependency enqueues for Spark's ContextCleaner, which then
+    * removes its shuffle files from disk before the next band writes its
+    * own. Without this the 5-8 bands' map outputs ACCUMULATE for the whole
+    * query — exactly the peak-scratch constant the round-12 fourth-decade
+    * probe measured killing a 20M-vector `dedup_embedding` (~110 GB demand
+    * vs 48 GB free, SCALING.md). Cleanup is asynchronous; the gc makes the
+    * one-band-in-flight bound hold in practice (probe-measured), it is not
+    * a hard guarantee.
+    *
+    * SIZE-GATED on the corpus count the callers already hold: a full GC on
+    * the 24g bench heap costs ~0.5-1 s, and below [[GcMinRows]] vectors
+    * even ALL bands' accumulated map outputs are a few GB — no scratch
+    * pressure to relieve (2M vectors × 5 bands × ~0.5 KB ≈ 5 GB). The
+    * fourth decade (20M) sits well past the gate. */
+  private val GcMinRows = 1L << 22
+  private def releaseBandShuffles(corpusRows: Long): Unit =
+    if (corpusRows >= GcMinRows) System.gc()
+
   val dedupEmbedding: Q = (s, dir) => {
-    val extra = extraBitsFor(table(s, dir, "embeddings").count(), 1L << DedupBits)
+    val nRows = table(s, dir, "embeddings").count()
+    val extra = extraBitsFor(nRows, 1L << DedupBits)
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -124,20 +154,39 @@ object VectorOps {
     // ∝ candidate pairs; collision rows go skinny in the join stage and
     // the threshold filter runs before any further exchange. The distinct
     // moves only surviving 24-byte pair rows.
-    val banded = emb.select(col("vec_id"), col("v"), col("nrm"),
-        explode(array((0 until DedupBands).map(b =>
-          struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    banded.select(col("band"), col("bucket"),
-        col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-      .join(banded.select(col("band"), col("bucket"),
-        col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")),
-        Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
-      .filter(col("cos") > 0.3)
-      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
+    //
+    // BAND-SEQUENTIAL (round 13): the r12 probe showed the all-bands-
+    // at-once plan's peak SCRATCH — bands × (exchange + 2 SMJ sorts) over
+    // vector-wide rows ≈ 110 GB at 20M vectors — exceeding one box's free
+    // disk even though shuffle stays ∝ corpus. Each band now runs as its
+    // OWN job: self-join the banded table on (bucket) alone, dump the
+    // surviving skinny pairs to scratch parquet, release the band's
+    // shuffle files, move on. Peak scratch drops to ONE band in flight
+    // (further halved: the self-join's two sides are the SAME plan, so
+    // the exchange is written once and ReusedExchange feeds both SMJ
+    // sides) plus the Tau-filtered pair dumps (∝ true output). The final
+    // distinct over the read-back pairs de-duplicates multi-band hits
+    // exactly as the unioned explode did — result is row-identical, and
+    // the re-scan per band is served by the page cache. A cluster gets
+    // the same ~bands× peak-disk relief per executor.
+    val tmp = bandScratch("embdedup")
+    (0 until DedupBands).foreach { b =>
+      val banded = emb.select(bucket(b).as("bucket"), col("vec_id"), col("v"), col("nrm"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos") > 0.3)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(col("cos"), 4).as("cosine"))
+        .write.mode("overwrite").parquet(s"$tmp/band_$b")
+      releaseBandShuffles(nRows)
+    }
+    // explicit schema: a band (or all bands) can survive with zero pairs,
+    // leaving no parquet files to infer from
+    s.read.schema("a_id BIGINT, b_id BIGINT, cosine DOUBLE")
+      .parquet((0 until DedupBands).map(b => s"$tmp/band_$b"): _*)
       .distinct()
   }
   val dedupEmbeddingSql = {
@@ -737,7 +786,8 @@ object VectorOps {
     val Tau = 0.3
     // same adaptive-width schedule as dedup_embedding, over the factored
     // base bucket count K·2^SemBits = 4096 (cluster × sub-band)
-    val extra = extraBitsFor(table(s, dir, "embeddings").count(), K.toLong << SemBits)
+    val nRows = table(s, dir, "embeddings").count()
+    val extra = extraBitsFor(nRows, K.toLong << SemBits)
     val emb = table(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -771,8 +821,16 @@ object VectorOps {
       .agg(count(lit(1)).as("n"),
         dims.map(i => sum(element_at(col("q"), i + 1)).as(s"s$i")): _*)
       .select(col("cid"), array(dims.map(i => expr(s"s$i div n")): _*).as("c")))
-    val asg = assign(cents1)
-      .join(emb.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+    // Final assignment carries v/nrm THROUGH the argmin projection instead
+    // of joining them back on vec_id: everything lives on the same source
+    // row, so the join was a corpus-wide exchange for nothing — and under
+    // the band-sequential loop below it would have re-run once per band.
+    val asg =
+      if (cents1.isEmpty)
+        emb.select(col("vec_id"), col("v"), col("nrm"), lit(-1L).as("cid"))
+          .filter(lit(false))
+      else emb.select(col("vec_id"), col("v"), col("nrm"),
+        graft.functions.CentroidArgMin(col("q"), cents1).as("cid"))
     // in-cluster bands are WIDER than dedup_embedding's (6 bits, 8 bands):
     // the cluster already blocks the space, so the second layer trades
     // selectivity for recall while candidates stay ∝ bucket collisions
@@ -799,20 +857,30 @@ object VectorOps {
     // (min/max are duplicate-insensitive — ≤SemBands redundant cosines
     // per true pair is CPU, not shuffle). 346 s/fail → measured green at
     // sf100, and sf10 unchanged.
-    val banded = asg.select(col("cid"), col("vec_id"), col("v"), col("nrm"),
-        explode(array((0 until SemBands).map(b =>
-          struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
-      .select(col("cid"), col("vec_id"), col("v"), col("nrm"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    banded.select(col("cid"), col("band"), col("bucket"),
-        col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-      .join(banded.select(col("cid"), col("band"), col("bucket"),
-        col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")),
-        Seq("cid", "band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
-      .filter(col("cos") > Tau)
-      .select(col("cid"), col("a_id"), col("b_id"), col("cos"))
+    // BAND-SEQUENTIAL (round 13, same adjudication as dedupEmbedding): one
+    // job per band bounds peak scratch to a single band's exchange — and
+    // the self-join's two sides are the SAME plan, so ReusedExchange
+    // writes it once. Surviving skinny (cid, a_id, b_id, cos) rows go to
+    // scratch parquet; the terminal keep-lowest groupBy over the read-back
+    // absorbs multi-band duplicates exactly as it absorbed the unioned
+    // explode's (min/max are duplicate-insensitive).
+    val tmp = bandScratch("semdedup")
+    (0 until SemBands).foreach { b =>
+      val banded = asg.select(col("cid"), bucket(b).as("bucket"),
+        col("vec_id"), col("v"), col("nrm"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.cid") === col("b.cid") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos") > Tau)
+        .select(col("a.cid").as("cid"), col("a.vec_id").as("a_id"),
+          col("b.vec_id").as("b_id"), col("cos"))
+        .write.mode("overwrite").parquet(s"$tmp/band_$b")
+      releaseBandShuffles(nRows)
+    }
+    s.read.schema("cid BIGINT, a_id BIGINT, b_id BIGINT, cos DOUBLE")
+      .parquet((0 until SemBands).map(b => s"$tmp/band_$b"): _*)
       .groupBy(col("b_id").as("vec_id"), col("cid"))
       .agg(min(col("a_id")).as("dup_of"), round(max(col("cos")), 4).as("max_cosine"))
   }
