@@ -119,24 +119,36 @@ object VectorOps {
     d.getAbsolutePath
   }
 
-  /** Between band jobs: nudge the JVM so the finished band's now-unreachable
-    * ShuffleDependency enqueues for Spark's ContextCleaner, which then
-    * removes its shuffle files from disk before the next band writes its
-    * own. Without this the 5-8 bands' map outputs ACCUMULATE for the whole
-    * query — exactly the peak-scratch constant the round-12 fourth-decade
-    * probe measured killing a 20M-vector `dedup_embedding` (~110 GB demand
-    * vs 48 GB free, SCALING.md). Cleanup is asynchronous; the gc makes the
-    * one-band-in-flight bound hold in practice (probe-measured), it is not
-    * a hard guarantee.
-    *
-    * SIZE-GATED on the corpus count the callers already hold: a full GC on
-    * the 24g bench heap costs ~0.5-1 s, and below [[GcMinRows]] vectors
-    * even ALL bands' accumulated map outputs are a few GB — no scratch
-    * pressure to relieve (2M vectors × 5 bands × ~0.5 KB ≈ 5 GB). The
-    * fourth decade (20M) sits well past the gate. */
-  private val GcMinRows = 1L << 22
+  /** Corpus size past which the banded self-join runs ONE BAND PER JOB
+    * instead of all bands in one exploded plan. Below it the all-bands
+    * plan's total scratch is a few GB (2M vectors × bands × ~0.5 KB —
+    * the benched-green sf100 regime); above it the accumulated
+    * bands × (exchange + 2 SMJ sorts) demand is what the round-12
+    * fourth-decade probe measured killing a 20M-vector `dedup_embedding`
+    * (~110 GB vs 48 GB free, SCALING.md). The knob changes ONLY how many
+    * bands share a job — same loop, same dumps, same read-back — the
+    * adaptive-width (extraBitsFor) precedent: fixed behavior through every
+    * oracle/bench scale, engaging one decade up. */
+  private[graft] val BandSeqMinRows = 1L << 22
+
+  /** Band-chunk schedule: one chunk of all bands below [[BandSeqMinRows]],
+    * one band per chunk past it. */
+  private[graft] def bandChunks(bands: Int, corpusRows: Long): Seq[Seq[Int]] =
+    if (corpusRows < BandSeqMinRows) Seq(0 until bands)
+    else (0 until bands).map(Seq(_))
+
+  /** Between band jobs in the sequential regime: nudge the JVM so the
+    * finished band's now-unreachable ShuffleDependency enqueues for
+    * Spark's ContextCleaner, which then removes its shuffle files from
+    * disk before the next band writes its own — without it the per-band
+    * map outputs ACCUMULATE for the whole query and the sequential
+    * schedule saves nothing. Cleanup is asynchronous; the gc makes the
+    * one-band-in-flight bound hold in practice (probe-measured), not a
+    * hard guarantee. Gated on the same threshold as [[bandChunks]]: a
+    * full GC on the 24g bench heap costs ~0.5-1 s and buys nothing in the
+    * single-chunk regime. */
   private def releaseBandShuffles(corpusRows: Long): Unit =
-    if (corpusRows >= GcMinRows) System.gc()
+    if (corpusRows >= BandSeqMinRows) System.gc()
 
   val dedupEmbedding: Q = (s, dir) => {
     val nRows = table(s, dir, "embeddings").count()
@@ -155,38 +167,59 @@ object VectorOps {
     // the threshold filter runs before any further exchange. The distinct
     // moves only surviving 24-byte pair rows.
     //
-    // BAND-SEQUENTIAL (round 13): the r12 probe showed the all-bands-
-    // at-once plan's peak SCRATCH — bands × (exchange + 2 SMJ sorts) over
-    // vector-wide rows ≈ 110 GB at 20M vectors — exceeding one box's free
-    // disk even though shuffle stays ∝ corpus. Each band now runs as its
-    // OWN job: self-join the banded table on (bucket) alone, dump the
-    // surviving skinny pairs to scratch parquet, release the band's
-    // shuffle files, move on. Peak scratch drops to ONE band in flight
-    // (further halved: the self-join's two sides are the SAME plan, so
-    // the exchange is written once and ReusedExchange feeds both SMJ
-    // sides) plus the Tau-filtered pair dumps (∝ true output). The final
-    // distinct over the read-back pairs de-duplicates multi-band hits
-    // exactly as the unioned explode did — result is row-identical, and
-    // the re-scan per band is served by the page cache. A cluster gets
-    // the same ~bands× peak-disk relief per executor.
+    // Round 13, two changes from the r12 shape, both probe-driven:
+    //
+    // (1) The banding BASE (vec_id, double vector, norm) is MATERIALIZED
+    //     once to scratch parquet and every band job scans it columnar.
+    //     The upstream cast `transform` is an interpreted per-element
+    //     lambda (HOF lambdas never codegen), and a first band-sequential
+    //     cut that re-derived the base per band job re-paid it
+    //     bands × 2 join sides times — measured 26.6 s for ONE semantic
+    //     band at sf100 (probe in SCALING.md round 13; AQE does NOT
+    //     dedupe the self-join's two identical exchanges either —
+    //     measured 2 writes / 0 reused with canonically-equal plans,
+    //     while static planning reuses but times WORSE).
+    //
+    // (2) Bands run in ADAPTIVE CHUNKS ([[bandChunks]]): one all-bands
+    //     job below [[BandSeqMinRows]] — the benched sf100-green r12
+    //     plan, whose total scratch is a few GB there — and one band per
+    //     job past it, where the all-at-once peak (bands × (exchange +
+    //     2 SMJ sorts) ≈ 110 GB at 20M vectors) exceeds a box's disk.
+    //     Sequential jobs + shuffle release bound peak scratch to one
+    //     band in flight plus the Tau-filtered pair dumps (∝ true
+    //     output); the re-scan per band reads the materialized base. A
+    //     cluster gets the same ~bands× peak-disk relief per executor.
+    //
+    // The final distinct over the read-back dumps de-duplicates
+    // multi-band hits exactly as the single unioned explode did — the
+    // result is row-identical at every chunk size.
     val tmp = bandScratch("embdedup")
-    (0 until DedupBands).foreach { b =>
-      val banded = emb.select(bucket(b).as("bucket"), col("vec_id"), col("v"), col("nrm"))
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos",
-          dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+    emb.write.mode("overwrite").parquet(s"$tmp/base")
+    val base = s.read.schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE")
+      .parquet(s"$tmp/base")
+    val chunks = bandChunks(DedupBands, nRows)
+    chunks.zipWithIndex.foreach { case (bs, ci) =>
+      val banded = base.select(col("vec_id"), col("v"), col("nrm"),
+          explode(array(bs.map(b =>
+            struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      banded.select(col("band"), col("bucket"),
+          col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+        .join(banded.select(col("band"), col("bucket"),
+          col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")),
+          Seq("band", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
         .filter(col("cos") > 0.3)
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(col("cos"), 4).as("cosine"))
-        .write.mode("overwrite").parquet(s"$tmp/band_$b")
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
+        .write.mode("overwrite").parquet(s"$tmp/chunk_$ci")
       releaseBandShuffles(nRows)
     }
-    // explicit schema: a band (or all bands) can survive with zero pairs,
-    // leaving no parquet files to infer from
+    // explicit schema: a chunk (or every chunk) can survive with zero
+    // pairs, leaving no parquet files to infer from
     s.read.schema("a_id BIGINT, b_id BIGINT, cosine DOUBLE")
-      .parquet((0 until DedupBands).map(b => s"$tmp/band_$b"): _*)
+      .parquet(chunks.indices.map(i => s"$tmp/chunk_$i"): _*)
       .distinct()
   }
   val dedupEmbeddingSql = {
@@ -857,30 +890,42 @@ object VectorOps {
     // (min/max are duplicate-insensitive — ≤SemBands redundant cosines
     // per true pair is CPU, not shuffle). 346 s/fail → measured green at
     // sf100, and sf10 unchanged.
-    // BAND-SEQUENTIAL (round 13, same adjudication as dedupEmbedding): one
-    // job per band bounds peak scratch to a single band's exchange — and
-    // the self-join's two sides are the SAME plan, so ReusedExchange
-    // writes it once. Surviving skinny (cid, a_id, b_id, cos) rows go to
-    // scratch parquet; the terminal keep-lowest groupBy over the read-back
-    // absorbs multi-band duplicates exactly as it absorbed the unioned
-    // explode's (min/max are duplicate-insensitive).
+    // Round 13 (same probe-driven shape as dedupEmbedding): the ASSIGNED
+    // base (cid, vec_id, double vector, norm) — quantize lambda + argmin
+    // + norm, the expensive interpreted upstream — is materialized ONCE
+    // to scratch parquet, and the banded self-join runs in adaptive
+    // chunks off that columnar scan ([[bandChunks]]: the r12 all-bands
+    // plan below [[BandSeqMinRows]], one band per job past it). The
+    // terminal keep-lowest groupBy over the read-back dumps absorbs
+    // multi-band duplicates exactly as it absorbed the unioned explode's
+    // (min/max are duplicate-insensitive) — result identical at every
+    // chunk size.
     val tmp = bandScratch("semdedup")
-    (0 until SemBands).foreach { b =>
-      val banded = asg.select(col("cid"), bucket(b).as("bucket"),
-        col("vec_id"), col("v"), col("nrm"))
-      banded.as("a")
-        .join(banded.as("b"),
-          col("a.cid") === col("b.cid") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+    asg.write.mode("overwrite").parquet(s"$tmp/base")
+    val base = s.read
+      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, cid BIGINT")
+      .parquet(s"$tmp/base")
+    val chunks = bandChunks(SemBands, nRows)
+    chunks.zipWithIndex.foreach { case (bs, ci) =>
+      val banded = base.select(col("cid"), col("vec_id"), col("v"), col("nrm"),
+          explode(array(bs.map(b =>
+            struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
+        .select(col("cid"), col("vec_id"), col("v"), col("nrm"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      banded.select(col("cid"), col("band"), col("bucket"),
+          col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+        .join(banded.select(col("cid"), col("band"), col("bucket"),
+          col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")),
+          Seq("cid", "band", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
         .filter(col("cos") > Tau)
-        .select(col("a.cid").as("cid"), col("a.vec_id").as("a_id"),
-          col("b.vec_id").as("b_id"), col("cos"))
-        .write.mode("overwrite").parquet(s"$tmp/band_$b")
+        .select(col("cid"), col("a_id"), col("b_id"), col("cos"))
+        .write.mode("overwrite").parquet(s"$tmp/chunk_$ci")
       releaseBandShuffles(nRows)
     }
     s.read.schema("cid BIGINT, a_id BIGINT, b_id BIGINT, cos DOUBLE")
-      .parquet((0 until SemBands).map(b => s"$tmp/band_$b"): _*)
+      .parquet(chunks.indices.map(i => s"$tmp/chunk_$i"): _*)
       .groupBy(col("b_id").as("vec_id"), col("cid"))
       .agg(min(col("a_id")).as("dup_of"), round(max(col("cos")), 4).as("max_cosine"))
   }
