@@ -131,11 +131,25 @@ object VectorOps {
     * oracle/bench scale, engaging one decade up. */
   private[graft] val BandSeqMinRows = 1L << 22
 
-  /** Band-chunk schedule: one chunk of all bands below [[BandSeqMinRows]],
-    * one band per chunk past it. */
-  private[graft] def bandChunks(bands: Int, corpusRows: Long): Seq[Seq[Int]] =
-    if (corpusRows < BandSeqMinRows) Seq(0 until bands)
-    else (0 until bands).map(Seq(_))
+  /** Band-job schedule as (bands, subIndex, subCount) triples: one job of
+    * all bands below [[BandSeqMinRows]]; past it, one job per (band,
+    * bucket-residue slice) with subCount = ⌈n / BandSeqMinRows⌉. The
+    * residue slice is the second scratch knob the first 20M probe run
+    * proved necessary (SCALING.md round 13): a whole band's self-join at
+    * 20M vectors still holds 2 × ~10 GB of exchange (AQE does not dedupe
+    * the canonically-equal sides — measured) plus both SMJ sort spills at
+    * once, and the probe bottomed the disk at 1 GB free. Filtering BOTH
+    * join sides to `bucket % subCount == subIndex` partitions the PAIR
+    * space exactly (a pair shares its bucket, so it lands in exactly one
+    * slice) — in-flight exchange shrinks ∝ 1/subCount, the union of
+    * slices is the band's exact pair set, and the re-scans read the
+    * materialized base from page cache. */
+  private[graft] def bandJobs(bands: Int, corpusRows: Long): Seq[(Seq[Int], Int, Int)] =
+    if (corpusRows < BandSeqMinRows) Seq((0 until bands, 0, 1))
+    else {
+      val subs = math.max(1, math.ceil(corpusRows.toDouble / BandSeqMinRows).toInt)
+      for (b <- 0 until bands; s <- 0 until subs) yield (Seq(b), s, subs)
+    }
 
   /** Between band jobs in the sequential regime: nudge the JVM so the
     * finished band's now-unreachable ShuffleDependency enqueues for
@@ -197,13 +211,15 @@ object VectorOps {
     emb.write.mode("overwrite").parquet(s"$tmp/base")
     val base = s.read.schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE")
       .parquet(s"$tmp/base")
-    val chunks = bandChunks(DedupBands, nRows)
-    chunks.zipWithIndex.foreach { case (bs, ci) =>
-      val banded = base.select(col("vec_id"), col("v"), col("nrm"),
+    val jobs = bandJobs(DedupBands, nRows)
+    jobs.zipWithIndex.foreach { case ((bs, sub, subs), ci) =>
+      val bandedAll = base.select(col("vec_id"), col("v"), col("nrm"),
           explode(array(bs.map(b =>
             struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
         .select(col("vec_id"), col("v"), col("nrm"),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val banded = if (subs == 1) bandedAll
+        else bandedAll.filter(pmod(col("bucket"), lit(subs.toLong)) === sub.toLong)
       banded.select(col("band"), col("bucket"),
           col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
         .join(banded.select(col("band"), col("bucket"),
@@ -219,7 +235,7 @@ object VectorOps {
     // explicit schema: a chunk (or every chunk) can survive with zero
     // pairs, leaving no parquet files to infer from
     s.read.schema("a_id BIGINT, b_id BIGINT, cosine DOUBLE")
-      .parquet(chunks.indices.map(i => s"$tmp/chunk_$i"): _*)
+      .parquet(jobs.indices.map(i => s"$tmp/chunk_$i"): _*)
       .distinct()
   }
   val dedupEmbeddingSql = {
@@ -905,13 +921,17 @@ object VectorOps {
     val base = s.read
       .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, cid BIGINT")
       .parquet(s"$tmp/base")
-    val chunks = bandChunks(SemBands, nRows)
-    chunks.zipWithIndex.foreach { case (bs, ci) =>
-      val banded = base.select(col("cid"), col("vec_id"), col("v"), col("nrm"),
+    val jobs = bandJobs(SemBands, nRows)
+    jobs.zipWithIndex.foreach { case ((bs, sub, subs), ci) =>
+      val bandedAll = base.select(col("cid"), col("vec_id"), col("v"), col("nrm"),
           explode(array(bs.map(b =>
             struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
         .select(col("cid"), col("vec_id"), col("v"), col("nrm"),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // slice on the bucket residue only — cid rides along (a pair shares
+      // BOTH its cid and bucket, so the slice partition stays exact)
+      val banded = if (subs == 1) bandedAll
+        else bandedAll.filter(pmod(col("bucket"), lit(subs.toLong)) === sub.toLong)
       banded.select(col("cid"), col("band"), col("bucket"),
           col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
         .join(banded.select(col("cid"), col("band"), col("bucket"),
@@ -925,7 +945,7 @@ object VectorOps {
       releaseBandShuffles(nRows)
     }
     s.read.schema("cid BIGINT, a_id BIGINT, b_id BIGINT, cos DOUBLE")
-      .parquet(chunks.indices.map(i => s"$tmp/chunk_$i"): _*)
+      .parquet(jobs.indices.map(i => s"$tmp/chunk_$i"): _*)
       .groupBy(col("b_id").as("vec_id"), col("cid"))
       .agg(min(col("a_id")).as("dup_of"), round(max(col("cos")), 4).as("max_cosine"))
   }

@@ -72,4 +72,25 @@ class ScaleKnobSpec extends SparkSpec {
     assert(bucketed.exceptAll(naive).count() == 0)
     assert(naive.exceptAll(bucketed).count() == 0)
   }
+
+  test("band-job schedule: one all-bands job through bench scales, (band, residue-slice) grid past the threshold") {
+    // every driver/bench/sf100 scale runs the single all-bands job
+    for (n <- Seq(0L, 2000L, 20000L, 200000L, 2000000L)) {
+      assert(VectorOps.bandJobs(5, n) == Seq((0 until 5, 0, 1)), s"n=$n")
+    }
+    // fourth decade: one job per (band, bucket-residue) slice
+    val jobs = VectorOps.bandJobs(5, 20000000L)
+    val subs = math.ceil(20000000.0 / VectorOps.BandSeqMinRows).toInt
+    assert(subs == 5 && jobs.size == 5 * subs)
+    for (b <- 0 until 5) {
+      val slices = jobs.filter(_._1 == Seq(b)).map(j => (j._2, j._3))
+      // residues are disjoint and complete: exactly 0..subs-1, each with subCount=subs
+      assert(slices == (0 until subs).map(s => (s, subs)),
+        s"band $b slices: $slices")
+    }
+    // a pair shares its bucket, so residue slicing partitions the PAIR set:
+    // every bucket value lands in exactly one slice
+    for (bucket <- Seq(0L, 1L, 12345L, (1L << 21) - 1))
+      assert((0 until subs).count(s => bucket % subs == s) == 1)
+  }
 }
