@@ -96,26 +96,36 @@ object ScaleProbe {
     if (lanes("embedgen")) {
       // MATERIALIZE a fourth-decade embeddings table (20M vectors ≈ 5 GB —
       // the one big table that fits the disk): 10 copies of sf100, copy i
-      // CYCLICALLY SHIFTED by 7i dims. A shift is orthogonal, applied to
-      // both sides of any pair it preserves dot products and norms — so
-      // each shift class reproduces sf100's near-dup geometry EXACTLY
-      // (true output = 10× sf100's, never a clone-mass explosion), while
-      // cross-class cosines are generic (~0, below every dedup threshold)
-      // and only stress the LSH buckets — which is the point: does the
-      // adaptive band-width schedule hold at 10× the corpus? Run
+      // under a PER-DIMENSION SIGN-FLIP isometry D_i (dim k of copy i
+      // negated iff bit 16 of the Knuth multiplicative hash of i·64+k is
+      // set). D_i is orthogonal and DIAGONAL: within a copy,
+      // (D_i a)·(D_i b) = a·b exactly — each copy reproduces sf100's
+      // near-dup geometry bit-for-bit (true output = 10× sf100's, never a
+      // clone-mass explosion) — while a cross-copy dot picks up
+      // independent ± signs per dimension, which decorrelates even
+      // ANISOTROPIC data. The round-12 generator used cyclic shifts here,
+      // whose cross-class promise ("generic ~0 cosines") held only for
+      // isotropic vectors: on this round's structured embeddings a
+      // shift-by-7 pair keeps cos > 0.3 at mass — one probed slice showed
+      // 86% of same-bucket candidates SURVIVING the threshold (~4B output
+      // pairs, SCALING.md round 13), turning the probe into an
+      // output-materialization test of a degenerate everything-matches
+      // corpus rather than the intended 10×-linear one. Run
       // `Bench SPARK_GRAFT_ONLY=dedup_embedding` with SPARK_GRAFT_SF_DIR
       // pointed at the output dir afterwards.
       val out = s"${sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "target/scale/sf1000e")}/embeddings.parquet"
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val shifted = (0 until copies).map { i =>
-        val k = (7 * i) % 64
-        val e = if (k == 0) col("embedding")
-          else concat(slice(col("embedding"), k + 1, 64 - k), slice(col("embedding"), 1, k))
+      val flipped = (0 until copies).map { i =>
+        val e = if (i == 0) col("embedding")
+          else expr(
+            s"transform(embedding, (x, k) -> CASE WHEN " +
+              s"pmod(floor(pmod(($i * 64 + k) * 2654435761, 4294967296) / 65536), 2) = 1 " +
+              "THEN -x ELSE x END)")
         emb.select((col("vec_id") + lit(i.toLong * 1000000000000L)).as("vec_id"),
           e.as("embedding"), col("label"))
       }.reduce(_.unionByName(_))
       timings += "embedgen" -> time(
-        shifted.repartition(64).write.mode("overwrite").parquet(out))
+        flipped.repartition(64).write.mode("overwrite").parquet(out))
     }
     if (lanes("dedup")) {
       // dedup_sha256's shape at 50M docs: the exchange carries one row per

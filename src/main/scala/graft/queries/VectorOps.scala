@@ -109,6 +109,19 @@ object VectorOps {
         lit(1L << (shift + j))).otherwise(lit(0L))
     }
 
+  /** Eager recursive delete for band scratch that is DONE serving the
+    * query (the shutdown hook would get it eventually, but at the fourth
+    * decade the ~10 GB materialized base must leave the disk before the
+    * output phase needs the room). Only ever called on paths under
+    * [[bandScratch]]'s nonce dir. */
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
+
   /** Scratch dir for band-local pair dumps: process-private (rides the
     * [[graft.core.EphemeralWarehouse]] shutdown cleanup) + per-call nonce,
     * so concurrent sessions/queries can never collide. */
@@ -232,11 +245,34 @@ object VectorOps {
         .write.mode("overwrite").parquet(s"$tmp/chunk_$ci")
       releaseBandShuffles(nRows)
     }
+    // the base has served every band job — free its ~10 GB (fourth
+    // decade) before the output phase needs the disk
+    rmTree(s"$tmp/base")
     // explicit schema: a chunk (or every chunk) can survive with zero
     // pairs, leaving no parquet files to infer from
-    s.read.schema("a_id BIGINT, b_id BIGINT, cosine DOUBLE")
+    def dumps = s.read.schema("a_id BIGINT, b_id BIGINT, cosine DOUBLE")
       .parquet(jobs.indices.map(i => s"$tmp/chunk_$i"): _*)
-      .distinct()
+    val subs0 = jobs.head._3
+    if (subs0 == 1) dumps.distinct()
+    else {
+      // Output phase, residue-sliced like the band jobs: pre-distinct
+      // dump mass is OUTPUT-bound (surviving pairs × ≤bands multiplicity)
+      // and one distinct over all of it holds dumps + the full exchange
+      // on disk together — the second 20M probe run died exactly there.
+      // Each pair lives in exactly one a_id residue class, so the union
+      // of sliced distincts is the exact distinct; in-flight exchange
+      // shrinks ∝ 1/subs, and the dumps are deleted before the result
+      // (reading only the finals) is returned.
+      (0 until subs0).foreach { r =>
+        dumps.filter(pmod(col("a_id"), lit(subs0.toLong)) === r.toLong)
+          .distinct()
+          .write.mode("overwrite").parquet(s"$tmp/final_$r")
+        releaseBandShuffles(nRows)
+      }
+      jobs.indices.foreach(i => rmTree(s"$tmp/chunk_$i"))
+      s.read.schema("a_id BIGINT, b_id BIGINT, cosine DOUBLE")
+        .parquet((0 until subs0).map(r => s"$tmp/final_$r"): _*)
+    }
   }
   val dedupEmbeddingSql = {
     val bands = (0 until DedupBands).map { b =>
@@ -944,10 +980,27 @@ object VectorOps {
         .write.mode("overwrite").parquet(s"$tmp/chunk_$ci")
       releaseBandShuffles(nRows)
     }
-    s.read.schema("cid BIGINT, a_id BIGINT, b_id BIGINT, cos DOUBLE")
+    rmTree(s"$tmp/base") // free the assigned base before the output phase
+    def dumps = s.read.schema("cid BIGINT, a_id BIGINT, b_id BIGINT, cos DOUBLE")
       .parquet(jobs.indices.map(i => s"$tmp/chunk_$i"): _*)
+    def finalAgg(df: DataFrame): DataFrame = df
       .groupBy(col("b_id").as("vec_id"), col("cid"))
       .agg(min(col("a_id")).as("dup_of"), round(max(col("cos")), 4).as("max_cosine"))
+    val subs0 = jobs.head._3
+    if (subs0 == 1) finalAgg(dumps)
+    else {
+      // residue-sliced output phase (see dedupEmbedding): every
+      // (vec_id = b_id, cid) group lives in exactly one b_id residue
+      // class, so the union of sliced aggregates is the exact aggregate
+      (0 until subs0).foreach { r =>
+        finalAgg(dumps.filter(pmod(col("b_id"), lit(subs0.toLong)) === r.toLong))
+          .write.mode("overwrite").parquet(s"$tmp/final_$r")
+        releaseBandShuffles(nRows)
+      }
+      jobs.indices.foreach(i => rmTree(s"$tmp/chunk_$i"))
+      s.read.schema("vec_id BIGINT, cid BIGINT, dup_of BIGINT, max_cosine DOUBLE")
+        .parquet((0 until subs0).map(r => s"$tmp/final_$r"): _*)
+    }
   }
   val dedupSemanticSql = {
     val sums = (0 until 64).map(i => s"sum(q[${i + 1}]) AS s$i").mkString(", ")
