@@ -85,6 +85,24 @@ object Bench {
       java.nio.file.Files.write(path, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
+    // Git commit of the running code (round-14 verdict task 4): the r13
+    // median silently mixed one pre-final-commit run into `median_over: 4`.
+    // Each runs.jsonl entry is tagged with the commit (plus a `+dirty`
+    // suffix when the tree has uncommitted edits — a dirty run must never
+    // blend with the clean run of the same hash), and the median below
+    // filters to the CURRENT commit, making it a single-code statistic.
+    val commit = {
+      def sh(cmd: String*): Option[String] =
+        try {
+          val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          if (p.waitFor() == 0) Some(out) else None
+        } catch { case _: Throwable => None }
+      val h = sh("git", "rev-parse", "--short=12", "HEAD").getOrElse("unknown")
+      if (sh("git", "status", "--porcelain").exists(_.nonEmpty)) s"$h+dirty" else h
+    }
+
     // Round = last driver-written BENCH_r{N}.json + 1; constant across the
     // driver's n bench runs within one round (it writes BENCH_r{N} after).
     val round = {
@@ -107,7 +125,7 @@ object Bench {
     val histPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "bench/runs.jsonl"))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val runLine = s"""{"sf":${jstr(sfDir)},"round":$round,"queries":${dict(results)}}"""
+    val runLine = s"""{"sf":${jstr(sfDir)},"round":$round,"commit":${jstr(commit)},"queries":${dict(results)}}"""
     if (only.isEmpty) {
       Option(histPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(histPath,
@@ -121,8 +139,13 @@ object Bench {
           .flatMap { line =>
             try {
               val node = mapper.readTree(line)
+              // commit filter: entries from other commits (earlier code in
+              // the same round) never enter the median; pre-r14 entries
+              // carry no commit field and are excluded the same way once a
+              // tagged entry exists (round isolation already excludes them)
               if (node.get("sf").asText() == sfDir &&
-                  Option(node.get("round")).exists(_.asInt() == round)) {
+                  Option(node.get("round")).exists(_.asInt() == round) &&
+                  Option(node.get("commit")).exists(_.asText() == commit)) {
                 val qs = node.get("queries")
                 Some(qs.properties().asScala
                   .map(e => e.getKey -> e.getValue.asDouble()).toMap)
@@ -139,10 +162,18 @@ object Bench {
     val total = results.map(_._2).sum
 
     // ---- full record: BENCH.out + per-round archive ------------------------
+    // Scale-statistics side-records (round-14 verdict task 5): the dedup
+    // lanes report their corpus/candidate/survivor masses via BenchStats as
+    // they run, so a testdata regeneration is adjudicated by diffing two
+    // numbers across rounds instead of re-deriving candidate arithmetic.
+    val statsJson = graft.core.BenchStats.snapshot.map { case (q, kvs) =>
+      jstr(q) + ":" + kvs.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${dict(results)},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","commit":${jstr(commit)},"queries":${dict(results)},""" +
       s""""median_total":$medTotal,"median_over":${history.size},""" +
-      s""""medians":${dict(medians)},"failed":${jarr(failedQ.toSeq)},"sf":${jstr(sfDir)}}"""
+      s""""medians":${dict(medians)},"stats":$statsJson,"failed":${jarr(failedQ.toSeq)},"sf":${jstr(sfDir)}}"""
     // The COMPLETE per-query record goes to a file: the driver captures only
     // the last ~2000 chars of the sbt log, and 150 query names alone exceed
     // that, so a full dict on stdout can never survive the tail window.

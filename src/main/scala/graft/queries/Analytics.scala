@@ -656,14 +656,58 @@ object Analytics {
     * property is require()d in the same configuration the driver runs —
     * the `join_bucketed` precedent.
     *
+    * Round 14 (verdict task 3 + advice): the layout is CACHED across
+    * processes, keyed by a content fingerprint of (source file trees'
+    * mtime+length, bucket/sort spec, union schema) under
+    * `target/asof-layout/` — the operator exists to demonstrate
+    * write-once-carry-many, and re-paying the write per invocation (r13:
+    * 48.8 s of a sf10 battery vs 18.2 s isolated; multi-GB nonce tables
+    * accumulating until JVM exit) measured gate overhead instead. A COLD
+    * call builds into a tmp dir and atomically renames it into place
+    * (concurrent builders: the loser deletes its tmp and reads the
+    * winner's); a WARM call registers an external bucketed table over the
+    * published files and runs the carry with zero writes. Any testdata
+    * regeneration moves an mtime → new fingerprint → rebuild; superseded
+    * fingerprints are pruned once they are hours-stale, never while a
+    * sibling process could plausibly still read them (the rounds-4/5
+    * shared-warehouse flake is the cautionary tale).
+    *
     * Double-gated: the EMITTED rows come from the bucketed carry (so the
     * driver hashes the layout path against join_asof's own DuckDB ASOF
-    * oracle), and an order-free checksum — count + bit_xor + ANSI-safe
-    * 32-bit-half sums of row hashes (xor alone cancels under even multiset
-    * discrepancies) — is require()d equal against the straight-from-source
-    * carry in-process. Hermetic: process-private warehouse + nonce table
-    * name ([[graft.core.EphemeralWarehouse]]; the returned frame is lazy,
-    * so the table must outlive this call — the shutdown hook cleans up). */
+    * oracle — EVERY call, warm or cold), and on the COLD path an
+    * order-free checksum — count + bit_xor + ANSI-safe 32-bit-half sums
+    * of row hashes (xor alone cancels under even multiset discrepancies)
+    * — is require()d equal against the straight-from-source carry
+    * in-process before the layout is trusted. Warm calls skip the
+    * checksum deliberately: re-deriving the from-source carry would
+    * re-pay the exact exchange+sort the cache amortizes away, and the
+    * fingerprint plus the driver's row hash already pin warm reads. */
+  private[graft] val asofLayoutBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+  private def rmTreeLocal(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTreeLocal)
+    f.delete(): Unit
+  }
+  /** SHA-256 over source trees (relative path, mtime, length — sorted walk)
+    * + the layout spec string + a version tag; 24 hex chars is plenty for a
+    * cache key that is validated structurally (marker file) on use. */
+  private def asofLayoutFingerprint(dir: String, spec: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def feed(x: String): Unit =
+      md.update((x + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    feed("graft-asof-layout-v1")
+    feed(new java.io.File(dir).getAbsolutePath)
+    feed(spec)
+    Seq("events.parquet", "orders.parquet").foreach { t =>
+      val root = new java.io.File(dir, t)
+      def walk(f: java.io.File): Unit = {
+        feed(s"${f.getPath.stripPrefix(root.getPath)}:${f.lastModified}:${f.length}")
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).foreach(walk)
+      }
+      walk(root)
+    }
+    md.digest().map("%02x".format(_)).mkString.take(24)
+  }
   val joinAsofBucketed: Q = (s, dir) => {
     val ev = eventsWithTs(s, dir)
       .select(col("event_id"), col("user_id"), col("ts_us"))
@@ -680,10 +724,48 @@ object Analytics {
     val (kC, tC, sideC, _) = names
     val buckets = 16
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val schemaDdl = unioned.schema.toDDL
+    val fp = asofLayoutFingerprint(dir,
+      s"buckets=$buckets;sort=$kC,$tC,$sideC;schema=$schemaDdl")
+    val cacheRoot = new java.io.File(
+      sys.props.getOrElse("graft.asofLayoutRoot", "target/asof-layout"))
+    val dataDir = new java.io.File(cacheRoot, s"u_$fp")
+    val marker = new java.io.File(dataDir, "_GRAFT_LAYOUT")
+    val cold = !marker.isFile
+    if (cold) {
+      cacheRoot.mkdirs()
+      // stale-entry hygiene: superseded fingerprints (regenerated testdata)
+      // and crashed-build tmp dirs, pruned only once hours-old — a sibling
+      // JVM mid-read of a freshly-superseded layout must never lose files
+      val staleMs = 6L * 3600 * 1000
+      Option(cacheRoot.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName != dataDir.getName &&
+          System.currentTimeMillis() - d.lastModified() > staleMs)
+        .foreach(rmTreeLocal)
+      val tmpDir = new java.io.File(cacheRoot, s"tmp_$nonce")
+      val buildName = s"graft_asof_build_$nonce"
+      unioned.repartition(buckets, col(kC))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, kC).sortBy(kC, tC, sideC)
+        .option("path", tmpDir.getAbsolutePath).saveAsTable(buildName)
+      s.sql(s"DROP TABLE $buildName") // external: drops metadata, files stay
+      java.nio.file.Files.write(new java.io.File(tmpDir, "_GRAFT_LAYOUT").toPath,
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try java.nio.file.Files.move(tmpDir.toPath, dataDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.io.IOException if marker.isFile => rmTreeLocal(tmpDir) }
+      asofLayoutBuilds.incrementAndGet(): Unit
+    }
+    require(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8) == fp,
+      s"asof layout marker/fingerprint mismatch at $dataDir")
+    // per-process registration over the shared published files: external
+    // bucketed table, nonce-named (the in-memory catalog is process-private)
     val uName = s"graft_asof_u_$nonce"
-    unioned.repartition(buckets, col(kC))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, kC).sortBy(kC, tC, sideC).saveAsTable(uName)
+    s.sql(
+      s"""CREATE TABLE $uName ($schemaDdl) USING parquet
+         |CLUSTERED BY ($kC) SORTED BY ($kC, $tC, $sideC) INTO $buckets BUCKETS
+         |LOCATION '${dataDir.getAbsolutePath}'""".stripMargin)
     val carried = graft.operators.AsOfJoin.carryFrom(
       s.table(uName), names, leftCols, payload)
     if (sys.props.get("graft.assertPlans").contains("true")) {
@@ -697,18 +779,21 @@ object Analytics {
       require(shuffles.isEmpty,
         s"bucketed as-of carry must run exchange-free (${shuffles.size} exchanges):\n$exec")
     }
-    // losslessness gate: order-free checksum, one row collected per side
-    def checksum(df: DataFrame): Seq[Long] = {
-      val r = df.select(xxhash64(col("event_id"), col("user_id"), col("ts_us"),
-          col("asof_o_orderkey"), col("asof_o_price")).as("h"))
-        .agg(count(lit(1)), expr("bit_xor(h)"),
-          sum(expr("h & 4294967295")), sum(expr("shiftright(h, 32) & 4294967295")))
-        .collect()(0)
-      (0 to 3).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+    // losslessness gate (COLD path only — see scaladoc): order-free
+    // checksum, one row collected per side
+    if (cold) {
+      def checksum(df: DataFrame): Seq[Long] = {
+        val r = df.select(xxhash64(col("event_id"), col("user_id"), col("ts_us"),
+            col("asof_o_orderkey"), col("asof_o_price")).as("h"))
+          .agg(count(lit(1)), expr("bit_xor(h)"),
+            sum(expr("h & 4294967295")), sum(expr("shiftright(h, 32) & 4294967295")))
+          .collect()(0)
+        (0 to 3).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+      }
+      val fromSource = graft.operators.AsOfJoin.carryFrom(unioned, names, leftCols, payload)
+      require(checksum(carried) == checksum(fromSource),
+        "bucketed as-of layout changed the result")
     }
-    val fromSource = graft.operators.AsOfJoin.carryFrom(unioned, names, leftCols, payload)
-    require(checksum(carried) == checksum(fromSource),
-      "bucketed as-of layout changed the result")
     carried
   }
 

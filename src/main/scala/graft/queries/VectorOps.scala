@@ -171,11 +171,34 @@ object VectorOps {
     * map outputs ACCUMULATE for the whole query and the sequential
     * schedule saves nothing. Cleanup is asynchronous; the gc makes the
     * one-band-in-flight bound hold in practice (probe-measured), not a
-    * hard guarantee. Gated on the same threshold as [[bandChunks]]: a
+    * hard guarantee. Gated on the same threshold as [[bandJobs]]: a
     * full GC on the 24g bench heap costs ~0.5-1 s and buys nothing in the
-    * single-chunk regime. */
+    * single-chunk regime.
+    *
+    * CAVEAT (round-14 advice): under `-XX:+DisableExplicitGC` the
+    * `System.gc()` is a silent no-op and the one-band-in-flight disk
+    * bound DISAPPEARS in the fourth-decade regime — per-band shuffle
+    * files accumulate for the whole query, the exact failure mode the
+    * round-13 probe runs 1-2 died of. Spark's own
+    * `spark.cleaner.periodicGC.interval` is no help (it also calls
+    * `System.gc()`), so the flag is detected once and warned about
+    * LOUDLY; big-corpus operators keep running (the dumps themselves are
+    * still ∝ true output) but the operator's disk ceiling reverts to the
+    * all-bands figure. */
+  private lazy val explicitGcDisabled: Boolean = {
+    import scala.jdk.CollectionConverters._
+    val disabled = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.contains("-XX:+DisableExplicitGC")
+    if (disabled)
+      System.err.println(
+        "[graft] WARN: -XX:+DisableExplicitGC detected — the band-sequential " +
+        "shuffle release is a no-op, so the one-band-in-flight disk bound " +
+        "does NOT hold past 2^22 vectors. Remove the flag for fourth-decade " +
+        "dedup runs (see VectorOps.releaseBandShuffles).")
+    disabled
+  }
   private def releaseBandShuffles(corpusRows: Long): Unit =
-    if (corpusRows >= BandSeqMinRows) System.gc()
+    if (corpusRows >= BandSeqMinRows && !explicitGcDisabled) System.gc()
 
   val dedupEmbedding: Q = (s, dir) => {
     val nRows = table(s, dir, "embeddings").count()
@@ -207,7 +230,7 @@ object VectorOps {
     //     measured 2 writes / 0 reused with canonically-equal plans,
     //     while static planning reuses but times WORSE).
     //
-    // (2) Bands run in ADAPTIVE CHUNKS ([[bandChunks]]): one all-bands
+    // (2) Bands run in ADAPTIVE CHUNKS ([[bandJobs]]): one all-bands
     //     job below [[BandSeqMinRows]] — the benched sf100-green r12
     //     plan, whose total scratch is a few GB there — and one band per
     //     job past it, where the all-at-once peak (bands × (exchange +
@@ -224,6 +247,19 @@ object VectorOps {
     emb.write.mode("overwrite").parquet(s"$tmp/base")
     val base = s.read.schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE")
       .parquet(s"$tmp/base")
+    // Data-drift side-record (round-14 verdict task 5): candidate mass =
+    // Σ C(load, 2) over (band, bucket) — one skinny map-side-combining agg
+    // off the just-materialized columnar base (16-byte rows, no join), the
+    // same arithmetic the round-13 regeneration adjudication re-derived by
+    // hand. Lands in Bench's per-query record via [[graft.core.BenchStats]].
+    graft.core.BenchStats.record("dedup_embedding", "corpus_rows", nRows)
+    val candRow = base
+      .select(explode(array((0 until DedupBands).map(b =>
+        struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bucket")).agg(count(lit(1)).as("load"))
+      .agg(sum(expr("load * (load - 1) DIV 2"))).collect()(0)
+    graft.core.BenchStats.record("dedup_embedding", "candidate_pairs",
+      if (candRow.isNullAt(0)) 0L else candRow.getLong(0))
     val jobs = bandJobs(DedupBands, nRows)
     jobs.zipWithIndex.foreach { case ((bs, sub, subs), ci) =>
       val bandedAll = base.select(col("vec_id"), col("v"), col("nrm"),
@@ -252,6 +288,11 @@ object VectorOps {
     // pairs, leaving no parquet files to infer from
     def dumps = s.read.schema("a_id BIGINT, b_id BIGINT, cosine DOUBLE")
       .parquet(jobs.indices.map(i => s"$tmp/chunk_$i"): _*)
+    // survivor mass = post-τ dump rows (pre-distinct, ≤bands multiplicity
+    // per true pair — the probe-report statistic); a column-less parquet
+    // count, row-group metadata speed
+    graft.core.BenchStats.record("dedup_embedding", "survivor_dump_rows",
+      dumps.count())
     val subs0 = jobs.head._3
     if (subs0 == 1) dumps.distinct()
     else {
@@ -327,7 +368,13 @@ object VectorOps {
     val base = table(s, dir, "embeddings")
       .filter(col("vec_id") < DedupAdaptiveCapIds)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val extra = extraBitsFor(base.count() * DedupAdaptiveReplicas, 1L << DedupBits)
+    // corpus side-record only (verdict task 5): the candidate mass is this
+    // query's oracle-gated OUTPUT (Σ collision_pairs per band) — re-counting
+    // it here would run the whole pipeline twice for a number the driver
+    // already hashes
+    val nExpanded = base.count() * DedupAdaptiveReplicas
+    graft.core.BenchStats.record("dedup_adaptive_bits", "corpus_rows", nExpanded)
+    val extra = extraBitsFor(nExpanded, 1L << DedupBits)
     // Two measured performance cliffs shaped this plan (both at sf0.1,
     // 320k replica rows):
     // (1) parallelism — the source parquet is a handful of files, so
@@ -946,7 +993,7 @@ object VectorOps {
     // base (cid, vec_id, double vector, norm) — quantize lambda + argmin
     // + norm, the expensive interpreted upstream — is materialized ONCE
     // to scratch parquet, and the banded self-join runs in adaptive
-    // chunks off that columnar scan ([[bandChunks]]: the r12 all-bands
+    // chunks off that columnar scan ([[bandJobs]]: the r12 all-bands
     // plan below [[BandSeqMinRows]], one band per job past it). The
     // terminal keep-lowest groupBy over the read-back dumps absorbs
     // multi-band duplicates exactly as it absorbed the unioned explode's
@@ -957,6 +1004,17 @@ object VectorOps {
     val base = s.read
       .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, cid BIGINT")
       .parquet(s"$tmp/base")
+    // Data-drift side-record (round-14 verdict task 5; see dedupEmbedding):
+    // candidate mass over the factored (cid, band, bucket) blocking key
+    graft.core.BenchStats.record("dedup_semantic", "corpus_rows", nRows)
+    val candRow = base
+      .select(col("cid"), explode(array((0 until SemBands).map(b =>
+        struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
+      .groupBy(col("cid"), col("bb.band"), col("bb.bucket"))
+      .agg(count(lit(1)).as("load"))
+      .agg(sum(expr("load * (load - 1) DIV 2"))).collect()(0)
+    graft.core.BenchStats.record("dedup_semantic", "candidate_pairs",
+      if (candRow.isNullAt(0)) 0L else candRow.getLong(0))
     val jobs = bandJobs(SemBands, nRows)
     jobs.zipWithIndex.foreach { case ((bs, sub, subs), ci) =>
       val bandedAll = base.select(col("cid"), col("vec_id"), col("v"), col("nrm"),
@@ -983,6 +1041,8 @@ object VectorOps {
     rmTree(s"$tmp/base") // free the assigned base before the output phase
     def dumps = s.read.schema("cid BIGINT, a_id BIGINT, b_id BIGINT, cos DOUBLE")
       .parquet(jobs.indices.map(i => s"$tmp/chunk_$i"): _*)
+    graft.core.BenchStats.record("dedup_semantic", "survivor_dump_rows",
+      dumps.count())
     def finalAgg(df: DataFrame): DataFrame = df
       .groupBy(col("b_id").as("vec_id"), col("cid"))
       .agg(min(col("a_id")).as("dup_of"), round(max(col("cos")), 4).as("max_cosine"))
