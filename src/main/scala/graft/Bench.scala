@@ -100,7 +100,9 @@ object Bench {
           if (p.waitFor() == 0) Some(out) else None
         } catch { case _: Throwable => None }
       val h = sh("git", "rev-parse", "--short=12", "HEAD").getOrElse("unknown")
-      if (sh("git", "status", "--porcelain").exists(_.nonEmpty)) s"$h+dirty" else h
+      // -uno: untracked files (side-run bench artifacts) are not code drift;
+      // only tracked modifications make a run's code differ from its commit
+      if (sh("git", "status", "--porcelain", "-uno").exists(_.nonEmpty)) s"$h+dirty" else h
     }
 
     // Round = last driver-written BENCH_r{N}.json + 1; constant across the
