@@ -100,9 +100,12 @@ object Bench {
           if (p.waitFor() == 0) Some(out) else None
         } catch { case _: Throwable => None }
       val h = sh("git", "rev-parse", "--short=12", "HEAD").getOrElse("unknown")
-      // -uno: untracked files (side-run bench artifacts) are not code drift;
-      // only tracked modifications make a run's code differ from its commit
-      if (sh("git", "status", "--porcelain", "-uno").exists(_.nonEmpty)) s"$h+dirty" else h
+      // dirty = CODE drift only (src/, build definition): bench runs
+      // themselves modify tracked artifacts (bench/runs.jsonl, BENCH.out),
+      // so an unscoped check would tag run 2 of any same-commit series
+      // +dirty and defeat the single-commit median it exists to protect
+      if (sh("git", "status", "--porcelain", "-uno", "--",
+             "src", "build.sbt", "project").exists(_.nonEmpty)) s"$h+dirty" else h
     }
 
     // Round = last driver-written BENCH_r{N}.json + 1; constant across the
