@@ -683,31 +683,6 @@ object Analytics {
     * re-pay the exact exchange+sort the cache amortizes away, and the
     * fingerprint plus the driver's row hash already pin warm reads. */
   private[graft] val asofLayoutBuilds = new java.util.concurrent.atomic.AtomicLong(0)
-  private def rmTreeLocal(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTreeLocal)
-    f.delete(): Unit
-  }
-  /** SHA-256 over source trees (relative path, mtime, length — sorted walk)
-    * + the layout spec string + a version tag; 24 hex chars is plenty for a
-    * cache key that is validated structurally (marker file) on use. */
-  private def asofLayoutFingerprint(dir: String, spec: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    def feed(x: String): Unit =
-      md.update((x + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    feed("graft-asof-layout-v1")
-    feed(new java.io.File(dir).getAbsolutePath)
-    feed(spec)
-    Seq("events.parquet", "orders.parquet").foreach { t =>
-      val root = new java.io.File(dir, t)
-      def walk(f: java.io.File): Unit = {
-        feed(s"${f.getPath.stripPrefix(root.getPath)}:${f.lastModified}:${f.length}")
-        if (f.isDirectory)
-          Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).foreach(walk)
-      }
-      walk(root)
-    }
-    md.digest().map("%02x".format(_)).mkString.take(24)
-  }
   val joinAsofBucketed: Q = (s, dir) => {
     val ev = eventsWithTs(s, dir)
       .select(col("event_id"), col("user_id"), col("ts_us"))
@@ -725,40 +700,20 @@ object Analytics {
     val buckets = 16
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
     val schemaDdl = unioned.schema.toDDL
-    val fp = asofLayoutFingerprint(dir,
+    val fp = graft.core.LayoutCache.fingerprint("graft-asof-layout-v1", dir,
+      Seq("events.parquet", "orders.parquet"),
       s"buckets=$buckets;sort=$kC,$tC,$sideC;schema=$schemaDdl")
     val cacheRoot = new java.io.File(
       sys.props.getOrElse("graft.asofLayoutRoot", "target/asof-layout"))
-    val dataDir = new java.io.File(cacheRoot, s"u_$fp")
-    val marker = new java.io.File(dataDir, "_GRAFT_LAYOUT")
-    val cold = !marker.isFile
-    if (cold) {
-      cacheRoot.mkdirs()
-      // stale-entry hygiene: superseded fingerprints (regenerated testdata)
-      // and crashed-build tmp dirs, pruned only once hours-old — a sibling
-      // JVM mid-read of a freshly-superseded layout must never lose files
-      val staleMs = 6L * 3600 * 1000
-      Option(cacheRoot.listFiles()).toSeq.flatten
-        .filter(d => d.isDirectory && d.getName != dataDir.getName &&
-          System.currentTimeMillis() - d.lastModified() > staleMs)
-        .foreach(rmTreeLocal)
-      val tmpDir = new java.io.File(cacheRoot, s"tmp_$nonce")
+    val (dataDir, cold) = graft.core.LayoutCache.getOrBuild(cacheRoot, fp) { tmpDir =>
       val buildName = s"graft_asof_build_$nonce"
       unioned.repartition(buckets, col(kC))
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, kC).sortBy(kC, tC, sideC)
         .option("path", tmpDir.getAbsolutePath).saveAsTable(buildName)
-      s.sql(s"DROP TABLE $buildName") // external: drops metadata, files stay
-      java.nio.file.Files.write(new java.io.File(tmpDir, "_GRAFT_LAYOUT").toPath,
-        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      try java.nio.file.Files.move(tmpDir.toPath, dataDir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.io.IOException if marker.isFile => rmTreeLocal(tmpDir) }
-      asofLayoutBuilds.incrementAndGet(): Unit
+      s.sql(s"DROP TABLE $buildName"): Unit // external: drops metadata, files stay
     }
-    require(new String(java.nio.file.Files.readAllBytes(marker.toPath),
-      java.nio.charset.StandardCharsets.UTF_8) == fp,
-      s"asof layout marker/fingerprint mismatch at $dataDir")
+    if (cold) asofLayoutBuilds.incrementAndGet(): Unit
     // per-process registration over the shared published files: external
     // bucketed table, nonce-named (the in-memory catalog is process-private)
     val uName = s"graft_asof_u_$nonce"

@@ -21,12 +21,19 @@ object LakeOps {
     * The oracle computes the same aggregate straight from the source
     * parquet, proving the bucketed layout is lossless.
     *
-    * Hermetic by construction: the warehouse dir is process-private
-    * ([[graft.core.EphemeralWarehouse]], deleted on JVM exit) and table
-    * names carry a per-run nonce, so neither a stale prior session nor a
-    * concurrently-running sibling JVM can collide with — or delete — these
-    * tables. (The returned DataFrame is lazy, so the tables must outlive
-    * this call; the shutdown hook is the cleanup.)
+    * Round 14: the layout is CACHED across processes via
+    * [[graft.core.LayoutCache]] (the `join_asof_bucketed` machinery,
+    * shared): a COLD call pays the two bucketed writes once (repartitioned
+    * by the join key first so every bucket is a single file — the
+    * condition under which Spark trusts bucket sort order and elides the
+    * merge-join sort), publishes them under a content fingerprint of the
+    * source trees + layout spec, and any WARM call — same process or a
+    * later JVM — registers external bucketed tables over the published
+    * files and pays only the carry. The losslessness gate below still
+    * executes on EVERY run, warm or cold: both aggregates are constant-
+    * size and the bit-equal require is the property the operator exists
+    * to prove. Catalog names stay per-run nonce'd (the in-memory catalog
+    * is process-private), so sibling JVMs cannot collide.
     *
     * Under `-Dgraft.assertPlans=true` (set by Verify) the zero-input-shuffle
     * property is asserted in the SAME session configuration the driver
@@ -39,16 +46,43 @@ object LakeOps {
     * hashes no longer transit mutable scratch disk (managed tables written
     * and re-read mid-verify) — the one thing that distinguished this query
     * from the rest of the surface during the r4-r8 driver-only hash reds. */
+  private[graft] val bucketLayoutBuilds = new java.util.concurrent.atomic.AtomicLong(0)
   val joinBucketed: Q = (s, dir) => {
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
-    val oName = s"graft_b_o_$nonce"; val lName = s"graft_b_l_$nonce"
-    table(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(oName)
-    table(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
+    val buckets = 16
+    val ordSrc = table(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
+    val liSrc = table(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lName)
+    val (oDdl, lDdl) = (ordSrc.schema.toDDL, liSrc.schema.toDDL)
+    val fp = graft.core.LayoutCache.fingerprint("graft-bucket-layout-v1", dir,
+      Seq("orders.parquet", "lineitem.parquet"),
+      s"buckets=$buckets;filter=key%4=0;o=($oDdl)sort=o_orderkey;l=($lDdl)sort=l_orderkey")
+    val cacheRoot = new java.io.File(
+      sys.props.getOrElse("graft.bucketLayoutRoot", "target/bucket-layout"))
+    val (dataDir, cold) = graft.core.LayoutCache.getOrBuild(cacheRoot, fp) { tmpDir =>
+      def writeOne(df: DataFrame, key: String, sub: String): Unit = {
+        val bn = s"graft_b_build_${sub}_$nonce"
+        df.repartition(buckets, col(key))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, key).sortBy(key)
+          .option("path", new java.io.File(tmpDir, sub).getAbsolutePath)
+          .saveAsTable(bn)
+        s.sql(s"DROP TABLE $bn"): Unit // external: drops metadata, files stay
+      }
+      writeOne(ordSrc, "o_orderkey", "orders")
+      writeOne(liSrc, "l_orderkey", "lineitem")
+    }
+    if (cold) bucketLayoutBuilds.incrementAndGet(): Unit
+    def register(sub: String, ddl: String, key: String): String = {
+      val n = s"graft_b_${sub}_$nonce"
+      s.sql(
+        s"""CREATE TABLE $n ($ddl) USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+           |LOCATION '${new java.io.File(dataDir, sub).getAbsolutePath}'""".stripMargin)
+      n
+    }
+    val oName = register("orders", oDdl, "o_orderkey")
+    val lName = register("lineitem", lDdl, "l_orderkey")
     def aggregate(l: DataFrame, o: DataFrame): DataFrame = l
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
