@@ -34,6 +34,18 @@ object TextOps {
     val base = maxDocId.foldLeft(table(s, dir, "documents"))((d, m) => d.filter(col("doc_id") < m))
     base.select(col("doc_id"),
         explode(graft.functions.SpanHashes(col("text"), 3)).as("shingle"))
+      // ONE corpus exchange, on shingle, BEFORE the dedup (the dedup_spans
+      // pattern): HashPartitioning(shingle) satisfies ClusteredDistribution
+      // for the (doc_id, shingle) distinct — planned as a single post-
+      // shuffle aggregate, no map-side partial — AND for every downstream
+      // consumer keyed by shingle (containment's df agg + posting joins,
+      // ngram-jaccard's inverted index), so none of them re-shuffles.
+      // The alternative plain .distinct() plans partial+final: on this
+      // operator's keys the partial combines ~nothing (pairs are already
+      // per-doc-unique), and at the chained sf100 clone regime it
+      // degenerated into rehash+spill churn at ~15k rows/s/task — the
+      // round-14 killed-battery carrier (SCALING.md).
+      .repartition(col("shingle"))
       .distinct()
   }
 
