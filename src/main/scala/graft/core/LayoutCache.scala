@@ -15,18 +15,24 @@ import java.nio.charset.StandardCharsets.UTF_8
   * published under a content fingerprint and rebuilt only when the source
   * data actually changes.
   *
-  * Contract (extracted verbatim from the round-14 `join_asof_bucketed`
-  * implementation, now shared):
+  * Contract (round 15 — the round-14 contract plus the advice fixes):
   *   - the fingerprint covers the source file trees (relative path, mtime,
-  *     length — sorted walk), the layout spec string (buckets, sort, the
-  *     written schema), and a version tag; any testdata regeneration moves
-  *     an mtime → new fingerprint → rebuild;
+  *     length — sorted walk) PLUS a per-file content witness (first+last
+  *     4 KB of bytes; for parquet the tail spans the footer: schema, row
+  *     counts, column stats), the layout spec string, and a version tag;
+  *     any testdata regeneration moves the fingerprint even when mtimes
+  *     and sizes are preserved (rsync -a restore, same-millisecond
+  *     regeneration) → rebuild, never a silent stale hit;
   *   - a COLD call builds into a private tmp dir and atomically renames it
-  *     into place; a concurrent loser deletes its tmp and reads the
-  *     winner's files;
-  *   - superseded fingerprints are pruned only once they are hours-stale,
-  *     never while a sibling process could plausibly still read them (the
-  *     rounds-4/5 shared-warehouse flake is the cautionary tale);
+  *     into place; `cold` in the return means THIS CALL PUBLISHED — the
+  *     loser of a concurrent race deletes its tmp, reads the winner's
+  *     files, and reports warm, so build counters and cold-only gates
+  *     count actual publishes;
+  *   - every use (cold or warm) touches the entry dir's mtime, so the
+  *     stale prune's 6h clock measures time-since-last-READ, not
+  *     time-since-build: a layout another scale's sibling JVM is actively
+  *     carrying never looks stale (the rounds-4/5 shared-warehouse flake
+  *     is the cautionary tale; multi-scale sessions share one cacheRoot);
   *   - a marker file carries the fingerprint and is `require`d to match on
   *     every use, cold or warm.
   */
@@ -37,9 +43,12 @@ object LayoutCache {
     f.delete(): Unit
   }
 
-  /** SHA-256 over source trees (relative path, mtime, length — sorted walk)
-    * + the layout spec string + a version tag; 24 hex chars is plenty for a
-    * cache key that is validated structurally (marker file) on use. */
+  /** SHA-256 over source trees (relative path, mtime, length — sorted walk,
+    * plus each regular file's first and last 4 KB of bytes as a content
+    * witness) + the layout spec string + a version tag; 24 hex chars is
+    * plenty for a cache key that is validated structurally (marker file)
+    * on use. The witness read is bounded at 8 KB/file — footer-speed for
+    * parquet trees of any row count. */
   def fingerprint(version: String, dir: String, tables: Seq[String], spec: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def feed(x: String): Unit = md.update((x + "\n").getBytes(UTF_8))
@@ -52,6 +61,17 @@ object LayoutCache {
         feed(s"${f.getPath.stripPrefix(root.getPath)}:${f.lastModified}:${f.length}")
         if (f.isDirectory)
           Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).foreach(walk)
+        else if (f.isFile && f.length > 0) {
+          val raf = new java.io.RandomAccessFile(f, "r")
+          try {
+            val buf = new Array[Byte](math.min(4096L, raf.length).toInt)
+            raf.readFully(buf); md.update(buf)
+            if (raf.length > buf.length) {
+              raf.seek(raf.length - buf.length)
+              raf.readFully(buf); md.update(buf)
+            }
+          } finally raf.close()
+        }
       }
       walk(root)
     }
@@ -60,32 +80,51 @@ object LayoutCache {
 
   /** Returns (published data dir, cold). `build` receives the tmp dir to
     * write the layout into; it runs only on the cold path. The published
-    * dir contains whatever `build` wrote plus the `_GRAFT_LAYOUT` marker. */
+    * dir contains whatever `build` wrote plus the `_GRAFT_LAYOUT` marker.
+    * `cold` = this call PUBLISHED the layout (a concurrent race's loser
+    * builds but fails the atomic rename, discards its tmp, and reports
+    * warm — it reads the winner's identical files). */
   def getOrBuild(cacheRoot: File, fp: String)(build: File => Unit): (File, Boolean) = {
     val dataDir = new File(cacheRoot, s"u_$fp")
     val marker = new File(dataDir, "_GRAFT_LAYOUT")
-    val cold = !marker.isFile
-    if (cold) {
+    var published = false
+    if (!marker.isFile) {
       cacheRoot.mkdirs()
       // stale-entry hygiene: superseded fingerprints (regenerated testdata)
-      // and crashed-build tmp dirs, pruned only once hours-old — a sibling
-      // JVM mid-read of a freshly-superseded layout must never lose files
+      // and crashed-build tmp dirs. "Stale" = UNREAD for hours — the touch
+      // below refreshes the entry's mtime on every use, so a layout a
+      // sibling JVM is actively carrying (another scale sharing this
+      // cacheRoot) never qualifies, only genuinely abandoned entries do.
       val staleMs = 6L * 3600 * 1000
       Option(cacheRoot.listFiles()).toSeq.flatten
         .filter(d => d.isDirectory && d.getName != dataDir.getName &&
           System.currentTimeMillis() - d.lastModified() > staleMs)
         .foreach(rmTree)
-      val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
-      val tmpDir = new File(cacheRoot, s"tmp_$nonce")
-      build(tmpDir)
-      java.nio.file.Files.write(new File(tmpDir, "_GRAFT_LAYOUT").toPath,
-        fp.getBytes(UTF_8))
-      try java.nio.file.Files.move(tmpDir.toPath, dataDir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.io.IOException if marker.isFile => rmTree(tmpDir) }
+      // re-check after the prune: a concurrent winner may have published
+      // while this process walked the source trees — skipping the
+      // duplicate build here narrows the cold race to the walk window
+      if (!marker.isFile) {
+        val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+        val tmpDir = new File(cacheRoot, s"tmp_$nonce")
+        build(tmpDir)
+        java.nio.file.Files.write(new File(tmpDir, "_GRAFT_LAYOUT").toPath,
+          fp.getBytes(UTF_8))
+        try {
+          java.nio.file.Files.move(tmpDir.toPath, dataDir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          published = true
+        } catch { case _: java.io.IOException if marker.isFile => rmTree(tmpDir) }
+      }
     }
     require(new String(java.nio.file.Files.readAllBytes(marker.toPath), UTF_8) == fp,
       s"layout marker/fingerprint mismatch at $dataDir")
-    (dataDir, cold)
+    // touch on EVERY use so the prune's clock above measures
+    // time-since-last-read; the entry DIR's mtime is what the prune filter
+    // inspects, and touching it leaves the published files untouched
+    // (warm-path file-snapshot invariants pin name/mtime/length per file)
+    try java.nio.file.Files.setLastModifiedTime(dataDir.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
+    (dataDir, published)
   }
 }

@@ -35,16 +35,17 @@ object TextOps {
     base.select(col("doc_id"),
         explode(graft.functions.SpanHashes(col("text"), 3)).as("shingle"))
       // ONE corpus exchange, on shingle, BEFORE the dedup (the dedup_spans
-      // pattern): HashPartitioning(shingle) satisfies ClusteredDistribution
-      // for the (doc_id, shingle) distinct — planned as a single post-
-      // shuffle aggregate, no map-side partial — AND for every downstream
-      // consumer keyed by shingle (containment's df agg + posting joins,
-      // ngram-jaccard's inverted index), so none of them re-shuffles.
-      // The alternative plain .distinct() plans partial+final: on this
-      // operator's keys the partial combines ~nothing (pairs are already
-      // per-doc-unique), and at the chained sf100 clone regime it
-      // degenerated into rehash+spill churn at ~15k rows/s/task — the
-      // round-14 killed-battery carrier (SCALING.md).
+      // pattern). Spark still plans the distinct as a partial+final
+      // HashAggregate pair — what the repartition changes is WHERE the
+      // exchange sits: below both aggregates, so no PRE-SHUFFLE partial
+      // agg fills/spills a hash map over the full map input. On this
+      // operator's keys that pre-shuffle partial combines ~nothing (pairs
+      // are already per-doc-unique), and at the chained sf100 clone
+      // regime it degenerated into rehash+spill churn at ~15k rows/s/task
+      // — the round-14 killed-battery carrier (SCALING.md). The shingle
+      // exchange is also reused by every downstream consumer keyed by
+      // shingle (containment's df agg + posting joins, ngram-jaccard's
+      // inverted index), so none of them re-shuffles.
       .repartition(col("shingle"))
       .distinct()
   }
@@ -1588,7 +1589,7 @@ object TextOps {
     * 100 TB most candidate pairs exceed the threshold, so the early exit
     * is where the time goes. DuckDB's unbounded `levenshtein` agrees
     * exactly on every surviving pair. */
-  val linkFuzzyEdit: Q = (s, dir) => fuzzyPairs(s, dir)
+  val linkFuzzyEdit: Q = (s, dir) => fuzzyPairs(s, dir, "link_fuzzy_edit")
 
   /** Capped fuzzy linkage — the documented SCALE KNOB for
     * [[linkFuzzyEdit]], whose exact form is output-bound at scale (the
@@ -1605,9 +1606,11 @@ object TextOps {
   val linkFuzzyCapped: Q = (s, dir) => {
     val w = Window.partitionBy(col("doc_a"))
       .orderBy(col("edit_dist").asc, col("doc_b").asc)
-    fuzzyPairs(s, dir)
+    val capped = fuzzyPairs(s, dir, "link_fuzzy_capped")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= LinkFuzzyK)
+    graft.core.BenchStats.observed(capped, "link_fuzzy_capped", "out",
+      "output_rows" -> count(lit(1)))
   }
   val linkFuzzyCappedSql =
     s"""WITH pref AS (
@@ -1624,7 +1627,15 @@ object TextOps {
       |  CAST(row_number() OVER (PARTITION BY doc_a ORDER BY edit_dist, doc_b) AS BIGINT) AS rank
       |FROM pairs QUALIFY rank <= $LinkFuzzyK""".stripMargin
 
-  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+  /** `statsName`: the caller's registry name for the in-plan scale
+    * side-records (round-15 verdict task 4 — round 14 re-derived this
+    * lane's candidate/true-pair masses BY HAND to adjudicate its 22.4×
+    * battery flag). Two `observe` points ride the query's own action at
+    * zero extra cost when Bench enables [[graft.core.BenchStats]]:
+    * same-block candidate pairs (post-join, pre-levenshtein) and
+    * surviving true pairs; disabled (Verify/oracle) the plan is
+    * untouched. */
+  private def fuzzyPairs(s: SparkSession, dir: String, statsName: String): DataFrame = {
     // Length banding: ed(pa,pb) ≤ 12 ⇒ |len(pa)−len(pb)| ≤ 12, so pairs
     // can only meet the threshold inside adjacent width-13 length bands.
     // (lang, tok1) alone has a FIXED block count — vocabulary-bounded — so
@@ -1644,15 +1655,20 @@ object TextOps {
     // corpus's within-block true-pair rate is ~26% (ed ≤ 12 is loose), the
     // bound pruned only 17% of candidates, and the operator is output-bound
     // at scale — see SCALING.md "link_fuzzy_edit: output-bound".
-    pref.select(col("lang"), col("tok1"), col("doc_id").as("doc_a"), col("p").as("pa"),
+    val candidates = pref
+      .select(col("lang"), col("tok1"), col("doc_id").as("doc_a"), col("p").as("pa"),
         explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lbk"))
       .join(pref.select(col("lang"), col("tok1"), col("doc_id").as("doc_b"),
           col("p").as("pb"), col("lb").as("lbk")),
         Seq("lang", "tok1", "lbk"))
       .filter(col("doc_a") < col("doc_b"))
+    val pairs = graft.core.BenchStats
+      .observed(candidates, statsName, "cand", "candidate_pairs" -> count(lit(1)))
       .withColumn("ed", expr("levenshtein(pa, pb, 12)"))
       .filter(col("ed") >= 0) // -1 = early-exited above the threshold
       .select(col("doc_a"), col("doc_b"), col("ed").cast("long").as("edit_dist"))
+    graft.core.BenchStats.observed(pairs, statsName, "true",
+      "true_pairs" -> count(lit(1)))
   }
   val linkFuzzyEditSql =
     """WITH pref AS (

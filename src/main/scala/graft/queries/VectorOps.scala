@@ -247,19 +247,15 @@ object VectorOps {
     emb.write.mode("overwrite").parquet(s"$tmp/base")
     val base = s.read.schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE")
       .parquet(s"$tmp/base")
-    // Data-drift side-record (round-14 verdict task 5): candidate mass =
-    // Σ C(load, 2) over (band, bucket) — one skinny map-side-combining agg
-    // off the just-materialized columnar base (16-byte rows, no join), the
-    // same arithmetic the round-13 regeneration adjudication re-derived by
-    // hand. Lands in Bench's per-query record via [[graft.core.BenchStats]].
+    // Data-drift side-records (round-14 verdict task 5, restructured for
+    // round-15 task 6): the candidate mass — Σ C(load, 2) over
+    // (band, bucket) = the banded self-join's a<b output — and the post-τ
+    // survivor dump mass now ride each chunk job's OWN parquet-write
+    // action as `observe` nodes (accumulated across chunks by the
+    // listener), so the round-14 standalone candidate aggregate (a full
+    // extra base pass at the fourth decade) and the dumps count() job are
+    // gone entirely. Disabled (Verify/oracle) the plan is untouched.
     graft.core.BenchStats.record("dedup_embedding", "corpus_rows", nRows)
-    val candRow = base
-      .select(explode(array((0 until DedupBands).map(b =>
-        struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
-      .groupBy(col("bb.band"), col("bb.bucket")).agg(count(lit(1)).as("load"))
-      .agg(sum(expr("load * (load - 1) DIV 2"))).collect()(0)
-    graft.core.BenchStats.record("dedup_embedding", "candidate_pairs",
-      if (candRow.isNullAt(0)) 0L else candRow.getLong(0))
     val jobs = bandJobs(DedupBands, nRows)
     jobs.zipWithIndex.foreach { case ((bs, sub, subs), ci) =>
       val bandedAll = base.select(col("vec_id"), col("v"), col("nrm"),
@@ -269,15 +265,21 @@ object VectorOps {
           col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       val banded = if (subs == 1) bandedAll
         else bandedAll.filter(pmod(col("bucket"), lit(subs.toLong)) === sub.toLong)
-      banded.select(col("band"), col("bucket"),
+      val candidates = banded.select(col("band"), col("bucket"),
           col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
         .join(banded.select(col("band"), col("bucket"),
           col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")),
           Seq("band", "bucket"))
         .filter(col("a_id") < col("b_id"))
+      val survivors = graft.core.BenchStats
+        .observedSum(candidates, "dedup_embedding", s"cand_$ci",
+          "candidate_pairs" -> count(lit(1)))
         .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
         .filter(col("cos") > 0.3)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
+      graft.core.BenchStats
+        .observedSum(survivors, "dedup_embedding", s"surv_$ci",
+          "survivor_dump_rows" -> count(lit(1)))
         .write.mode("overwrite").parquet(s"$tmp/chunk_$ci")
       releaseBandShuffles(nRows)
     }
@@ -288,11 +290,8 @@ object VectorOps {
     // pairs, leaving no parquet files to infer from
     def dumps = s.read.schema("a_id BIGINT, b_id BIGINT, cosine DOUBLE")
       .parquet(jobs.indices.map(i => s"$tmp/chunk_$i"): _*)
-    // survivor mass = post-τ dump rows (pre-distinct, ≤bands multiplicity
-    // per true pair — the probe-report statistic); a column-less parquet
-    // count, row-group metadata speed
-    graft.core.BenchStats.record("dedup_embedding", "survivor_dump_rows",
-      dumps.count())
+    // (survivor mass = post-τ dump rows, pre-distinct — observed on each
+    // chunk's write above, no separate count job)
     val subs0 = jobs.head._3
     if (subs0 == 1) dumps.distinct()
     else {
@@ -1004,17 +1003,14 @@ object VectorOps {
     val base = s.read
       .schema("vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, cid BIGINT")
       .parquet(s"$tmp/base")
-    // Data-drift side-record (round-14 verdict task 5; see dedupEmbedding):
-    // candidate mass over the factored (cid, band, bucket) blocking key
+    // Data-drift side-records (round-14 verdict task 5; round-15 task 6 —
+    // see dedupEmbedding): candidate mass over the factored
+    // (cid, band, bucket) blocking key = the banded self-join's a<b
+    // output, and the post-τ survivor dump mass — both observed on each
+    // chunk job's own write action, accumulated across chunks; the
+    // round-14 standalone candidate agg (a full extra base pass) and the
+    // dumps count() job are gone.
     graft.core.BenchStats.record("dedup_semantic", "corpus_rows", nRows)
-    val candRow = base
-      .select(col("cid"), explode(array((0 until SemBands).map(b =>
-        struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
-      .groupBy(col("cid"), col("bb.band"), col("bb.bucket"))
-      .agg(count(lit(1)).as("load"))
-      .agg(sum(expr("load * (load - 1) DIV 2"))).collect()(0)
-    graft.core.BenchStats.record("dedup_semantic", "candidate_pairs",
-      if (candRow.isNullAt(0)) 0L else candRow.getLong(0))
     val jobs = bandJobs(SemBands, nRows)
     jobs.zipWithIndex.foreach { case ((bs, sub, subs), ci) =>
       val bandedAll = base.select(col("cid"), col("vec_id"), col("v"), col("nrm"),
@@ -1026,23 +1022,27 @@ object VectorOps {
       // BOTH its cid and bucket, so the slice partition stays exact)
       val banded = if (subs == 1) bandedAll
         else bandedAll.filter(pmod(col("bucket"), lit(subs.toLong)) === sub.toLong)
-      banded.select(col("cid"), col("band"), col("bucket"),
+      val candidates = banded.select(col("cid"), col("band"), col("bucket"),
           col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
         .join(banded.select(col("cid"), col("band"), col("bucket"),
           col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")),
           Seq("cid", "band", "bucket"))
         .filter(col("a_id") < col("b_id"))
+      val survivors = graft.core.BenchStats
+        .observedSum(candidates, "dedup_semantic", s"cand_$ci",
+          "candidate_pairs" -> count(lit(1)))
         .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
         .filter(col("cos") > Tau)
         .select(col("cid"), col("a_id"), col("b_id"), col("cos"))
+      graft.core.BenchStats
+        .observedSum(survivors, "dedup_semantic", s"surv_$ci",
+          "survivor_dump_rows" -> count(lit(1)))
         .write.mode("overwrite").parquet(s"$tmp/chunk_$ci")
       releaseBandShuffles(nRows)
     }
     rmTree(s"$tmp/base") // free the assigned base before the output phase
     def dumps = s.read.schema("cid BIGINT, a_id BIGINT, b_id BIGINT, cos DOUBLE")
       .parquet(jobs.indices.map(i => s"$tmp/chunk_$i"): _*)
-    graft.core.BenchStats.record("dedup_semantic", "survivor_dump_rows",
-      dumps.count())
     def finalAgg(df: DataFrame): DataFrame = df
       .groupBy(col("b_id").as("vec_id"), col("cid"))
       .agg(min(col("a_id")).as("dup_of"), round(max(col("cos")), 4).as("max_cosine"))

@@ -25,6 +25,15 @@ object GraftBridge {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
 
+  /** Drop the JVM-wide shared file-status cache (`private[sql]`): file
+    * listings (path, length) are cached across ALL table registrations, so
+    * a test that rewrites a published layout file in place keeps being
+    * read at its OLD length — the corruption surfaces as a seek-past-EOF
+    * SparkException in the scan instead of reaching the layer under test.
+    * Test-only (AsOfLayoutCacheSpec's corrupted-file case). */
+  def resetFileStatusCache(): Unit =
+    org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+
   /** Build a DataFrame from an InternalRow RDD without the Row round-trip:
     * `Dataset.rdd` deserializes every row through Scala converters (and
     * `createDataFrame(Row)` re-encodes them) — a 4-5× tax on row-at-a-time

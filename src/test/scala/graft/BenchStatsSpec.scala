@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the [[graft.core.BenchStats]] gating contract (round-15 verdict
+  * tasks 4 + 6): disabled — the default, Verify's configuration — is a
+  * strict no-op (plan untouched, nothing recorded); enabled — Bench's
+  * configuration — the `observe` wrapper rides the query's own action and
+  * the registered listener harvests the masses into the snapshot, including
+  * the fuzzy-link lane's candidate/true-pair side-records. */
+class BenchStatsSpec extends SparkSpec {
+  private val Sf = "/root/testdata/sf0.001"
+
+  test("disabled: observed() leaves the plan untouched and record() is a no-op") {
+    assert(!graft.core.BenchStats.enabled, "specs must run with stats disabled")
+    val df = spark.range(5).toDF("x")
+    val wrapped = graft.core.BenchStats.observed(df, "bench_stats_spec_q", "t",
+      "n" -> count(lit(1)))
+    assert(wrapped eq df, "disabled observed() must return its input unchanged")
+    graft.core.BenchStats.record("bench_stats_spec_q", "k", 1L)
+    assert(!graft.core.BenchStats.snapshot.exists(_._1 == "bench_stats_spec_q"),
+      "disabled record() must not land in the snapshot")
+  }
+
+  test("enabled: fuzzy-link observes ride the action and the listener harvests them") {
+    graft.core.BenchStats.enable(spark)
+    try {
+      val out = SparkEntry.queries("link_fuzzy_edit")(spark, Sf).count()
+      assert(out > 0, "fixture must produce fuzzy pairs")
+      // the ExecutionListenerBus delivers asynchronously — poll briefly
+      def stats(): Map[String, Long] = graft.core.BenchStats.snapshot
+        .find(_._1 == "link_fuzzy_edit").map(_._2.toMap).getOrElse(Map.empty)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (stats().size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = stats()
+      assert(m.get("true_pairs").contains(out),
+        s"true_pairs must equal the query's output rows: $m vs $out")
+      assert(m.getOrElse("candidate_pairs", -1L) >= out,
+        s"candidate mass must dominate surviving pairs: $m")
+    } finally graft.core.BenchStats.setEnabled(false)
+  }
+}
