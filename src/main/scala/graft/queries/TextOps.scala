@@ -285,12 +285,21 @@ object TextOps {
       .persist()
     val a = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("sigv").as("a_sig"))
     val b = bands.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("sigv").as("b_sig"))
-    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+    // scale side-records (Bench-only, zero-cost observe — see BenchStats):
+    // same-bucket candidate mass and surviving pair mass, the two numbers
+    // every output-bound adjudication of this lane (and of dedup_minhash_cc,
+    // whose edge table IS this output) has had to re-derive by hand
+    val candidates = graft.core.BenchStats.observed(
+      a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id")),
+      "dedup_minhash_lsh", "cand", "candidate_pairs" -> count(lit(1)))
+    val pairs = candidates
       .select(col("a_id"), col("b_id"),
         size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
           .as("sig_agree"))
       .distinct()
       .filter(col("sig_agree") >= 6)
+    graft.core.BenchStats.observed(pairs, "dedup_minhash_lsh", "out",
+      "output_pairs" -> count(lit(1)))
   }
   val dedupMinhashLshSql = {
     val sigSql = dedupMinhashSql
