@@ -6,8 +6,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 MAIN=$1; shift
-DUCKDB_JAR=$(find "$HOME/.cache/coursier" -name 'duckdb_jdbc-*.jar' 2>/dev/null | sort | tail -1 || true)
-SCALATEST_JARS=""
+# sort -V: version-aware pick of the newest driver (lexicographic sort puts
+# 1.10.x before 1.9.x), matching build.sbt's numeric-version selection
+DUCKDB_JAR=$(find "$HOME/.cache/coursier" -name 'duckdb_jdbc-*.jar' 2>/dev/null | sort -V | tail -1 || true)
 exec java \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \

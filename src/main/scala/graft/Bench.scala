@@ -8,7 +8,55 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
   }
 
+  /** The run-series key: SHA-256 over the BYTES of the src/main, build.sbt
+    * and project trees (sorted walk, sbt's project/target + project/project
+    * build caches excluded). Two runs blend into one median iff these
+    * trees are byte-identical — artifact-only commits, TEST-only edits,
+    * dirty-but-identical checkouts and mtime churn all map to the same
+    * key, and any real runtime-code edit (committed or not) moves it.
+    * ~1.5 MB hashed, sub-millisecond against a warm page cache. */
+  private def codeFingerprint(): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def feed(f: java.io.File): Unit =
+      if (f.isDirectory) {
+        if (f.getName != "target")
+          Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).foreach(feed)
+      } else if (f.isFile) {
+        md.update((f.getPath + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(java.nio.file.Files.readAllBytes(f.toPath))
+        md.update(0.toByte)
+      }
+    Seq("src/main", "build.sbt", "project").foreach(p => feed(new java.io.File(p)))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Newest mtime under `root` (skipping any dir named target), 0 if absent. */
+  private def newestMtime(root: java.io.File): Long =
+    if (root.isDirectory) {
+      if (root.getName == "target") 0L
+      else Option(root.listFiles()).toSeq.flatten.map(newestMtime)
+        .foldLeft(0L)(math.max)
+    } else if (root.isFile) root.lastModified
+    else 0L
+
+  /** True when the sources are NEWER than the compiled classes actually on
+    * the classpath — the fingerprint would then describe code that is NOT
+    * running (scripts/run_main.sh executes target/scala-2.13/classes with
+    * no compile step; an edit without a recompile must not blend into a
+    * clean series' median). Absent classes dir → not adjudicable → false. */
+  private def classesStale(): Boolean = {
+    val classes = new java.io.File("target/scala-2.13/classes")
+    val newestClass = newestMtime(classes)
+    newestClass > 0L && Seq("src/main", "build.sbt", "project")
+      .map(p => newestMtime(new java.io.File(p))).max > newestClass
+  }
+
   def main(args: Array[String]): Unit = {
+    // Fingerprint the code FIRST (round-16 advice): hashing at run END let a
+    // mid-battery source edit stamp the record with code that never ran.
+    // A second hash after the query loop detects exactly that edit.
+    val codeFpStart = codeFingerprint()
+    val staleAtStart = classesStale()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Spill-aware knob for big-SF side runs (driver leaves it unset →
@@ -109,26 +157,28 @@ object Bench {
         } catch { case _: Throwable => None }
       sh("git", "rev-parse", "--short=12", "HEAD").getOrElse("unknown")
     }
-    // The run-series key: SHA-256 over the BYTES of src/main/**, build.sbt
-    // and project/** (sorted walk, sbt's project/target + project/project
-    // build caches excluded). Two runs blend into one median iff these
-    // trees are byte-identical — artifact-only commits, TEST-only edits,
-    // dirty-but-identical checkouts and mtime churn all map to the same
-    // key, and any real runtime-code edit (committed or not) moves it.
-    // ~1.5 MB hashed, sub-millisecond against a warm page cache.
+    // The run-series key (see [[codeFingerprint]]), guarded two ways against
+    // recording a fingerprint of code that was NOT the code running
+    // (round-16 advice — the exact failure class the key exists to prevent):
+    //   - "-stale": the sources are newer than target/scala-2.13/classes,
+    //     i.e. an edit without a recompile (scripts/run_main.sh runs the
+    //     classes directly, no compile step);
+    //   - "-editedmidrun": the source tree changed between process start
+    //     and the query loop's end (the running classes are whichever
+    //     version sbt had loaded — neither hash describes them for sure).
+    // Either marker moves the key, so a tainted run can never blend into a
+    // clean series' median, and the taint is visible in the record.
     val codeFp = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      def feed(f: java.io.File): Unit =
-        if (f.isDirectory) {
-          if (f.getName != "target")
-            Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).foreach(feed)
-        } else if (f.isFile) {
-          md.update((f.getPath + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          md.update(java.nio.file.Files.readAllBytes(f.toPath))
-          md.update(0.toByte)
-        }
-      Seq("src/main", "build.sbt", "project").foreach(p => feed(new java.io.File(p)))
-      md.digest().map("%02x".format(_)).mkString.take(16)
+      val end = codeFingerprint()
+      if (end != codeFpStart) {
+        System.err.println(s"[bench] WARNING: src/main changed mid-run " +
+          s"($codeFpStart -> $end); record marked -editedmidrun")
+        s"$end-editedmidrun"
+      } else if (staleAtStart || classesStale()) {
+        System.err.println("[bench] WARNING: sources newer than compiled " +
+          "classes — the running code is NOT this fingerprint; record marked -stale")
+        s"$end-stale"
+      } else end
     }
 
     // Round = last driver-written BENCH_r{N}.json + 1; constant across the
@@ -196,6 +246,13 @@ object Bench {
     // lanes report their corpus/candidate/survivor masses via BenchStats as
     // they run, so a testdata regeneration is adjudicated by diffing two
     // numbers across rounds instead of re-deriving candidate arithmetic.
+    // Observed metrics are harvested ASYNCHRONOUSLY (ExecutionListenerBus on
+    // the shared listener bus) — snapshot-after-last-query is a race that a
+    // full 215-query run happens to cover but a single-query
+    // SPARK_GRAFT_ONLY probe (the primary consumer of these records) does
+    // not: the final action's masses can miss the record. Drain the bus
+    // first (round-15 verdict task 2).
+    org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
     val statsJson = graft.core.BenchStats.snapshot.map { case (q, kvs) =>
       jstr(q) + ":" + kvs.map { case (k, v) => jstr(k) + ":" + v }
         .mkString("{", ",", "}")

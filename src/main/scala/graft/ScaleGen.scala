@@ -47,6 +47,45 @@ object ScaleGen {
   private val Alpha1 = "aeiounrstl"
   private val Alpha2 = "bcdfghjkmp"
 
+  /** Provenance marker (round-15 verdict task 3): every generated corpus
+    * records its FULL generation chain, and [[generate]] refuses to chain
+    * from anything but a direct ×[[MaxFactor]] base unless the stress flag
+    * is set. Round 15 burned a full sf100 battery on an accidental ×10×10
+    * chain (rotation composition folds 100 copies into 10 bijection
+    * classes → 10-way clones at sf10, 100-way at sf100) that only the
+    * in-plan mass records caught after the fact; the marker makes the
+    * mistake impossible instead of merely diagnosable. */
+  val MarkerName = "_GRAFT_SCALEGEN.json"
+
+  /** The exact set of text-bijection classes a generation CHAIN produces:
+    * each copy k applies rotations (k%10, (k/10)%10) to the two alphabets,
+    * rotations compose additively mod 10 across chained generations, so
+    * the class set of a chain is the sumset-fold of its factors' class
+    * sets. |classSet(Seq(100))| = 100 (all combos); |classSet(Seq(10,10))|
+    * = 10 (the r15 accident: Alpha2 never engages);
+    * |classSet(Seq(100,10))| = 100 (the canonical sf100 regime — 10-way
+    * clones by design). */
+  private[graft] def classSet(factors: Seq[Int]): Set[(Int, Int)] =
+    factors.foldLeft(Set((0, 0))) { (acc, f) =>
+      val step = (0 until f).map(k => (k % 10, (k / 10) % 10)).toSet
+      for (a <- acc; b <- step) yield ((a._1 + b._1) % 10, (a._2 + b._2) % 10)
+    }
+
+  /** Generation chain recorded in a corpus dir's marker: Nil = driver
+    * testdata (no marker). */
+  private[graft] def readChain(dir: String): Seq[Int] = {
+    val f = new java.io.File(dir, MarkerName)
+    if (!f.isFile) Nil
+    else {
+      // an unreadable marker is a half-written or hand-mangled corpus —
+      // refuse loudly rather than silently treating it as pristine base data
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val fs = node.get("factors")
+      require(fs != null && fs.isArray, s"unparseable ScaleGen marker at $f")
+      (0 until fs.size).map(fs.get(_).asInt)
+    }
+  }
+
   private def rot(s: String, k: Int): String = {
     val r = k % s.length
     s.substring(r) + s.substring(0, r)
@@ -87,14 +126,35 @@ object ScaleGen {
       .appName("graft-scalegen")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, args(0), args(1), args(2).toInt)
+    // --stress (or SPARK_GRAFT_SCALEGEN_STRESS=1): explicit opt-in to chain
+    // from a non-canonical base — the 10/100-way-clone stress regimes
+    val stress = args.contains("--stress") ||
+      sys.env.get("SPARK_GRAFT_SCALEGEN_STRESS").contains("1")
+    generate(spark, args(0), args(1), args(2).toInt, stress)
     spark.stop()
   }
 
-  /** The generation itself, against a caller-owned session. */
-  def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+  /** The generation itself, against a caller-owned session. `stress = true`
+    * permits chaining from a base the provenance guard would refuse. */
+  def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int,
+      stress: Boolean = false): Unit = {
     require(factor >= 1 && factor <= MaxFactor,
       s"factor must be in [1, $MaxFactor] (only $MaxFactor distinct text bijections exist); got $factor")
+    // Provenance guard: chaining is legitimate ONLY from a direct
+    // ×MaxFactor base (the canonical sf100 recipe — all 100 bijection
+    // classes engaged, so the chain adds 10-way clones ON TOP of full
+    // bijection diversity). Any other chain folds the rotation composition
+    // into fewer classes (×10×10 → 10) and silently multiplies clone
+    // mass — the r15 accident. The stress flag keeps the clone regimes
+    // reachable, deliberately.
+    val srcChain = readChain(srcDir)
+    require(srcChain.isEmpty || srcChain == Seq(MaxFactor) || stress,
+      s"refusing to chain ScaleGen from $srcDir: its marker records factors " +
+        s"${srcChain.mkString("[", "x", "]")} (not a direct x$MaxFactor base) — " +
+        s"the composed corpus would fold to ${classSet(srcChain :+ factor).size} " +
+        s"bijection classes for ${(srcChain :+ factor).product} copies. " +
+        "Pass --stress (or SPARK_GRAFT_SCALEGEN_STRESS=1) to build a clone-" +
+        "regime corpus on purpose.")
     def tbl(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
     def out(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -144,5 +204,19 @@ object ScaleGen {
     out(scaled(embeddings)((d, k) => d
       .withColumn("vec_id", shift("vec_id", vOff, k))
       .withColumn("embedding", copyVec(col("embedding"), k))), "embeddings")
+
+    // provenance marker, written LAST (a crashed generation leaves no
+    // marker — readChain then refuses the half-corpus as unparseable base
+    // data only if a stale marker survived; mode=overwrite above replaces
+    // tables, so always rewrite the marker to match)
+    val chain = srcChain :+ factor
+    val classes = classSet(chain).size
+    val marker =
+      s"""{"factors":${chain.mkString("[", ",", "]")},"src":"${new java.io.File(srcDir).getAbsolutePath}",""" +
+      s""""total_factor":${chain.product},"bijection_classes":$classes,""" +
+      s""""clone_multiplicity":${math.max(1, chain.product / math.max(1, classes))},"stress":$stress}"""
+    java.nio.file.Files.write(new java.io.File(outDir, MarkerName).toPath,
+      (marker + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[scalegen] marker: $marker")
   }
 }

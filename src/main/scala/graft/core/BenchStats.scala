@@ -78,11 +78,20 @@ object BenchStats {
       exprs.head._2.as(exprs.head._1),
       exprs.tail.map { case (k, c) => c.as(k) }: _*)
 
-  /** Turn recording on and register the metric-harvesting listener (idempotent
-    * per session — Bench calls it once). */
+  // sessions that already carry the harvesting listener: enable() must be
+  // idempotent IN EFFECT, not just in intent — a second registration on the
+  // same session would double-harvest every observedSum metric and silently
+  // double the candidate/survivor masses (round-16 advice). Identity map:
+  // two sessions are "the same" iff they share the listener manager.
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+
+  /** Turn recording on and register the metric-harvesting listener — at most
+    * one listener per session, however many times this is called. */
   def enable(spark: SparkSession): Unit = {
     on = true
-    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+    if (registered.add(spark))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>

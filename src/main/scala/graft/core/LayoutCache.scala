@@ -17,12 +17,16 @@ import java.nio.charset.StandardCharsets.UTF_8
   *
   * Contract (round 15 — the round-14 contract plus the advice fixes):
   *   - the fingerprint covers the source file trees (relative path, mtime,
-  *     length — sorted walk) PLUS a per-file content witness (first+last
-  *     4 KB of bytes; for parquet the tail spans the footer: schema, row
-  *     counts, column stats), the layout spec string, and a version tag;
-  *     any testdata regeneration moves the fingerprint even when mtimes
-  *     and sizes are preserved (rsync -a restore, same-millisecond
-  *     regeneration) → rebuild, never a silent stale hit;
+  *     length — sorted walk) PLUS a per-file content witness (first, last,
+  *     and two length-derived interior 4 KB samples; for parquet the tail
+  *     spans the footer: schema, row counts, column stats), the layout
+  *     spec string, and a version tag. The witness is a strong HEURISTIC,
+  *     not a full-content hash: a same-length, mtime-preserved
+  *     regeneration differing ONLY outside the ~16 KB sampled per file
+  *     would still fingerprint identically. In practice any parquet
+  *     rewrite moves the footer (row-group offsets, stats) and the mtime;
+  *     the marker `require` below bounds what a collision could corrupt
+  *     to a stale-data read, never a mixed layout;
   *   - a COLD call builds into a private tmp dir and atomically renames it
   *     into place; `cold` in the return means THIS CALL PUBLISHED — the
   *     loser of a concurrent race deletes its tmp, reads the winner's
@@ -44,11 +48,15 @@ object LayoutCache {
   }
 
   /** SHA-256 over source trees (relative path, mtime, length — sorted walk,
-    * plus each regular file's first and last 4 KB of bytes as a content
-    * witness) + the layout spec string + a version tag; 24 hex chars is
+    * plus a content witness per regular file: the first 4 KB, the last
+    * 4 KB, and — for files past 16 KB — 4 KB samples at len/3 and 2·len/3,
+    * so an in-place regeneration whose differences lie strictly in the
+    * middle of a big file is still caught unless it threads between four
+    * probes) + the layout spec string + a version tag; 24 hex chars is
     * plenty for a cache key that is validated structurally (marker file)
-    * on use. The witness read is bounded at 8 KB/file — footer-speed for
-    * parquet trees of any row count. */
+    * on use. The witness read is bounded at 16 KB/file — footer-speed for
+    * parquet trees of any row count. Heuristic, not a full hash: see the
+    * contract note in the class doc. */
   def fingerprint(version: String, dir: String, tables: Seq[String], spec: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def feed(x: String): Unit = md.update((x + "\n").getBytes(UTF_8))
@@ -64,10 +72,15 @@ object LayoutCache {
         else if (f.isFile && f.length > 0) {
           val raf = new java.io.RandomAccessFile(f, "r")
           try {
-            val buf = new Array[Byte](math.min(4096L, raf.length).toInt)
+            val len = raf.length
+            val buf = new Array[Byte](math.min(4096L, len).toInt)
             raf.readFully(buf); md.update(buf)
-            if (raf.length > buf.length) {
-              raf.seek(raf.length - buf.length)
+            if (len > buf.length) {
+              // interior samples only when they don't overlap head/tail
+              if (len > 4L * buf.length) Seq(len / 3, 2 * len / 3).foreach { off =>
+                raf.seek(off); raf.readFully(buf); md.update(buf)
+              }
+              raf.seek(len - buf.length)
               raf.readFully(buf); md.update(buf)
             }
           } finally raf.close()

@@ -466,8 +466,16 @@ object TextOps {
       .filter(col("n_rare") >= 5)
     val a = posting.select(col("tok"), col("doc_id").as("a_id"))
     val b = posting.select(col("tok"), col("doc_id").as("b_id"))
-    a.join(b, Seq("tok")).filter(col("a_id") =!= col("b_id"))
+    val grouped = a.join(b, Seq("tok")).filter(col("a_id") =!= col("b_id"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
+    // candidate/output masses ride the query's own action (bench-only
+    // observe nodes — Verify's plan is untouched): the r15 clone-probe
+    // adjudication hand-counted these from Verify dumps, the last lane
+    // still doing so (round-15 verdict task 4 closed for fuzzy/LSH,
+    // round-16 for containment)
+    graft.core.BenchStats
+      .observed(grouped, "dedup_containment", "cand",
+        "candidate_pairs" -> count(lit(1)))
       // necessary-condition pushdown: ppm ≥ 8e5 ∧ n_rare ≥ 5 ⇒ n_common ≥ 4.
       // The pair agg emits ~one group per co-occurrence (overwhelmingly
       // n_common ∈ {1..3}), so this one-liner drops >95% of groups BEFORE
@@ -481,6 +489,8 @@ object TextOps {
       .filter(col("containment_ppm") >= 800000)
       .select(col("a_id"), col("b_id"), col("n_common"), col("n_rare"),
         col("containment_ppm"))
+      .transform(graft.core.BenchStats.observed(_, "dedup_containment", "out",
+        "output_pairs" -> count(lit(1))))
   }
   val dedupContainmentSql =
     s"""WITH sh AS (

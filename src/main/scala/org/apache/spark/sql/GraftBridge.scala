@@ -34,6 +34,19 @@ object GraftBridge {
   def resetFileStatusCache(): Unit =
     org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
 
+  /** Block (bounded) until the shared listener bus has delivered every
+    * posted event. QueryExecutionListener callbacks — BenchStats' observed
+    * masses — arrive via the asynchronous ExecutionListenerBus riding this
+    * bus, so a stats snapshot taken right after the last action RACES
+    * delivery: a single-query `SPARK_GRAFT_ONLY` probe run has no
+    * subsequent work to drain the queue and can record empty/partial
+    * stats. `SparkContext.listenerBus` is `private[spark]`, hence the
+    * bridge. A timeout (bus wedged behind a slow third-party listener)
+    * degrades to the pre-drain behavior rather than hanging the record. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 30000L): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
   /** Build a DataFrame from an InternalRow RDD without the Row round-trip:
     * `Dataset.rdd` deserializes every row through Scala converters (and
     * `createDataFrame(Row)` re-encodes them) — a 4-5× tax on row-at-a-time

@@ -39,4 +39,40 @@ class BenchStatsSpec extends SparkSpec {
         s"candidate mass must dominate surviving pairs: $m")
     } finally graft.core.BenchStats.setEnabled(false)
   }
+
+  test("stats-bearing query runs LAST: drain-then-snapshot carries its masses with no polling") {
+    // The round-15 race: Bench snapshotted right after the final action, and
+    // only 215 queries of subsequent work drained the async listener bus. A
+    // single-query SPARK_GRAFT_ONLY probe has no such slack — the drain must
+    // make the masses deterministically present. No polling loop here ON
+    // PURPOSE: if the drain doesn't suffice, this fails (flakily, which IS
+    // the bug being pinned).
+    graft.core.BenchStats.enable(spark)
+    try {
+      val out = SparkEntry.queries("dedup_containment")(spark, Sf).count()
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      val m = graft.core.BenchStats.snapshot
+        .find(_._1 == "dedup_containment").map(_._2.toMap).getOrElse(Map.empty)
+      assert(m.get("output_pairs").contains(out),
+        s"output_pairs must equal the query's output rows right after drain: $m vs $out")
+      assert(m.getOrElse("candidate_pairs", -1L) >= out,
+        s"candidate mass must dominate output pairs: $m")
+    } finally graft.core.BenchStats.setEnabled(false)
+  }
+
+  test("enable() twice registers ONE listener: observedSum masses are not doubled") {
+    graft.core.BenchStats.enable(spark)
+    graft.core.BenchStats.enable(spark) // second call must be a true no-op
+    try {
+      val df = graft.core.BenchStats.observedSum(
+        spark.range(7).toDF("x"), "bench_stats_spec_dup", "t",
+        "n" -> count(lit(1)))
+      df.write.format("noop").mode("overwrite").save()
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      val m = graft.core.BenchStats.snapshot
+        .find(_._1 == "bench_stats_spec_dup").map(_._2.toMap).getOrElse(Map.empty)
+      assert(m.get("n").contains(7L),
+        s"a doubled listener would harvest 14 into the accumulating sum: $m")
+    } finally graft.core.BenchStats.setEnabled(false)
+  }
 }

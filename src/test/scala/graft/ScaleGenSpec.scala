@@ -52,6 +52,37 @@ class ScaleGenSpec extends SparkSpec {
       k1.select("t1").distinct().count())
   }
 
+  test("provenance: fresh generation writes the chain marker; class math is exact") {
+    val chain = ScaleGen.readChain(outDir)
+    assert(chain == Seq(factor), s"marker must record the generation chain: $chain")
+    // the rotation-composition algebra the guard rests on (SCALING.md r15):
+    // direct x100 engages all 100 bijection classes; the accidental x10x10
+    // folds to 10 (Alpha2 never engages); the canonical x100 -> x10 chain
+    // keeps 100 classes with 10-way clones on top
+    assert(ScaleGen.classSet(Seq(100)).size == 100)
+    assert(ScaleGen.classSet(Seq(10, 10)).size == 10)
+    assert(ScaleGen.classSet(Seq(100, 10)).size == 100)
+    assert(ScaleGen.classSet(Nil).size == 1)
+  }
+
+  test("provenance: re-chaining from a non-x100 base refuses; --stress keeps it reachable") {
+    val d2 = tmpDir("graft_scalegen_chain").getAbsolutePath
+    // outDir is a x3 corpus — chaining from it folds bijection classes, the
+    // exact r15 accident: must refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      ScaleGen.generate(spark, outDir, d2, 2)
+    }
+    assert(e.getMessage.contains("refusing to chain"), e.getMessage)
+    assert(e.getMessage.contains("--stress"), "the message must name the escape hatch")
+    // the deliberate clone-regime path stays available by flag, and the
+    // resulting marker records the full chain so a THIRD generation still
+    // sees the truth
+    ScaleGen.generate(spark, outDir, d2, 2, stress = true)
+    assert(ScaleGen.readChain(d2) == Seq(factor, 2))
+    assert(spark.read.parquet(s"$d2/lineitem.parquet").count() ==
+      2 * spark.read.parquet(s"$outDir/lineitem.parquet").count())
+  }
+
   test("embedding isometry: copies share coordinate multisets up to sign, not raw vectors") {
     // the vector twin of the text-bijection property: rotation+negation is
     // an exact isometry (same floats, reordered/sign-flipped), so the
