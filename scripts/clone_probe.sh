@@ -27,9 +27,9 @@ ensure() { # <dir> <src> <factor>
     scripts/run_main.sh graft.ScaleGen "$src" "$dir" "$factor"
   fi
 }
-ensure "$SCALE/clone_base_sf1" /root/testdata/sf0.01 100
-ensure "$SCALE/clone_sf10"     "$SCALE/clone_base_sf1" 10
-ensure "$SCALE/sf10"           /root/testdata/sf0.1 100
+ensure "$SCALE/clone_sf1"  /root/testdata/sf0.01 100
+ensure "$SCALE/clone_sf10" "$SCALE/clone_sf1" 10
+ensure "$SCALE/sf10"       /root/testdata/sf0.1 100
 
 probe() { # <sfDir> <outJson>
   echo "[clone_probe] probing $1 -> $2"
