@@ -352,4 +352,28 @@ class CoreSpec extends AnyFunSuite {
       assert(st.sum_g == expect, s"huffman/IDCT round-trip mismatch: $wb x $hb seed=$seed")
     }
   }
+
+  test("layout-cache witness: mtime/length-preserving interior edits move the fingerprint") {
+    // the round-16 witness upgrade: first/last 4 KB PLUS 4 KB samples at
+    // len/3 and 2·len/3. Pin what the heuristic now catches (an in-place
+    // regeneration whose change sits in an interior sample, with mtime and
+    // length restored — invisible to the pre-r16 head+tail witness) and
+    // that identical bytes keep the fingerprint byte-stable.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_witness").toFile
+    try {
+      val t = new java.io.File(dir, "tbl"); t.mkdirs()
+      val f = new java.io.File(t, "data.bin")
+      val bytes = Array.tabulate[Byte](64 * 1024)(i => (i % 251).toByte)
+      java.nio.file.Files.write(f.toPath, bytes)
+      val mt = f.lastModified
+      def fp() = LayoutCache.fingerprint("spec", dir.getAbsolutePath, Seq("tbl"), "s")
+      val base = fp()
+      assert(fp() == base, "identical bytes must fingerprint identically")
+      bytes(bytes.length / 3 + 100) = (bytes(bytes.length / 3 + 100) ^ 0x5a).toByte
+      java.nio.file.Files.write(f.toPath, bytes)
+      assert(f.setLastModified(mt) && f.length == 64 * 1024)
+      assert(fp() != base,
+        "a same-length, mtime-restored interior edit must move the fingerprint")
+    } finally graft.core.LayoutCache.rmTree(dir)
+  }
 }
