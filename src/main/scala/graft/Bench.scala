@@ -175,8 +175,9 @@ object Bench {
           s"($codeFpStart -> $end); record marked -editedmidrun")
         s"$end-editedmidrun"
       } else if (staleAtStart || classesStale()) {
+        // ASCII-only: the forked JVM's stderr is not reliably UTF-8
         System.err.println("[bench] WARNING: sources newer than compiled " +
-          "classes — the running code is NOT this fingerprint; record marked -stale")
+          "classes -- the running code is NOT this fingerprint; record marked -stale")
         s"$end-stale"
       } else end
     }
