@@ -15,7 +15,7 @@ object Bench {
     * dirty-but-identical checkouts and mtime churn all map to the same
     * key, and any real runtime-code edit (committed or not) moves it.
     * ~1.5 MB hashed, sub-millisecond against a warm page cache. */
-  private def codeFingerprint(): String = {
+  private[graft] def codeFingerprint(): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def feed(f: java.io.File): Unit =
       if (f.isDirectory) {
@@ -39,24 +39,49 @@ object Bench {
     } else if (root.isFile) root.lastModified
     else 0L
 
-  /** True when the sources are NEWER than the compiled classes actually on
-    * the classpath — the fingerprint would then describe code that is NOT
-    * running (scripts/run_main.sh executes target/scala-2.13/classes with
-    * no compile step; an edit without a recompile must not blend into a
-    * clean series' median). Absent classes dir → not adjudicable → false. */
-  private def classesStale(): Boolean = {
+  /** The fingerprint build.sbt recorded at compile time (the tree the
+    * classes on the classpath were actually built from), None before the
+    * first compile under the r17 build definition. */
+  private[graft] def recordedSrcFp(): Option[String] = {
+    val f = new java.io.File("target/scala-2.13/graft-src.fp")
+    if (f.isFile)
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  /** EXACT staleness (round-16 verdict task 3): the classes are stale iff
+    * the compile-time-recorded source hash differs from `current` (the
+    * same hash recomputed now). Content-based, so `touch` and
+    * edit-then-revert no longer evict clean runs from their median series
+    * — only a REAL source difference marks "-stale". A missing record
+    * (tree compiled before the build task existed) falls back to the old
+    * mtime heuristic rather than silently reporting clean. */
+  private[graft] def staleAgainst(recorded: Option[String], current: String): Boolean =
+    recorded match {
+      case Some(fp) => fp != current
+      case None => mtimeStale()
+    }
+
+  /** Pre-r17 fallback only: sources NEWER than the compiled classes
+    * (scripts/run_main.sh executes target/scala-2.13/classes with no
+    * compile step). Absent classes dir → not adjudicable → false. */
+  private def mtimeStale(): Boolean = {
     val classes = new java.io.File("target/scala-2.13/classes")
     val newestClass = newestMtime(classes)
     newestClass > 0L && Seq("src/main", "build.sbt", "project")
       .map(p => newestMtime(new java.io.File(p))).max > newestClass
   }
 
+  private def classesStale(current: String): Boolean =
+    staleAgainst(recordedSrcFp(), current)
+
   def main(args: Array[String]): Unit = {
     // Fingerprint the code FIRST (round-16 advice): hashing at run END let a
     // mid-battery source edit stamp the record with code that never ran.
     // A second hash after the query loop detects exactly that edit.
     val codeFpStart = codeFingerprint()
-    val staleAtStart = classesStale()
+    val staleAtStart = classesStale(codeFpStart)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Spill-aware knob for big-SF side runs (driver leaves it unset →
@@ -160,9 +185,11 @@ object Bench {
     // The run-series key (see [[codeFingerprint]]), guarded two ways against
     // recording a fingerprint of code that was NOT the code running
     // (round-16 advice — the exact failure class the key exists to prevent):
-    //   - "-stale": the sources are newer than target/scala-2.13/classes,
-    //     i.e. an edit without a recompile (scripts/run_main.sh runs the
-    //     classes directly, no compile step);
+    //   - "-stale": the source hash recorded at COMPILE time
+    //     (target/scala-2.13/graft-src.fp, written by build.sbt) differs
+    //     from the hash of the tree now, i.e. a real edit without a
+    //     recompile (scripts/run_main.sh runs the classes directly, no
+    //     compile step). Content-exact: touch / edit-then-revert stay clean;
     //   - "-editedmidrun": the source tree changed between process start
     //     and the query loop's end (the running classes are whichever
     //     version sbt had loaded — neither hash describes them for sure).
@@ -174,7 +201,7 @@ object Bench {
         System.err.println(s"[bench] WARNING: src/main changed mid-run " +
           s"($codeFpStart -> $end); record marked -editedmidrun")
         s"$end-editedmidrun"
-      } else if (staleAtStart || classesStale()) {
+      } else if (staleAtStart || classesStale(end)) {
         // ASCII-only: the forked JVM's stderr is not reliably UTF-8
         System.err.println("[bench] WARNING: sources newer than compiled " +
           "classes -- the running code is NOT this fingerprint; record marked -stale")

@@ -42,7 +42,8 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line (join/asof):
   *   {"mode":…,"plain_sec":…,"bucket_write_sec":…,"bucketed_sec":…,
   *    "buckets":…,"bucketed_exchanges":…,"amortize_after_runs":…}
-  * or per-query plain/bucketed run pairs + exchange counts (tpch).
+  * or per-query plain/bucketed run pairs + exchange counts + layout_cold
+  * (tpch — warm runs skip the write via LayoutCache and report it).
   */
 object BucketBench {
   private def time[A](f: => A): (Double, A) = {
@@ -104,8 +105,13 @@ object BucketBench {
     * once; each query's residual conditions (suppkey inequality, shipdate
     * comparison, date-range/returnflag filters) ride the co-located join
     * unchanged. Queries mirror graft.queries.Analytics q21/q10 and
-    * TpchOps q4 exactly — same filters, same deterministic total orders —
-    * so the losslessness require compares collected results row-for-row. */
+    * TpchOps q4 exactly — same filters — and the losslessness require
+    * compares SORTED result canons (q4 has no ORDER BY; partition order
+    * is not semantics), with q10 gated on an exact-cents twin because its
+    * timed double-sum is legally order-sensitive in the last cent. The
+    * layout is published through [[graft.core.LayoutCache]] (join_bucketed's
+    * machinery): warm sessions skip the write and the JSON says which
+    * happened ("layout_cold"). */
   private def runTpch(spark: SparkSession, sfDir: String, buckets: Int): String = {
     val liPlain = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
       col("l_orderkey"), col("l_suppkey"), col("l_shipdate"), col("l_returnflag"),
@@ -151,47 +157,108 @@ object BucketBench {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
 
-    val queries: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
-      "q21" -> ((li, _) => q21(li)),
-      "q4" -> ((li, ord) => q4(li, ord)),
-      "q10" -> ((li, ord) => q10(li, ord)))
+    // q10's LOSSLESSNESS twin (round-16 advice): the timed query sums
+    // doubles and rounds, so summation ORDER — which legitimately differs
+    // between the plain and bucketed physical plans — can flip the last
+    // cent and reorder the top-20 boundary. The equality gate therefore
+    // runs on exact long cents (associative+commutative, order-free, and
+    // the (revenue_cents desc, c_custkey) order is total since c_custkey
+    // is unique per group), while the TIMED query stays the double/round
+    // form the r15/r16 walls were measured on.
+    def q10Cents(li: DataFrame, ord: DataFrame): DataFrame =
+      li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey")).limit(20)
 
-    def canon(df: DataFrame): Seq[String] = df.collect().map(_.toString).toSeq
+    // (timed query, losslessness query) — identical except for q10 (above)
+    val queries: Seq[(String, (DataFrame, DataFrame) => DataFrame,
+        (DataFrame, DataFrame) => DataFrame)] = Seq(
+      ("q21", (li: DataFrame, _: DataFrame) => q21(li),
+        (li: DataFrame, _: DataFrame) => q21(li)),
+      ("q4", (li: DataFrame, ord: DataFrame) => q4(li, ord),
+        (li: DataFrame, ord: DataFrame) => q4(li, ord)),
+      ("q10", (li: DataFrame, ord: DataFrame) => q10(li, ord),
+        (li: DataFrame, ord: DataFrame) => q10Cents(li, ord)))
+
+    // SORTED canon (round-16 advice): q4 ends in a groupBy with no ORDER
+    // BY, so the two physical plans can return its 5 groups in different
+    // partition orders — an order-sensitive compare would spuriously fail
+    // an expensive sf100 run over a legitimate reordering
+    def canon(df: DataFrame): Seq[String] = df.collect().map(_.toString).toSeq.sorted
 
     // plain side: one untimed warm-up then two timed runs per query (the
-    // r12 discipline — equalize page-cache state, expose run-to-run spread)
-    val plain = queries.map { case (name, q) =>
+    // r12 discipline — equalize page-cache state, expose run-to-run
+    // spread), plus one untimed losslessness-twin evaluation
+    val plain = queries.map { case (name, q, lossless) =>
       canon(q(liPlain, ordPlain))
-      val (t1, rows) = time(canon(q(liPlain, ordPlain)))
+      val (t1, _) = time(canon(q(liPlain, ordPlain)))
       val (t2, _) = time(canon(q(liPlain, ordPlain)))
-      name -> ((Seq(t1, t2), rows))
+      name -> ((Seq(t1, t2), canon(lossless(liPlain, ordPlain))))
     }
 
-    // layout pass, paid once for the whole family: repartition = the single
-    // exchange, one file per bucket so later scans are one-task-per-bucket
-    val (tWrite, _) = time {
-      liPlain.repartition(buckets, col("l_orderkey"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("bb_tpch_lineitem")
-      ordPlain.repartition(buckets, col("o_orderkey"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("bb_tpch_orders")
+    // layout pass via LayoutCache (round-16 verdict task 5): the family
+    // layout is PUBLISHED under a content fingerprint of the source trees
+    // + spec, exactly like join_bucketed's — the first session pays the
+    // write once (127.2 s at sf100, r16), every later JVM registers
+    // external bucketed tables over the published files and the
+    // 27.1 s/pass number is the default, not a harness-only result.
+    // Inside the build: repartition = the single exchange, one file per
+    // bucket, so later scans are one-task-per-bucket and Spark trusts the
+    // bucket sort order.
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (lDdl, oDdl) = (liPlain.schema.toDDL, ordPlain.schema.toDDL)
+    val fp = graft.core.LayoutCache.fingerprint("graft-bucketbench-tpch-v1", sfDir,
+      Seq("lineitem.parquet", "orders.parquet"),
+      s"buckets=$buckets;li=($lDdl)sort=l_orderkey;ord=($oDdl)sort=o_orderkey")
+    val cacheRoot = new java.io.File(
+      sys.props.getOrElse("graft.bucketLayoutRoot", "target/bucket-layout"))
+    val (tWrite, (dataDir, cold)) = time {
+      graft.core.LayoutCache.getOrBuild(cacheRoot, fp) { tmpDir =>
+        def writeOne(df: DataFrame, key: String, sub: String): Unit = {
+          val bn = s"bb_tpch_build_${sub}_$nonce"
+          df.repartition(buckets, col(key))
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(buckets, key).sortBy(key)
+            .option("path", new java.io.File(tmpDir, sub).getAbsolutePath)
+            .saveAsTable(bn)
+          spark.sql(s"DROP TABLE $bn"): Unit // external: files stay
+        }
+        writeOne(liPlain, "l_orderkey", "lineitem")
+        writeOne(ordPlain, "o_orderkey", "orders")
+      }
     }
-    val bl = spark.table("bb_tpch_lineitem"); val bo = spark.table("bb_tpch_orders")
+    def register(sub: String, ddl: String, key: String): DataFrame = {
+      val n = s"bb_tpch_${sub}_$nonce"
+      spark.sql(
+        s"""CREATE TABLE $n ($ddl) USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+           |LOCATION '${new java.io.File(dataDir, sub).getAbsolutePath}'""".stripMargin)
+      spark.table(n)
+    }
+    val bl = register("lineitem", lDdl, "l_orderkey")
+    val bo = register("orders", oDdl, "o_orderkey")
 
-    val bucketed = queries.map { case (name, q) =>
+    val bucketed = queries.map { case (name, q, lossless) =>
       canon(q(bl, bo))
-      val (t1, rows) = time(canon(q(bl, bo)))
+      val (t1, _) = time(canon(q(bl, bo)))
       // the second timed run keeps its DataFrame so the exchange count
       // reads the post-AQE plan of an actual timed execution — no third run
       val df2 = q(bl, bo)
       val (t2, _) = time(canon(df2))
-      name -> ((Seq(t1, t2), rows, exchanges(df2)))
+      name -> ((Seq(t1, t2), canon(lossless(bl, bo)), exchanges(df2)))
     }
 
-    // losslessness: identical collected results, row for row, per query
+    // losslessness: identical result multisets per query, EVERY run (warm
+    // layouts included) — exact-arithmetic twins, sorted canon
     plain.zip(bucketed).foreach { case ((n, (_, pr)), (_, (_, br, _))) =>
       require(pr == br, s"bucketed layout changed $n's result")
     }
@@ -200,7 +267,8 @@ object BucketBench {
       f""""$n":{"plain_sec":[${pt.map(t => f"$t%.1f").mkString(",")}],""" +
         f""""bucketed_sec":[${bt.map(t => f"$t%.1f").mkString(",")}],"bucketed_exchanges":$ex}"""
     }.mkString(",")
-    f"""{"mode":"tpch","buckets":$buckets,"bucket_write_sec":$tWrite%.1f,$perQ}"""
+    f"""{"mode":"tpch","buckets":$buckets,"layout_cold":$cold,""" +
+      f""""bucket_write_sec":$tWrite%.1f,$perQ}"""
   }
 
   // ---- mode join: q5's big equi-join core -----------------------------------

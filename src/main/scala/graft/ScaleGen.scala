@@ -71,6 +71,22 @@ object ScaleGen {
       for (a <- acc; b <- step) yield ((a._1 + b._1) % 10, (a._2 + b._2) % 10)
     }
 
+  /** Root under which marker-less parquet dirs are trusted as pristine
+    * base data (the driver's own testdata). Everywhere else a marker-less
+    * dir full of tables is suspect — a pre-marker chained corpus or a
+    * crashed generation — and [[generate]] refuses it without `--stress`
+    * (round-16 verdict task 1: `readChain` alone treated ANY marker-less
+    * dir as pristine, so a stale pre-r16 corpus under target/scale
+    * silently defeated the chain guard). */
+  private[graft] val TestdataRoot =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+
+  private def underTestdata(dir: String): Boolean = {
+    val d = new java.io.File(dir).getCanonicalPath
+    val root = new java.io.File(TestdataRoot).getCanonicalPath
+    d == root || d.startsWith(root + java.io.File.separator)
+  }
+
   /** Generation chain recorded in a corpus dir's marker: Nil = driver
     * testdata (no marker). */
   private[graft] def readChain(dir: String): Seq[Int] = {
@@ -148,6 +164,17 @@ object ScaleGen {
     // mass — the r15 accident. The stress flag keeps the clone regimes
     // reachable, deliberately.
     val srcChain = readChain(srcDir)
+    // A marker-less base is trustworthy ONLY under the driver testdata
+    // root: anywhere else, "no marker" means either a corpus generated
+    // before markers existed (provenance unknown — the exact stale-restore
+    // hole) or a crashed generation's half-corpus (the marker is deleted
+    // first, written last — see below). Both must refuse without --stress.
+    require(srcChain.nonEmpty || underTestdata(srcDir) || stress,
+      s"refusing to generate from marker-less base $srcDir: it is not under " +
+        s"the driver testdata root ($TestdataRoot) and carries no " +
+        s"$MarkerName, so its provenance (and bijection-class count) is " +
+        "unknown — a pre-marker chained corpus or a crashed generation. " +
+        "Pass --stress (or SPARK_GRAFT_SCALEGEN_STRESS=1) to use it anyway.")
     require(srcChain.isEmpty || srcChain == Seq(MaxFactor) || stress,
       s"refusing to chain ScaleGen from $srcDir: its marker records factors " +
         s"${srcChain.mkString("[", "x", "]")} (not a direct x$MaxFactor base) — " +
@@ -155,6 +182,13 @@ object ScaleGen {
         s"bijection classes for ${(srcChain :+ factor).product} copies. " +
         "Pass --stress (or SPARK_GRAFT_SCALEGEN_STRESS=1) to build a clone-" +
         "regime corpus on purpose.")
+    // Delete any pre-existing marker BEFORE touching tables (round-16
+    // advice): a crashed RE-generation must not leave the OLD marker
+    // beside partially-overwritten tables — the guard and clone_probe.sh
+    // would then trust a stale chain. With the delete here and the write
+    // last, a crash at any point leaves a marker-less dir, which the
+    // guard above refuses as a base.
+    new java.io.File(outDir, MarkerName).delete(): Unit
     def tbl(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
     def out(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -205,10 +239,10 @@ object ScaleGen {
       .withColumn("vec_id", shift("vec_id", vOff, k))
       .withColumn("embedding", copyVec(col("embedding"), k))), "embeddings")
 
-    // provenance marker, written LAST (a crashed generation leaves no
-    // marker — readChain then refuses the half-corpus as unparseable base
-    // data only if a stale marker survived; mode=overwrite above replaces
-    // tables, so always rewrite the marker to match)
+    // provenance marker, written LAST (paired with the delete-first above:
+    // a crash at ANY point leaves a marker-less dir, and a marker-less
+    // non-testdata dir is refused as a base by the guard — half-corpora
+    // can neither masquerade as pristine data nor carry a stale chain)
     val chain = srcChain :+ factor
     val classes = classSet(chain).size
     val marker =

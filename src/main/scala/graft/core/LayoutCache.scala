@@ -18,7 +18,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Contract (round 15 — the round-14 contract plus the advice fixes):
   *   - the fingerprint covers the source file trees (relative path, mtime,
   *     length — sorted walk) PLUS a per-file content witness (first, last,
-  *     and two length-derived interior 4 KB samples; for parquet the tail
+  *     and, for files ≥ 24 KB, two length-derived interior 4 KB samples
+  *     disjoint from head and tail; for parquet the tail
   *     spans the footer: schema, row counts, column stats), the layout
   *     spec string, and a version tag. The witness is a strong HEURISTIC,
   *     not a full-content hash: a same-length, mtime-preserved
@@ -49,9 +50,10 @@ object LayoutCache {
 
   /** SHA-256 over source trees (relative path, mtime, length — sorted walk,
     * plus a content witness per regular file: the first 4 KB, the last
-    * 4 KB, and — for files past 16 KB — 4 KB samples at len/3 and 2·len/3,
-    * so an in-place regeneration whose differences lie strictly in the
-    * middle of a big file is still caught unless it threads between four
+    * 4 KB, and — for files of 24 KB or more, where disjointness from
+    * head/tail is guaranteed — 4 KB samples at len/3 and 2·len/3, so an
+    * in-place regeneration whose differences lie strictly in the middle
+    * of a big file is still caught unless it threads between four
     * probes) + the layout spec string + a version tag; 24 hex chars is
     * plenty for a cache key that is validated structurally (marker file)
     * on use. The witness read is bounded at 16 KB/file — footer-speed for
@@ -76,8 +78,13 @@ object LayoutCache {
             val buf = new Array[Byte](math.min(4096L, len).toInt)
             raf.readFully(buf); md.update(buf)
             if (len > buf.length) {
-              // interior samples only when they don't overlap head/tail
-              if (len > 4L * buf.length) Seq(len / 3, 2 * len / 3).foreach { off =>
+              // interior samples only when disjointness from head/tail is
+              // GUARANTEED: the 2·len/3 sample ends at 2·len/3 + 4096 and
+              // the tail starts at len − 4096, so non-overlap needs
+              // len ≥ 6·4096 (the pre-r17 guard of len > 4·4096 admitted
+              // 16–24 KB files whose interior sample overlapped the tail —
+              // harmless to determinism, but the invariant was misstated)
+              if (len >= 6L * buf.length) Seq(len / 3, 2 * len / 3).foreach { off =>
                 raf.seek(off); raf.readFully(buf); md.update(buf)
               }
               raf.seek(len - buf.length)

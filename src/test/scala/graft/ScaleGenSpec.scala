@@ -83,6 +83,43 @@ class ScaleGenSpec extends SparkSpec {
       2 * spark.read.parquet(s"$outDir/lineitem.parquet").count())
   }
 
+  test("provenance: a marker-less NON-testdata base refuses; testdata root and --stress stay accepted") {
+    // the round-16 hole: readChain treated ANY marker-less dir as pristine
+    // base data, so a pre-marker chained corpus (or a crashed generation's
+    // half-corpus) under target/scale silently defeated the chain guard
+    val d3 = tmpDir("graft_scalegen_nomarker").getAbsolutePath
+    ScaleGen.generate(spark, "/root/testdata/sf0.001", d3, 1)
+    assert(new java.io.File(d3, ScaleGen.MarkerName).delete())
+    val d4 = tmpDir("graft_scalegen_nomarker_out").getAbsolutePath
+    val e = intercept[IllegalArgumentException] {
+      ScaleGen.generate(spark, d3, d4, 2)
+    }
+    assert(e.getMessage.contains("marker-less"), e.getMessage)
+    assert(e.getMessage.contains("--stress"), "the message must name the escape hatch")
+    // the escape hatch still works, and the result is marked as stress
+    ScaleGen.generate(spark, d3, d4, 2, stress = true)
+    assert(ScaleGen.readChain(d4) == Seq(2))
+    // the driver testdata root itself needs no marker (generation above
+    // already proves it; pin the predicate too)
+    assert(ScaleGen.readChain("/root/testdata/sf0.001").isEmpty)
+  }
+
+  test("provenance: a crashed generation leaves NO marker (delete-first, write-last)") {
+    // stale-marker hygiene: re-generating over an existing corpus must
+    // remove the old marker before touching tables, so a crash cannot
+    // leave the old chain beside partially-overwritten data
+    val src = tmpDir("graft_scalegen_emptysrc").getAbsolutePath // no tables
+    val out = tmpDir("graft_scalegen_crash").getAbsolutePath
+    val stale = new java.io.File(out, ScaleGen.MarkerName)
+    java.nio.file.Files.write(stale.toPath,
+      """{"factors":[100],"stress":false}""".getBytes("UTF-8"))
+    intercept[Exception] { // region.parquet missing -> read fails mid-run
+      ScaleGen.generate(spark, src, out, 2, stress = true)
+    }
+    assert(!stale.isFile,
+      "a crashed generation must not leave a (stale) provenance marker")
+  }
+
   test("embedding isometry: copies share coordinate multisets up to sign, not raw vectors") {
     // the vector twin of the text-bijection property: rotation+negation is
     // an exact isometry (same floats, reordered/sign-flipped), so the
