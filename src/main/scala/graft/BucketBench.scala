@@ -179,15 +179,16 @@ object BucketBench {
           .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("c_custkey")).limit(20)
 
-    // (timed query, losslessness query) — identical except for q10 (above)
+    // (timed query, losslessness twin) — None means the timed query IS its
+    // own twin (deterministic result), so the gate reuses the second timed
+    // run's rows instead of paying a third full evaluation (~100 s/
+    // invocation at sf100 across the plain+bucketed sides)
     val queries: Seq[(String, (DataFrame, DataFrame) => DataFrame,
-        (DataFrame, DataFrame) => DataFrame)] = Seq(
-      ("q21", (li: DataFrame, _: DataFrame) => q21(li),
-        (li: DataFrame, _: DataFrame) => q21(li)),
-      ("q4", (li: DataFrame, ord: DataFrame) => q4(li, ord),
-        (li: DataFrame, ord: DataFrame) => q4(li, ord)),
+        Option[(DataFrame, DataFrame) => DataFrame])] = Seq(
+      ("q21", (li: DataFrame, _: DataFrame) => q21(li), None),
+      ("q4", (li: DataFrame, ord: DataFrame) => q4(li, ord), None),
       ("q10", (li: DataFrame, ord: DataFrame) => q10(li, ord),
-        (li: DataFrame, ord: DataFrame) => q10Cents(li, ord)))
+        Some((li: DataFrame, ord: DataFrame) => q10Cents(li, ord))))
 
     // SORTED canon (round-16 advice): q4 ends in a groupBy with no ORDER
     // BY, so the two physical plans can return its 5 groups in different
@@ -197,12 +198,14 @@ object BucketBench {
 
     // plain side: one untimed warm-up then two timed runs per query (the
     // r12 discipline — equalize page-cache state, expose run-to-run
-    // spread), plus one untimed losslessness-twin evaluation
+    // spread); the losslessness twin is evaluated untimed only where it
+    // differs from the timed query (q10's cents form)
     val plain = queries.map { case (name, q, lossless) =>
       canon(q(liPlain, ordPlain))
       val (t1, _) = time(canon(q(liPlain, ordPlain)))
-      val (t2, _) = time(canon(q(liPlain, ordPlain)))
-      name -> ((Seq(t1, t2), canon(lossless(liPlain, ordPlain))))
+      val (t2, rows) = time(canon(q(liPlain, ordPlain)))
+      name -> ((Seq(t1, t2),
+        lossless.map(l => canon(l(liPlain, ordPlain))).getOrElse(rows)))
     }
 
     // layout pass via LayoutCache (round-16 verdict task 5): the family
@@ -253,8 +256,9 @@ object BucketBench {
       // the second timed run keeps its DataFrame so the exchange count
       // reads the post-AQE plan of an actual timed execution — no third run
       val df2 = q(bl, bo)
-      val (t2, _) = time(canon(df2))
-      name -> ((Seq(t1, t2), canon(lossless(bl, bo)), exchanges(df2)))
+      val (t2, rows) = time(canon(df2))
+      name -> ((Seq(t1, t2),
+        lossless.map(l => canon(l(bl, bo))).getOrElse(rows), exchanges(df2)))
     }
 
     // losslessness: identical result multisets per query, EVERY run (warm
