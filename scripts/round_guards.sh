@@ -35,8 +35,11 @@ scripts/clone_probe.sh "$ROUND"
 
 echo "== round_guards 3/3: q21 sf100 isolation probe"
 if [ -f "$SCALE/sf100/_GRAFT_SCALEGEN.json" ]; then
+  # APPEND, never truncate: each line carries commit + code_fp, and a
+  # same-tag re-run (e.g. a final-tree battery after a late edit) must
+  # accumulate bands, not erase the earlier ones (the r17 q21 two-band
+  # observation only survived because git had the morning rows)
   ISO="bench/${ROUND}_q21_sf100_iso.jsonl"
-  : > "$ISO"
   for i in 1 2 3; do
     OUT="/tmp/graft_q21_iso_$i.json"
     SPARK_GRAFT_SF_DIR="$SCALE/sf100" SPARK_GRAFT_CPUS=32 \

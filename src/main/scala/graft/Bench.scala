@@ -203,8 +203,9 @@ object Bench {
         s"$end-editedmidrun"
       } else if (staleAtStart || classesStale(end)) {
         // ASCII-only: the forked JVM's stderr is not reliably UTF-8
-        System.err.println("[bench] WARNING: sources newer than compiled " +
-          "classes -- the running code is NOT this fingerprint; record marked -stale")
+        System.err.println("[bench] WARNING: source tree differs from the " +
+          "one the compiled classes were built from -- the running code is " +
+          "NOT this fingerprint; record marked -stale")
         s"$end-stale"
       } else end
     }
