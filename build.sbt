@@ -49,18 +49,25 @@ Global / excludeLintKeys += showSuccess
 // this file's content to the same hash recomputed at run time. The hash
 // function below MUST stay byte-identical to graft.Bench.codeFingerprint
 // (same trees, same feed order) — BenchFingerprintSpec pins the equality.
-def graftSrcFingerprint(): String = {
+// Anchored at an explicit base dir (round-17 advice: bare relative File
+// constructors resolve against the sbt PROCESS CWD, so an sbt launched from
+// outside the repo root recorded the hash of an empty walk). The FED path
+// strings stay repo-relative — built from the seed string, not f.getPath —
+// so the hash is byte-identical to graft.Bench.codeFingerprint (and to the
+// pre-r18 value); BenchFingerprintSpec pins the equality.
+def graftSrcFingerprint(base: File): String = {
   val md = java.security.MessageDigest.getInstance("SHA-256")
-  def feed(f: File): Unit =
+  def feed(rel: String, f: File): Unit =
     if (f.isDirectory) {
       if (f.getName != "target")
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).foreach(feed)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
+          .foreach(c => feed(rel + "/" + c.getName, c))
     } else if (f.isFile) {
-      md.update((f.getPath + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update((rel + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.update(java.nio.file.Files.readAllBytes(f.toPath))
       md.update(0.toByte)
     }
-  Seq("src/main", "build.sbt", "project").foreach(p => feed(new File(p)))
+  Seq("src/main", "build.sbt", "project").foreach(p => feed(p, new File(base, p)))
   md.digest().map("%02x".format(_)).mkString.take(16)
 }
 Compile / compile := {
@@ -70,7 +77,7 @@ Compile / compile := {
   // tree — a window the mtime heuristic had too; the next compile closes
   // it, and a mid-BENCH edit is caught separately ("-editedmidrun").
   IO.write((Compile / classDirectory).value.getParentFile / "graft-src.fp",
-    graftSrcFingerprint())
+    graftSrcFingerprint(baseDirectory.value))
   analysis
 }
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

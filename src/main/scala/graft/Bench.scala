@@ -15,18 +15,27 @@ object Bench {
     * dirty-but-identical checkouts and mtime churn all map to the same
     * key, and any real runtime-code edit (committed or not) moves it.
     * ~1.5 MB hashed, sub-millisecond against a warm page cache. */
-  private[graft] def codeFingerprint(): String = {
+  private[graft] def codeFingerprint(base: java.io.File = new java.io.File(".")): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    def feed(f: java.io.File): Unit =
+    // the FED path strings are repo-relative ("src/main/scala/..."), built
+    // from the seed string — never from f.getPath — so the hash is
+    // independent of where the walk is anchored; `base` only selects which
+    // actual files are read. This is what lets build.sbt anchor at
+    // baseDirectory (round-17 advice: an sbt launched outside the repo
+    // root hashed an empty walk into graft-src.fp) while staying
+    // byte-identical to this function. The strings equal the pre-r18
+    // relative-File getPath feed, so the hash value itself is unchanged.
+    def feed(rel: String, f: java.io.File): Unit =
       if (f.isDirectory) {
         if (f.getName != "target")
-          Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).foreach(feed)
+          Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
+            .foreach(c => feed(rel + "/" + c.getName, c))
       } else if (f.isFile) {
-        md.update((f.getPath + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update((rel + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         md.update(java.nio.file.Files.readAllBytes(f.toPath))
         md.update(0.toByte)
       }
-    Seq("src/main", "build.sbt", "project").foreach(p => feed(new java.io.File(p)))
+    Seq("src/main", "build.sbt", "project").foreach(p => feed(p, new java.io.File(base, p)))
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
@@ -298,10 +307,20 @@ object Bench {
     // A custom SPARK_GRAFT_BENCH_OUT marks a side run (ScaleGen sf1/sf10
     // sweeps): those must NOT clobber the driver-facing round artifacts.
     val driverRun = !sys.env.contains("SPARK_GRAFT_BENCH_OUT")
-    // Archive the full record per round so later rounds can diff medians
-    // without regex-mining overwritten BENCH.out files.
+    // Archive the per-round per-query record — carrying the code-fp-keyed
+    // MEDIANS, the same statistic the headline quotes (round-17 verdict
+    // task 1: the pre-r18 file held final-RUN values, so its sum was
+    // 141.5 s while BENCH_r17.json said 145.2 s, and cross-round per-query
+    // regression claims diffed single-run ambient noise). Invariant:
+    // sum(queries) == value == BENCH.json's value (to its ms rounding).
+    // The final-run timings ride along under "last_run" for drill-down;
+    // the full stats/history record is BENCH.out.
+    val perQuery =
+      s"""{"metric":"per_query_median","value":$medTotal,"unit":"sec","commit":${jstr(commit)},""" +
+      s""""code_fp":${jstr(codeFp)},"median_over":${history.size},"queries":${dict(medians)},""" +
+      s""""last_run":${dict(results)},"failed":${jarr(failedQ.toSeq)},"sf":${jstr(sfDir)}}"""
     if (driverRun)
-      write(java.nio.file.Paths.get(f"bench/r$round%02d_per_query.json"), full + "\n")
+      write(java.nio.file.Paths.get(f"bench/r$round%02d_per_query.json"), perQuery + "\n")
 
     // ---- stdout: ONE short line, LAST, nothing after it --------------------
     // The driver parses the tail of the sbt log (~2000 chars). Two historical
@@ -311,8 +330,10 @@ object Bench {
     // the archive), silence logging, stop Spark, THEN print.
     val headline = medians.filter { case (n, _) => n.matches("^q\\d+_.*") }
       .map { case (n, v) => n -> ms(v) }
+    // code_fp rides on the short line too: scripts/check_docs.py keys the
+    // SCALING.md-vs-BENCH.json drift check on (fingerprint, value) pairs
     val line = s"""{"metric":"total","value":${ms(medTotal)},"unit":"sec"""" +
-      s""","queries":${dict(headline)},"median_over":${history.size}""" +
+      s""","code_fp":${jstr(codeFp)},"queries":${dict(headline)},"median_over":${history.size}""" +
       s""","n_queries":${results.size},"n_failed":${failedQ.size},"full_record":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
     // Belt and braces for the driver's tail parse: the same line also goes
     // to a FIXED file, immune to anything the log stream interleaves.

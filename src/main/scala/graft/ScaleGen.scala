@@ -187,8 +187,16 @@ object ScaleGen {
     // beside partially-overwritten tables — the guard and clone_probe.sh
     // would then trust a stale chain. With the delete here and the write
     // last, a crash at any point leaves a marker-less dir, which the
-    // guard above refuses as a base.
-    new java.io.File(outDir, MarkerName).delete(): Unit
+    // guard above refuses as a base. The delete itself must be LOUD
+    // (round-17 advice): a discarded File.delete() false (permissions,
+    // marker-is-a-directory) would let generation proceed with the old
+    // marker still in place — deleteIfExists throws on failure, and the
+    // require pins the postcondition the whole delete-first design needs.
+    val oldMarker = new java.io.File(outDir, MarkerName)
+    java.nio.file.Files.deleteIfExists(oldMarker.toPath): Unit
+    require(!oldMarker.exists,
+      s"stale ScaleGen marker at $oldMarker survived deletion — refusing to " +
+        "generate beside it (a crash would leave the OLD chain trusted)")
     def tbl(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
     def out(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")

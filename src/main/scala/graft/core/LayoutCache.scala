@@ -15,19 +15,26 @@ import java.nio.charset.StandardCharsets.UTF_8
   * published under a content fingerprint and rebuilt only when the source
   * data actually changes.
   *
-  * Contract (round 15 — the round-14 contract plus the advice fixes):
-  *   - the fingerprint covers the source file trees (relative path, mtime,
-  *     length — sorted walk) PLUS a per-file content witness (first, last,
-  *     and, for files ≥ 24 KB, two length-derived interior 4 KB samples
-  *     disjoint from head and tail; for parquet the tail
-  *     spans the footer: schema, row counts, column stats), the layout
-  *     spec string, and a version tag. The witness is a strong HEURISTIC,
-  *     not a full-content hash: a same-length, mtime-preserved
-  *     regeneration differing ONLY outside the ~16 KB sampled per file
-  *     would still fingerprint identically. In practice any parquet
-  *     rewrite moves the footer (row-group offsets, stats) and the mtime;
-  *     the marker `require` below bounds what a collision could corrupt
-  *     to a stale-data read, never a mixed layout;
+  * Contract (round 18 — the round-15 contract made content-exact):
+  *   - the fingerprint covers the source file trees (relative path and
+  *     length — sorted walk, NO mtimes: a bit-identical corpus restored
+  *     with fresh timestamps must stay warm, the same content-not-mtime
+  *     principle the r17 `-stale` fix applied to the bench series key;
+  *     before r18 a restore cost a spurious ~108 s sf100 layout rebuild)
+  *     PLUS a per-file content witness (first, last, and, for files
+  *     ≥ 24 KB, two length-derived interior 4 KB samples disjoint from
+  *     head and tail; for parquet the tail spans the footer: schema, row
+  *     counts, column stats), the layout spec string, the caller's
+  *     version tag, AND an internal walk-algorithm version — so a change
+  *     to the witness algorithm itself (which bytes are sampled, which
+  *     attrs are fed) invalidates EXPLICITLY instead of silently
+  *     orphaning published layouts. The witness is a strong HEURISTIC,
+  *     not a full-content hash: a same-length regeneration differing
+  *     ONLY outside the ~16 KB sampled per file would still fingerprint
+  *     identically. In practice any parquet rewrite moves the footer
+  *     (row-group offsets, stats); the marker `require` below bounds
+  *     what a collision could corrupt to a stale-data read, never a
+  *     mixed layout;
   *   - a COLD call builds into a private tmp dir and atomically renames it
   *     into place; `cold` in the return means THIS CALL PUBLISHED — the
   *     loser of a concurrent race deletes its tmp, reads the winner's
@@ -48,27 +55,38 @@ object LayoutCache {
     f.delete(): Unit
   }
 
-  /** SHA-256 over source trees (relative path, mtime, length — sorted walk,
-    * plus a content witness per regular file: the first 4 KB, the last
-    * 4 KB, and — for files of 24 KB or more, where disjointness from
-    * head/tail is guaranteed — 4 KB samples at len/3 and 2·len/3, so an
-    * in-place regeneration whose differences lie strictly in the middle
-    * of a big file is still caught unless it threads between four
-    * probes) + the layout spec string + a version tag; 24 hex chars is
-    * plenty for a cache key that is validated structurally (marker file)
-    * on use. The witness read is bounded at 16 KB/file — footer-speed for
-    * parquet trees of any row count. Heuristic, not a full hash: see the
-    * contract note in the class doc. */
+  /** Internal walk-algorithm version, fed into every fingerprint: when the
+    * witness algorithm changes (sampled offsets, fed attributes — e.g. the
+    * r18 mtime drop, or the r17 16 KB → 24 KB interior-sample guard),
+    * bumping THIS string is what moves the keys, so invalidation of
+    * previously published layouts is an explicit, reviewable act rather
+    * than an incidental byproduct of the edit. */
+  private val WalkVersion = "walk-v2-content-exact"
+
+  /** SHA-256 over source trees (relative path and length — sorted walk, NO
+    * mtimes: content decides warmth, so a bit-identical restore with fresh
+    * timestamps stays warm — plus a content witness per regular file: the
+    * first 4 KB, the last 4 KB, and — for files of 24 KB or more, where
+    * disjointness from head/tail is guaranteed — 4 KB samples at len/3 and
+    * 2·len/3, so an in-place regeneration whose differences lie strictly
+    * in the middle of a big file is still caught unless it threads between
+    * four probes) + the layout spec string + the caller's version tag +
+    * [[WalkVersion]]; 24 hex chars is plenty for a cache key that is
+    * validated structurally (marker file) on use. The witness read is
+    * bounded at 16 KB/file — footer-speed for parquet trees of any row
+    * count. Heuristic, not a full hash: see the contract note in the
+    * class doc. */
   def fingerprint(version: String, dir: String, tables: Seq[String], spec: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def feed(x: String): Unit = md.update((x + "\n").getBytes(UTF_8))
+    feed(WalkVersion)
     feed(version)
     feed(new File(dir).getAbsolutePath)
     feed(spec)
     tables.foreach { t =>
       val root = new File(dir, t)
       def walk(f: File): Unit = {
-        feed(s"${f.getPath.stripPrefix(root.getPath)}:${f.lastModified}:${f.length}")
+        feed(s"${f.getPath.stripPrefix(root.getPath)}:${f.length}")
         if (f.isDirectory)
           Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).foreach(walk)
         else if (f.isFile && f.length > 0) {

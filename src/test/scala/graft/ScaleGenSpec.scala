@@ -120,6 +120,23 @@ class ScaleGenSpec extends SparkSpec {
       "a crashed generation must not leave a (stale) provenance marker")
   }
 
+  test("provenance: an unremovable stale marker refuses generation LOUDLY, before any table write") {
+    // round-17 advice: File.delete()'s discarded false return let
+    // generation proceed with the old marker still in place. The failure
+    // mode needs the marker to be undeletable — a non-empty directory at
+    // the marker path makes both delete() and deleteIfExists fail, and the
+    // generation must throw BEFORE overwriting anything.
+    val out = tmpDir("graft_scalegen_baddel").getAbsolutePath
+    val stale = new java.io.File(out, ScaleGen.MarkerName)
+    assert(stale.mkdirs() && new java.io.File(stale, "occupant").createNewFile())
+    intercept[java.io.IOException] {
+      ScaleGen.generate(spark, "/root/testdata/sf0.001", out, 1)
+    }
+    assert(stale.isDirectory, "the undeletable marker is still there (loud, not silent)")
+    assert(!new java.io.File(out, "region.parquet").exists,
+      "generation must refuse before touching any table")
+  }
+
   test("embedding isometry: copies share coordinate multisets up to sign, not raw vectors") {
     // the vector twin of the text-bijection property: rotation+negation is
     // an exact isometry (same floats, reordered/sign-flipped), so the
