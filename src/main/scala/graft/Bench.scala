@@ -143,6 +143,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      // label the query's jobs (guide §1.5): event logs / the UI attribute
+      // every job, stage and task to its query by name — free at run time
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       // full materialization via the noop sink: count() lets Spark prune
       // unused projections, under-timing projection-heavy queries
@@ -158,6 +161,7 @@ object Bench {
       // accumulate and later queries in the run pay eviction + GC (measured:
       // late-alphabet queries 2-3x slower in a full run than in isolation)
       spark.catalog.clearCache()
+      spark.sparkContext.setJobDescription(null)
       name -> dt
     }
     def ms(v: Double): Double = math.rint(v * 1000) / 1000

@@ -41,14 +41,21 @@ object PageRank {
     // is NOT worth the extra edge materialization here — measured 2× slower
     // on a small graph than letting AQE handle it.
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val nodes = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node")))
+    // Materialize the caller's edge pipeline ONCE (round 18): three
+    // derivations read it (nodes, outw, e), and without the checkpoint the
+    // upstream pipeline — pagerank_nations feeds a 4-table join — executed
+    // once for the nodes checkpoint and again for e's persist (guide §2.4:
+    // don't recompute what a single pass provides). |E| is the aggregated
+    // edge list the loop persists anyway, so peak storage is unchanged.
+    val eIn = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    val nodes = eIn.select(col("src").as("node"))
+      .unionAll(eIn.select(col("dst").as("node")))
       .dropDuplicates("node")
       .localCheckpoint()
-    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val outw = eIn.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // round-invariant join side, pre-partitioned on the per-round join key,
     // materialized lazily on first use
-    val e = edges.join(outw, "src")
+    val e = eIn.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("ow"))
       .repartition(parts, col("src"))
       .persist()
@@ -73,6 +80,7 @@ object PageRank {
     e.unpersist()
     nodesP.unpersist()
     GraftBridge.checkpointedRdd(nodes).foreach(_.unpersist(blocking = false))
+    GraftBridge.checkpointedRdd(eIn).foreach(_.unpersist(blocking = false))
     r.select(col("node"), col("r").as("rank_fp"))
   }
 }

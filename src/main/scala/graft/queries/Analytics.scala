@@ -1117,11 +1117,19 @@ object Analytics {
     * immediately. Timestamps are exact integer µs. */
   val eventsFunnel: Q = (s, dir) => {
     val ev = eventsWithTs(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    // persist the funnel stages (round 18): each stage feeds BOTH the next
+    // stage's join and its own count — unpersisted, stage a executed twice
+    // and b twice, compounding to 6 event scans (12 scan nodes in the
+    // before-plan); persisted, the corpus is scanned once per stage. The
+    // cached tables are per-user aggregates (⊆ distinct users), the same
+    // bounded-intermediate class dedup_containment persists.
     val a = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_a"))
+      .persist()
     val b = ev.filter(col("event_type") === "click").join(a, Seq("user_id"))
       .filter(col("ts_us") > col("t_a"))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_b"))
+      .persist()
     val c = ev.filter(col("event_type") === "purchase").join(b, Seq("user_id"))
       .filter(col("ts_us") > col("t_b"))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_c"))
@@ -1656,23 +1664,63 @@ object Analytics {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
       |FROM pts""".stripMargin
 
-  /** Cross-table data-quality audit: FK orphans (anti joins — dims
-    * broadcast, fact-fact shuffles once), PK duplicate counts
+  /** Cross-table data-quality audit: FK orphans, PK duplicate counts
     * (count − distinct), and null-key counts, one row per check. The kind
-    * of gate a 100 TB ingest runs before promoting a snapshot. */
+    * of gate a 100 TB ingest runs before promoting a snapshot.
+    *
+    * One pass per FACT table (round 18): the original form ran every check
+    * as its own subquery — lineitem scanned 4× (three FK anti-joins + a
+    * null probe), orders 3× — and the union planned 17 independent
+    * aggregates (39 AQE stage jobs at sf0.1; at 100 TB the extra fact
+    * scans are the dominant I/O). Now all four lineitem checks ride ONE
+    * scan (three left joins against DEDUPLICATED key projections + a
+    * 4-counter aggregate) and the orders FK/null checks share a second.
+    * `count(keys-null after left join on a deduplicated key)` is exactly
+    * the anti-join count — deduplication makes the equivalence hold even
+    * if a dim carried duplicate keys (a matched row is never multiplied,
+    * an orphan contributes exactly one all-null row). The per-check rows
+    * (names, values, schema) are unchanged; guide §2.4 (remove redundant
+    * passes) + §1.2 (algorithm before config). */
   val dqAudit: Q = (s, dir) => {
     import org.apache.spark.sql.DataFrame
     def chk(name: String, n: org.apache.spark.sql.Column, df: DataFrame): DataFrame =
       df.agg(n.cast("long").as("n_bad")).select(lit(name).as("check_name"), col("n_bad"))
+    /** one scan, many counters: agg then explode to (check_name, n_bad)
+      * rows — identical to the per-check aggregates' union. */
+    def multi(df: DataFrame, checks: (String, org.apache.spark.sql.Column)*): DataFrame =
+      df.agg(checks.head._2.cast("long").as(checks.head._1),
+          checks.tail.map { case (n, c) => c.cast("long").as(n) }: _*)
+        .select(explode(array(checks.map { case (n, _) =>
+          struct(lit(n).as("check_name"), col(n).as("n_bad")) }: _*)).as("r"))
+        .select(col("r.check_name"), col("r.n_bad"))
     val cust = table(s, dir, "customer"); val ord = table(s, dir, "orders")
     val li = table(s, dir, "lineitem"); val supp = table(s, dir, "supplier")
     val part = table(s, dir, "part"); val nat = table(s, dir, "nation")
     val reg = table(s, dir, "region"); val ev = table(s, dir, "events")
+    // lineitem: 3 FK checks + the null probe in ONE scan. Key projections
+    // are deduplicated so a left-join null count ≡ the anti-join count.
+    val liChecks = multi(
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .join(ord.select(col("o_orderkey")).dropDuplicates("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(part.select(col("p_partkey")).dropDuplicates("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left")
+        .join(supp.select(col("s_suppkey")).dropDuplicates("s_suppkey"),
+          col("l_suppkey") === col("s_suppkey"), "left"),
+      "fk_lineitem_orderkey" -> count(when(col("o_orderkey").isNull, 1)),
+      "fk_lineitem_partkey" -> count(when(col("p_partkey").isNull, 1)),
+      "fk_lineitem_suppkey" -> count(when(col("s_suppkey").isNull, 1)),
+      "null_l_orderkey" -> count(when(col("l_orderkey").isNull, 1)))
+    // orders: FK orphans + null probe share a scan (PK dup stays its own
+    // clean two-agg plan — countDistinct MIXED with other aggregates plans
+    // through Expand, the approx_stats lesson)
+    val ordChecks = multi(
+      ord.select(col("o_custkey"))
+        .join(cust.select(col("c_custkey")).dropDuplicates("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left"),
+      "fk_orders_custkey" -> count(when(col("c_custkey").isNull, 1)),
+      "null_o_custkey" -> count(when(col("o_custkey").isNull, 1)))
     val fk = Seq(
-      ("fk_orders_custkey", ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")),
-      ("fk_lineitem_orderkey", li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")),
-      ("fk_lineitem_partkey", li.join(part, li("l_partkey") === part("p_partkey"), "left_anti")),
-      ("fk_lineitem_suppkey", li.join(supp, li("l_suppkey") === supp("s_suppkey"), "left_anti")),
       ("fk_customer_nationkey", cust.join(nat, cust("c_nationkey") === nat("n_nationkey"), "left_anti")),
       ("fk_supplier_nationkey", supp.join(nat, supp("s_nationkey") === nat("n_nationkey"), "left_anti")),
       ("fk_nation_regionkey", nat.join(reg, nat("n_regionkey") === reg("r_regionkey"), "left_anti"))
@@ -1684,10 +1732,9 @@ object Analytics {
       ("pk_dup_events", ev, "event_id")
     ).map { case (n, df, k) => chk(n, count(lit(1)) - countDistinct(col(k)), df) }
     val nulls = Seq(
-      ("null_l_orderkey", li, "l_orderkey"), ("null_o_custkey", ord, "o_custkey"),
       ("null_ev_user", ev, "user_id")
     ).map { case (n, df, k) => chk(n, count(when(col(k).isNull, 1)), df) }
-    (fk ++ pk ++ nulls).reduce(_ unionAll _)
+    (Seq(liChecks, ordChecks) ++ fk ++ pk ++ nulls).reduce(_ unionAll _)
   }
   val dqAuditSql = {
     val fk = Seq(

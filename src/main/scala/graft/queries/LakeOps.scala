@@ -228,14 +228,21 @@ object LakeOps {
     * Σ tf·tf·w. All integer arithmetic — bit-portable across engines. */
   val tfidfPairSim: Q = (s, dir) => {
     val docs = table(s, dir, "documents")
+    // persist the two reused stages (dedup_containment's discipline —
+    // round 18 applied it here too): tf feeds the df aggregate AND the
+    // posting join; posting feeds both pair-join sides. Without the
+    // persists the SpanHashes explode+groupBy executed once per consumer
+    // (4 shingling passes in the before-plan, 12 scans); the physical
+    // plan shows no ReusedExchange for these subtrees.
     val tf = docs
       .select(col("doc_id"), explode(graft.functions.SpanHashes(col("text"), 3)).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist()
     val w = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10))
       .crossJoin(docs.agg(count(lit(1)).as("_n")))
       .select(col("tok"), expr("_n div df").as("wt"))
-    val posting = tf.join(w, Seq("tok"))
+    val posting = tf.join(w, Seq("tok")).persist()
     val a = posting.select(col("tok"), col("doc_id").as("d1"), col("tf").as("tf1"), col("wt"))
     val b = posting.select(col("tok"), col("doc_id").as("d2"), col("tf").as("tf2"))
     a.join(b, Seq("tok"))

@@ -322,14 +322,39 @@ object SinkOps {
     *   zero rows) is pure overhead and is disabled for them. Append-mode
     *   windowed/session/stateful entries MUST keep it: their results only
     *   flush when the watermark passes the window end. */
+  /** Recursive on-disk size of a staged source dir — the scale signal the
+    * stream-partition derivation keys on. */
+  private def dirBytes(path: String): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(sz).sum
+      else f.length
+    sz(new java.io.File(path))
+  }
+
   private def withStreamParallelism[T](s: SparkSession,
-                                       needsWatermarkFlush: Boolean = true)(body: => T): T = {
+                                       needsWatermarkFlush: Boolean = true,
+                                       srcBytes: Long = -1L)(body: => T): T = {
     val keys = Seq("spark.sql.shuffle.partitions",
       "spark.sql.streaming.noDataMicroBatches.enabled",
       "spark.sql.streaming.stateStore.providerClass")
     val prev = keys.map(k => k -> s.conf.getOption(k))
-    val n = math.min(sys.props.getOrElse("graft.streamParts", "8").toInt,
-      s.conf.get(keys.head).toInt)
+    // Scale-adaptive store count (round 18, guide §2: derive partitioning
+    // from input size, not a constant): every state store pays
+    // open/commit/fsync per micro-batch, so the floor is ∝ store count
+    // while capacity needs are ∝ state volume. One store per 64 MB of
+    // staged source (min 2 for the parallel-path coverage, capped at the
+    // session's shuffle parallelism) puts bench-scale corpora (a few MB)
+    // at 2 stores — measured −28% on the 11-entry streaming subtotal vs
+    // the previous constant 8 (3-run medians, round-robin A/B) — sf10
+    // (~0.2 GB events) at ~4, and decade-scale corpora back at full
+    // session width. `graft.streamParts` stays as an explicit override;
+    // entries that stage no source (srcBytes < 0) keep the old floor.
+    val sessionParts = s.conf.get(keys.head).toInt
+    val n = math.min(sessionParts,
+      sys.props.get("graft.streamParts").map(_.toInt).getOrElse {
+        if (srcBytes >= 0) math.max(2, math.min(sessionParts, (srcBytes >> 26).toInt + 1))
+        else 8
+      })
     s.conf.set(keys.head, n.toString)
     s.conf.set(keys(1), needsWatermarkFlush.toString)
     // State-store provider knob (-Dgraft.stateStore=hdfs|rocksdb). The
@@ -350,8 +375,9 @@ object SinkOps {
     }
   }
 
-  val eventsTumblingStream: Q = (s, dir) => withStreamParallelism(s) {
+  val eventsTumblingStream: Q = (s, dir) => {
     val evDir = stagedEventsDir(s, dir)
+    withStreamParallelism(s, srcBytes = dirBytes(evDir)) {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-oracle")
     cleanupAtExit(tmp)
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
@@ -368,6 +394,7 @@ object SinkOps {
     s.read.parquet(outDir)
       .filter(col("event_type") =!= "sentinel")
       .select(unix_timestamp(col("hour")).as("hour_epoch"), col("event_type"), col("n"))
+    }
   }
   val eventsTumblingStreamSql =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
@@ -382,8 +409,9 @@ object SinkOps {
     * every window a correct batch engine would produce must appear exactly
     * once with identical integer-cents sums — gating that window ASSIGNMENT,
     * watermark FLUSH, and late-data semantics all agree with batch. */
-  val eventsHoppingStream: Q = (s, dir) => withStreamParallelism(s) {
+  val eventsHoppingStream: Q = (s, dir) => {
     val evDir = stagedEventsDir(s, dir)
+    withStreamParallelism(s, srcBytes = dirBytes(evDir)) {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-hopping")
     cleanupAtExit(tmp)
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
@@ -400,6 +428,7 @@ object SinkOps {
       .filter(col("event_type") =!= "sentinel")
       .select(unix_timestamp(col("w_start")).as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
+    }
   }
   val eventsHoppingStreamSql =
     """SELECT w_start, event_type, count(*) AS n,
@@ -417,8 +446,9 @@ object SinkOps {
     * stream's struct-ordering argmax and the batch rank window must pick
     * the SAME open/close for every bar, out-of-order arrival and all.
     * Append mode — bars flush when the watermark sentinel passes. */
-  val eventsOhlcStream: Q = (s, dir) => withStreamParallelism(s) {
+  val eventsOhlcStream: Q = (s, dir) => {
     val evDir = stagedEventsDir(s, dir)
+    withStreamParallelism(s, srcBytes = dirBytes(evDir)) {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ohlc")
     cleanupAtExit(tmp)
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
@@ -436,6 +466,7 @@ object SinkOps {
       .select(unix_timestamp(col("bar_start")).as("bar_start"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"), col("n"),
         col("volume_cents"))
+    }
   }
   val eventsOhlcStreamSql =
     """WITH e AS (SELECT event_type, (epoch_us(ts) // 1800000000) * 1800 AS bar_start,
@@ -463,8 +494,9 @@ object SinkOps {
     * the output is byte-identical — no ordering sensitivity. Emission is
     * immediate (the watermark only bounds dedup STATE, never delays
     * output), so the watermark-flush no-data batch is skipped. */
-  val eventsDedupStream: Q = (s, dir) => withStreamParallelism(s, needsWatermarkFlush = false) {
+  val eventsDedupStream: Q = (s, dir) => {
     val evDir = stagedEventsDir(s, dir, duplicate = true)
+    withStreamParallelism(s, needsWatermarkFlush = false, srcBytes = dirBytes(evDir)) {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
     cleanupAtExit(tmp)
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
@@ -480,6 +512,7 @@ object SinkOps {
     s.read.parquet(outDir)
       .filter(col("event_type") =!= "sentinel")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }
   }
   val eventsDedupStreamSql =
     "SELECT event_id, user_id, event_type, value FROM events"
@@ -493,8 +526,9 @@ object SinkOps {
     * of the inner join). The oracle is the plain batch join. Completes the
     * streaming join matrix next to the stream-stream inner + left-outer
     * entries. */
-  val eventsEnrichStream: Q = (s, dir) => withStreamParallelism(s, needsWatermarkFlush = false) {
+  val eventsEnrichStream: Q = (s, dir) => {
     val evDir = stagedEventsDir(s, dir)
+    withStreamParallelism(s, needsWatermarkFlush = false, srcBytes = dirBytes(evDir)) {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-enrich")
     cleanupAtExit(tmp)
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
@@ -513,6 +547,7 @@ object SinkOps {
       .start()
     drain(q)
     s.read.parquet(outDir)
+    }
   }
   val eventsEnrichStreamSql =
     """SELECT e.event_id, e.user_id, e.event_type, e.value,
@@ -527,9 +562,10 @@ object SinkOps {
     * identical sessions with the lag/cumsum SQL (strict `>` gap rule, same
     * as the batch twin events_sessionize). This gates arbitrary
     * user-defined streaming state, not just built-in windows/dedup. */
-  val eventsStatefulStream: Q = (s, dir) => withStreamParallelism(s) {
+  val eventsStatefulStream: Q = (s, dir) => {
     import s.implicits._
     val evDir = stagedEventsDir(s, dir)
+    withStreamParallelism(s, srcBytes = dirBytes(evDir)) {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-state")
     cleanupAtExit(tmp)
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
@@ -548,6 +584,7 @@ object SinkOps {
       .filter(col("user_id") =!= -1L) // the sentinel's own never-closed state
       .select(col("user_id"), col("start_us"), col("n_events").cast("long").as("n_events"),
         (col("value_cents") / 100.0).as("session_value"))
+    }
   }
   val eventsStatefulStreamSql =
     """SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
@@ -576,8 +613,9 @@ object SinkOps {
     * value) is genuinely exercised; the oracle is the plain batch GROUP
     * BY. Unwatermarked agg state is bounded by key cardinality (event
     * types), the right trade for a low-cardinality serving view. */
-  val streamUpsertMv: Q = (s, dir) => withStreamParallelism(s, needsWatermarkFlush = false) {
+  val streamUpsertMv: Q = (s, dir) => {
     val evDir = stagedEventsDir(s, dir)
+    withStreamParallelism(s, needsWatermarkFlush = false, srcBytes = dirBytes(evDir)) {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-mv")
     cleanupAtExit(tmp)
     val logDir = new java.io.File(tmp.toFile, "delta_log").getAbsolutePath
@@ -598,6 +636,7 @@ object SinkOps {
     graft.streaming.EventStream.materializeLatest(s.read.parquet(logDir))
       .filter(col("event_type") =!= "sentinel")
       .select(col("event_type"), col("n"), (col("cents") / 100.0).as("total"))
+    }
   }
   val streamUpsertMvSql =
     """SELECT event_type, count(*) AS n,
@@ -611,9 +650,11 @@ object SinkOps {
     * state stores at the horizon). Inner-join matches emit eagerly, so
     * availableNow drains every pair; the oracle is the equivalent batch
     * join. Raw value pass-through (no accumulation) — float-exact. */
-  val eventsCorrelateStream: Q = (s, dir) => withStreamParallelism(s, needsWatermarkFlush = false) {
+  val eventsCorrelateStream: Q = (s, dir) => {
     val clickDir = stagedEventsDir(s, dir, onlyType = Some("click"))
     val viewDir = stagedEventsDir(s, dir, onlyType = Some("view"))
+    withStreamParallelism(s, needsWatermarkFlush = false,
+        srcBytes = dirBytes(clickDir) + dirBytes(viewDir)) {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-corr")
     cleanupAtExit(tmp)
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
@@ -631,6 +672,7 @@ object SinkOps {
       .start()
     drain(q)
     s.read.parquet(outDir)
+    }
   }
   val eventsCorrelateStreamSql =
     """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
@@ -652,9 +694,11 @@ object SinkOps {
     * watermark crossing is evaluated there). The click-side sentinel
     * surfaces as an unmatched row and is filtered by id; the view-side
     * one can match nothing. Oracle: the equivalent batch LEFT JOIN. */
-  val eventsLeftJoinStream: Q = (s, dir) => withStreamParallelism(s) {
+  val eventsLeftJoinStream: Q = (s, dir) => {
     val clickDir = stagedEventsDir(s, dir, onlyType = Some("click"), sentinelUser = Some(-1L))
     val viewDir = stagedEventsDir(s, dir, onlyType = Some("view"), sentinelUser = Some(-2L))
+    withStreamParallelism(s,
+        srcBytes = dirBytes(clickDir) + dirBytes(viewDir)) {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-loj")
     cleanupAtExit(tmp)
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
@@ -673,6 +717,7 @@ object SinkOps {
       .start()
     drain(q)
     s.read.parquet(outDir).filter(col("click_id") >= 0)
+    }
   }
   val eventsLeftJoinStreamSql =
     """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
@@ -694,8 +739,9 @@ object SinkOps {
     * events_sessionize — keeps an exact-30-minute gap in the SAME session
     * (oracle rule `>`). Each entry is gated against its own rule; they are
     * NOT interchangeable on knife-edge data. */
-  val eventsSessionWindowStream: Q = (s, dir) => withStreamParallelism(s) {
+  val eventsSessionWindowStream: Q = (s, dir) => {
     val evDir = stagedEventsDir(s, dir)
+    withStreamParallelism(s, srcBytes = dirBytes(evDir)) {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sw")
     cleanupAtExit(tmp)
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
@@ -717,6 +763,7 @@ object SinkOps {
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"), col("start_us"), col("n_events"),
         (col("cents") / 100.0).as("session_value"))
+    }
   }
   val eventsSessionWindowStreamSql =
     """SELECT user_id, min(ts_us) AS start_us, count(*) AS n_events,
@@ -767,10 +814,16 @@ object SinkOps {
   val formatRoundtrip: Q = (s, dir) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft-format-rt")
     cleanupAtExit(tmp)
+    // localCheckpoint: three format writes consume this slice — without it
+    // each write re-scans lineitem (pushdown or not, 3 scans of the fact
+    // table for one selective projection; guide §2.4). The slice is
+    // filter-bounded (l_orderkey < 1000), so materializing it is O(1)
+    // at any corpus scale.
     val li = table(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
       .select(col("l_orderkey"), col("l_linenumber"),
         floor(col("l_quantity") * 100).cast("long").as("qty_cents"),
         col("l_returnflag"))
+      .localCheckpoint()
     val schema = "l_orderkey LONG, l_linenumber LONG, qty_cents LONG, l_returnflag STRING"
     val frames = Seq("orc", "csv", "json").map { fmt =>
       val path = new java.io.File(tmp.toFile, fmt).getAbsolutePath

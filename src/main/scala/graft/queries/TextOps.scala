@@ -1878,7 +1878,12 @@ object TextOps {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("n"))
     def mergeRound(d: DataFrame, i: Int): (DataFrame, DataFrame) = {
+      // 1-row eager checkpoint (round 18): `best` feeds BOTH the output row
+      // and the next corpus's broadcast replace — unmaterialized, the
+      // corpus-wide pair aggregation executed twice per round (once per
+      // consumer; guide §2.4). The checkpoint runs it once.
       val best = pairCounts(d).orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint()
       // persist the loop-carried corpus: round i+1's pair counts, this
       // round's token total, AND the next merge chain all read it — without
       // the cache the replace chain re-derives from the scan once per
