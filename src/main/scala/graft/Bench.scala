@@ -85,6 +85,35 @@ object Bench {
   private def classesStale(current: String): Boolean =
     staleAgainst(recordedSrcFp(), current)
 
+  /** True iff a runs.jsonl row belongs to the CURRENT median series: same
+    * sf dir, same round, same code fingerprint AND same core count. The
+    * cpus key is round-19 (r18 verdict task 2): the driver's 8-core
+    * scaling probe appended under the same fingerprint and round as the
+    * 32-core canonical series, so an off-width run could blend into the
+    * median. Rows with no cpus field (pre-r19) never match. */
+  private[graft] def historyRowMatches(node: com.fasterxml.jackson.databind.JsonNode,
+      sfDir: String, round: Int, codeFp: String, cpus: Int): Boolean =
+    Option(node.get("sf")).exists(_.asText() == sfDir) &&
+      Option(node.get("round")).exists(_.asInt() == round) &&
+      Option(node.get("code_fp")).exists(_.asText() == codeFp) &&
+      Option(node.get("cpus")).exists(_.asInt() == cpus)
+
+  /** Whether this run may overwrite the driver-facing artifacts
+    * (BENCH.json, bench/rNN_per_query.json). A run at FEWER cores than the
+    * record they carry is a scaling side probe (the driver's 8-core pass),
+    * not the canonical series — in round 18 that probe clobbered
+    * BENCH.json with a cpus-8 line and flipped the check_docs.py drift
+    * check to failing for the whole next round. A record with no cpus
+    * field (pre-r19) is superseded by anything; an unparseable record
+    * never blocks (the write would repair it). */
+  private[graft] def maySupersede(existingLine: Option[String], cpus: Int): Boolean =
+    existingLine.forall { line =>
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+        Option(node.get("cpus")).forall(_.asInt() <= cpus)
+      } catch { case _: Throwable => true }
+    }
+
   def main(args: Array[String]): Unit = {
     // Fingerprint the code FIRST (round-16 advice): hashing at run END let a
     // mid-battery source edit stamp the record with code that never ran.
@@ -93,6 +122,9 @@ object Bench {
     val staleAtStart = classesStale(codeFpStart)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // numeric core count for the series key + artifact guard (non-numeric
+    // local[...] specs — never used by the driver — key as -1)
+    val cpusInt = scala.util.Try(cpus.trim.toInt).getOrElse(-1)
     // Spill-aware knob for big-SF side runs (driver leaves it unset →
     // partitions = cpus, the frozen contract): at sf100 a 600M-row join
     // at 32 partitions is ~19M rows/partition — sized past executor
@@ -245,7 +277,7 @@ object Bench {
     val histPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "bench/runs.jsonl"))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val runLine = s"""{"sf":${jstr(sfDir)},"round":$round,"commit":${jstr(commit)},"code_fp":${jstr(codeFp)},"queries":${dict(results)}}"""
+    val runLine = s"""{"sf":${jstr(sfDir)},"round":$round,"commit":${jstr(commit)},"code_fp":${jstr(codeFp)},"cpus":$cpusInt,"queries":${dict(results)}}"""
     if (only.isEmpty) {
       Option(histPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(histPath,
@@ -259,15 +291,16 @@ object Bench {
           .flatMap { line =>
             try {
               val node = mapper.readTree(line)
-              // code-fingerprint filter: entries from OTHER CODE (earlier
-              // edits in the same round) never enter the median, while
-              // artifact-only commits between runs — the round-14 trap
-              // that fragmented six same-code runs across three hashes
-              // into `median_over: 1` — leave the key unchanged; pre-r15
-              // entries carry no code_fp field and are excluded
-              if (node.get("sf").asText() == sfDir &&
-                  Option(node.get("round")).exists(_.asInt() == round) &&
-                  Option(node.get("code_fp")).exists(_.asText() == codeFp)) {
+              // series filter ([[historyRowMatches]]): code fingerprint —
+              // entries from OTHER CODE (earlier edits in the same round)
+              // never enter the median, while artifact-only commits
+              // between runs (the round-14 trap that fragmented six
+              // same-code runs into `median_over: 1`) leave the key
+              // unchanged — AND core count (the round-18 trap: the
+              // driver's 8-core probe blending into the 32-core series).
+              // Pre-r15 rows carry no code_fp, pre-r19 rows no cpus —
+              // both excluded.
+              if (historyRowMatches(node, sfDir, round, codeFp, cpusInt)) {
                 val qs = node.get("queries")
                 Some(qs.properties().asScala
                   .map(e => e.getKey -> e.getValue.asDouble()).toMap)
@@ -300,7 +333,7 @@ object Bench {
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","commit":${jstr(commit)},"code_fp":${jstr(codeFp)},"queries":${dict(results)},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","commit":${jstr(commit)},"code_fp":${jstr(codeFp)},"cpus":$cpusInt,"queries":${dict(results)},""" +
       s""""median_total":$medTotal,"median_over":${history.size},""" +
       s""""medians":${dict(medians)},"stats":$statsJson,"failed":${jarr(failedQ.toSeq)},"sf":${jstr(sfDir)}}"""
     // The COMPLETE per-query record goes to a file: the driver captures only
@@ -310,7 +343,23 @@ object Bench {
     write(java.nio.file.Paths.get(outPath), full + "\n")
     // A custom SPARK_GRAFT_BENCH_OUT marks a side run (ScaleGen sf1/sf10
     // sweeps): those must NOT clobber the driver-facing round artifacts.
-    val driverRun = !sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    // Neither may a LOWER-core-count run (the driver's scaling probe) —
+    // see [[maySupersede]] — nor a SPARK_GRAFT_ONLY partial run (its
+    // totals cover a subset of the surface).
+    val driverRun = !sys.env.contains("SPARK_GRAFT_BENCH_OUT") && only.isEmpty && {
+      val bj = java.nio.file.Paths.get("BENCH.json")
+      val existing =
+        if (java.nio.file.Files.exists(bj))
+          Some(new String(java.nio.file.Files.readAllBytes(bj),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else None
+      val ok = maySupersede(existing, cpusInt)
+      if (!ok)
+        System.err.println(s"[bench] cpus=$cpusInt is below the canonical " +
+          "record's core count -- side probe; BENCH.json and the per-round " +
+          "archive left untouched")
+      ok
+    }
     // Archive the per-round per-query record — carrying the code-fp-keyed
     // MEDIANS, the same statistic the headline quotes (round-17 verdict
     // task 1: the pre-r18 file held final-RUN values, so its sum was
@@ -321,7 +370,7 @@ object Bench {
     // the full stats/history record is BENCH.out.
     val perQuery =
       s"""{"metric":"per_query_median","value":$medTotal,"unit":"sec","commit":${jstr(commit)},""" +
-      s""""code_fp":${jstr(codeFp)},"median_over":${history.size},"queries":${dict(medians)},""" +
+      s""""code_fp":${jstr(codeFp)},"cpus":$cpusInt,"median_over":${history.size},"queries":${dict(medians)},""" +
       s""""last_run":${dict(results)},"failed":${jarr(failedQ.toSeq)},"sf":${jstr(sfDir)}}"""
     if (driverRun)
       write(java.nio.file.Paths.get(f"bench/r$round%02d_per_query.json"), perQuery + "\n")
@@ -337,7 +386,7 @@ object Bench {
     // code_fp rides on the short line too: scripts/check_docs.py keys the
     // SCALING.md-vs-BENCH.json drift check on (fingerprint, value) pairs
     val line = s"""{"metric":"total","value":${ms(medTotal)},"unit":"sec"""" +
-      s""","code_fp":${jstr(codeFp)},"queries":${dict(headline)},"median_over":${history.size}""" +
+      s""","code_fp":${jstr(codeFp)},"cpus":$cpusInt,"queries":${dict(headline)},"median_over":${history.size}""" +
       s""","n_queries":${results.size},"n_failed":${failedQ.size},"full_record":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
     // Belt and braces for the driver's tail parse: the same line also goes
     // to a FIXED file, immune to anything the log stream interleaves.

@@ -42,12 +42,18 @@ object PageRank {
     // on a small graph than letting AQE handle it.
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     // Materialize the caller's edge pipeline ONCE (round 18): three
-    // derivations read it (nodes, outw, e), and without the checkpoint the
+    // derivations read it (nodes, outw, e), and without the cache the
     // upstream pipeline — pagerank_nations feeds a 4-table join — executed
     // once for the nodes checkpoint and again for e's persist (guide §2.4:
     // don't recompute what a single pass provides). |E| is the aggregated
     // edge list the loop persists anyway, so peak storage is unchanged.
-    val eIn = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    // persist, NOT localCheckpoint (round 19): a checkpoint severs lineage
+    // and lives only on executors, so at cluster scale one lost executor
+    // kills the job; persist gives the same single execution (the eager
+    // `nodes` checkpoint below fills it) while a lost block just
+    // recomputes from the source (r18 verdict task 6).
+    val eIn = edges.select(col("src"), col("dst"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = eIn.select(col("src").as("node"))
       .unionAll(eIn.select(col("dst").as("node")))
       .dropDuplicates("node")
@@ -80,7 +86,7 @@ object PageRank {
     e.unpersist()
     nodesP.unpersist()
     GraftBridge.checkpointedRdd(nodes).foreach(_.unpersist(blocking = false))
-    GraftBridge.checkpointedRdd(eIn).foreach(_.unpersist(blocking = false))
+    eIn.unpersist(blocking = false)
     r.select(col("node"), col("r").as("rank_fp"))
   }
 }

@@ -1133,9 +1133,17 @@ object Analytics {
     val c = ev.filter(col("event_type") === "purchase").join(b, Seq("user_id"))
       .filter(col("ts_us") > col("t_b"))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_c"))
-    a.agg(count(lit(1)).as("n_view"))
+    // Materialize the 1-row result, then RELEASE the stage caches (round
+    // 19, r18 advice): a library caller must not inherit a/b's cached
+    // per-user aggregates — the harness's per-query clearCache masked the
+    // leak. 1-row checkpoint = the bpe-argmax class, O(1) at any scale.
+    val out = a.agg(count(lit(1)).as("n_view"))
       .crossJoin(b.agg(count(lit(1)).as("n_view_click")))
       .crossJoin(c.agg(count(lit(1)).as("n_full_funnel")))
+      .localCheckpoint()
+    a.unpersist(blocking = false)
+    b.unpersist(blocking = false)
+    out
   }
   val eventsFunnelSql =
     """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -245,11 +245,22 @@ object LakeOps {
     val posting = tf.join(w, Seq("tok")).persist()
     val a = posting.select(col("tok"), col("doc_id").as("d1"), col("tf").as("tf1"), col("wt"))
     val b = posting.select(col("tok"), col("doc_id").as("d2"), col("tf").as("tf2"))
-    a.join(b, Seq("tok"))
+    // Materialize the (small, output-bounded) result, then RELEASE the two
+    // stage caches (round 19, r18 advice): without this, cleanup relied
+    // entirely on the harness's per-query clearCache and a library caller
+    // leaked tf+posting forever. The result checkpoint is ∝ output (rare-
+    // term-blocked pairs with score ≥ 500 — each posting list joins
+    // ≤ C(10,2) pairs, so output ∝ distinct terms, never n² docs), the
+    // same class as ConnectedComponents' materialized result.
+    val out = a.join(b, Seq("tok"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(sum(col("tf1") * col("tf2") * col("wt")).as("score"))
       .filter(col("score") >= 500)
+      .localCheckpoint()
+    tf.unpersist(blocking = false)
+    posting.unpersist(blocking = false)
+    out
   }
   val tfidfPairSimSql = {
     s"""WITH sh AS (

@@ -325,10 +325,18 @@ object SinkOps {
   /** Recursive on-disk size of a staged source dir — the scale signal the
     * stream-partition derivation keys on. */
   private def dirBytes(path: String): Long = {
-    def sz(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(sz).sum
-      else f.length
-    sz(new java.io.File(path))
+    // Files.walk does NOT follow symlinks by default, so a link cycle
+    // inside a staged dir cannot recurse forever (round-19, r18 advice —
+    // the previous hand-rolled recursion had no guard); only regular
+    // files count toward the size signal.
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val stream = java.nio.file.Files.walk(p)
+      try stream.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally stream.close()
+    }
   }
 
   private def withStreamParallelism[T](s: SparkSession,
@@ -814,16 +822,19 @@ object SinkOps {
   val formatRoundtrip: Q = (s, dir) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft-format-rt")
     cleanupAtExit(tmp)
-    // localCheckpoint: three format writes consume this slice — without it
-    // each write re-scans lineitem (pushdown or not, 3 scans of the fact
-    // table for one selective projection; guide §2.4). The slice is
-    // filter-bounded (l_orderkey < 1000), so materializing it is O(1)
-    // at any corpus scale.
+    // persist: three format writes consume this slice — without it each
+    // write re-scans lineitem (pushdown or not, 3 scans of the fact table
+    // for one selective projection; guide §2.4). The slice is
+    // filter-bounded (l_orderkey < 1000), so materializing it is O(1) at
+    // any corpus scale. persist, NOT localCheckpoint (round 19, r18
+    // verdict task 6): same single scan, but lineage survives — a lost
+    // executor recomputes the slice instead of killing the job — and the
+    // cache is released below once the last write has consumed it.
     val li = table(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
       .select(col("l_orderkey"), col("l_linenumber"),
         floor(col("l_quantity") * 100).cast("long").as("qty_cents"),
         col("l_returnflag"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = "l_orderkey LONG, l_linenumber LONG, qty_cents LONG, l_returnflag STRING"
     val frames = Seq("orc", "csv", "json").map { fmt =>
       val path = new java.io.File(tmp.toFile, fmt).getAbsolutePath
@@ -842,6 +853,10 @@ object SinkOps {
         sum(col("qty_cents")).as("qty_cents_sum"),
         countDistinct(col("l_returnflag")).as("n_flags"))
     }
+    // the three writes above ran eagerly; the returned aggregates read the
+    // written files, never `li` — release its cache here so a library
+    // caller does not leak it (the harness's clearCache masked this)
+    li.unpersist(blocking = false)
     frames.reduce(_ unionAll _)
   }
   val formatRoundtripSql =
@@ -861,7 +876,11 @@ object SinkOps {
     * shares the batch query's oracle verbatim — the equivalence claim IS
     * the gate. At scale the stream partitions by arrival file; the kernel
     * cost is per-row and embarrassingly parallel. */
-  val pipelineCurateStream: Q = (s, dir) => withStreamParallelism(s, needsWatermarkFlush = false) {
+  val pipelineCurateStream: Q = (s, dir) => {
+    // Stage the source FIRST so the stream-partition derivation can key on
+    // its size (round 19 — the one streaming entry the r18 derivation
+    // skipped; r18 verdict task 5). The staging write itself runs outside
+    // the wrapper at session parallelism (coalesce(4) bounds it anyway).
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-curate")
     cleanupAtExit(tmp)
     val src = new java.io.File(tmp.toFile, "src").getAbsolutePath
@@ -870,6 +889,7 @@ object SinkOps {
         (lit(8000) + (col("doc_id") % 4) * 4000).cast("int").as("sr"),
         (lit(64) + (col("doc_id") * 5) % 320).cast("int").as("len"))
       .coalesce(4).write.mode("overwrite").parquet(src)
+    withStreamParallelism(s, needsWatermarkFlush = false, srcBytes = dirBytes(src)) {
     val outDir = new java.io.File(tmp.toFile, "out").getAbsolutePath
     val ckDir = new java.io.File(tmp.toFile, "ck").getAbsolutePath
     val q = s.readStream.schema("doc_id LONG, sr INT, len INT").parquet(src)
@@ -888,6 +908,7 @@ object SinkOps {
     s.read.schema(
       "doc_id LONG, n_frames INT, n_voiced INT, kept_samples INT, n_out INT, rms DOUBLE")
       .parquet(outDir)
+    }
   }
   val pipelineCurateStreamSql: String = MultimodalOps.pipelineAudioCurateSql
 

@@ -44,4 +44,40 @@ class BenchFingerprintSpec extends AnyFunSuite {
       "a compile-time record differing from the current tree means the " +
         "running classes are not this fingerprint — must mark -stale")
   }
+
+  // ---- round-19: the median series and driver artifacts are keyed by core
+  // count (r18 verdict task 2 — the driver's 8-core scaling probe blended
+  // into, and clobbered, the 32-core canonical records) ---------------------
+
+  private def node(json: String) =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+
+  test("history rows from another core count (or with no cpus field) never enter the median") {
+    val base = """"sf":"/d","round":19,"code_fp":"abc","queries":{}"""
+    assert(Bench.historyRowMatches(
+      node(s"""{$base,"cpus":32}"""), "/d", 19, "abc", 32))
+    assert(!Bench.historyRowMatches(
+      node(s"""{$base,"cpus":8}"""), "/d", 19, "abc", 32),
+      "an 8-core scaling-probe row must not blend into the 32-core series")
+    assert(!Bench.historyRowMatches(node(s"{$base}"), "/d", 19, "abc", 32),
+      "pre-r19 rows carry no cpus field and must be excluded")
+    // the other key components still gate
+    assert(!Bench.historyRowMatches(
+      node(s"""{$base,"cpus":32}"""), "/d", 18, "abc", 32))
+    assert(!Bench.historyRowMatches(
+      node(s"""{$base,"cpus":32}"""), "/d", 19, "other", 32))
+  }
+
+  test("a lower-core-count run leaves BENCH.json untouched; equal/higher supersedes") {
+    val rec32 = Some("""{"metric":"total","value":227.6,"cpus":32}""")
+    assert(!Bench.maySupersede(rec32, 8),
+      "the 8-core probe must not clobber the 32-core canonical record")
+    assert(Bench.maySupersede(rec32, 32))
+    assert(Bench.maySupersede(rec32, 64))
+    // pre-r19 records (no cpus) and a missing file are superseded by anything
+    assert(Bench.maySupersede(Some("""{"metric":"total","value":313.3}"""), 8))
+    assert(Bench.maySupersede(None, 8))
+    // an unparseable record never blocks (the write repairs it)
+    assert(Bench.maySupersede(Some("not json"), 8))
+  }
 }
