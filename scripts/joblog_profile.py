@@ -9,12 +9,21 @@ query: job count, summed job wall, and the jobs' task-time sum vs wall
 (the gap is scheduling/driver floor). The profiling aid behind the
 round-19 pass-count work; reads driver-written logs only.
 """
+import io
 import json
 import sys
 from collections import defaultdict
 
 path = sys.argv[1]
 top = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+
+
+def open_log(p):
+    if p.endswith(".zstd"):
+        import zstandard
+        return io.TextIOWrapper(
+            zstandard.ZstdDecompressor().stream_reader(open(p, "rb")))
+    return open(p)
 
 job_desc = {}
 job_start = {}
@@ -24,7 +33,7 @@ stage_task_ms = defaultdict(float)
 stage_wall = {}
 per_q = defaultdict(lambda: [0, 0.0])   # desc -> [n_jobs, wall_ms]
 
-with open(path) as f:
+with open_log(path) as f:
     for line in f:
         try:
             e = json.loads(line)

@@ -44,8 +44,17 @@ object ConnectedComponents {
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = nodes.sparkSession
     val sessionParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val symFull = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // Symmetrize via explode, NOT unionAll (round 19): a self-union puts
+    // the caller's edge plan in BOTH branches of ONE stage, so the
+    // (expensive — dedup_clusters feeds the shingle-Jaccard self-join)
+    // candidate pipeline executed twice per run. explode emits both
+    // directions from a single pass — profiled 2× executor-task time on
+    // the min-label CC queries vs runStar's single consumption before the
+    // fix. Row set identical: (src,dst) ∪ (dst,src).
+    val symFull = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
     val nEdges = symFull.count() // materialize once; reused every round

@@ -55,8 +55,16 @@ object LabelPropagation {
   def run(nodes: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
     val spark = edges.sparkSession
     val sessionParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val symFull = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // explode-symmetrization, not a self-union (round 19): the union put
+    // the caller's edge pipeline (the shingle-Jaccard self-join for
+    // label_propagation) in both branches of one stage — two full
+    // executions per run. One pass emits both directions; multiplicities
+    // stay exact (each input edge contributes exactly one row per
+    // direction, as before).
+    val symFull = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     val nEdges = symFull.count() // materialize once; reused every round
     val p = boundedParts(sessionParts, nEdges)

@@ -54,8 +54,12 @@ object PageRank {
     // recomputes from the source (r18 verdict task 6).
     val eIn = edges.select(col("src"), col("dst"), col("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = eIn.select(col("src").as("node"))
-      .unionAll(eIn.select(col("dst").as("node")))
+    // explode, not a self-union (round 19): with eIn now LAZILY persisted,
+    // a union would put eIn's (expensive) upstream in both branches of this
+    // eager checkpoint's single stage — two concurrent executions racing to
+    // fill the cache. One explode pass derives both endpoints AND fills
+    // eIn's cache exactly once; everything downstream (outw, e) reads it.
+    val nodes = eIn.select(explode(array(col("src"), col("dst"))).as("node"))
       .dropDuplicates("node")
       .localCheckpoint()
     val outw = eIn.groupBy(col("src")).agg(sum(col("w")).as("ow"))

@@ -1531,8 +1531,13 @@ object Analytics {
     val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey").cast("long") * 2).as("cn"),
         (col("l_suppkey").cast("long") * 2 + 1).as("sn"))
-    val edges = base.select(col("cn").as("src"), col("sn").as("dst"))
-      .unionAll(base.select(col("sn").as("src"), col("cn").as("dst")))
+    // explode-symmetrize (round 19): the previous self-union ran the
+    // lineitem⋈orders build in both branches of one stage — the fact join
+    // executed twice per query. One pass emits both directions.
+    val edges = base.select(explode(array(
+        struct(col("cn").as("src"), col("sn").as("dst")),
+        struct(col("sn").as("src"), col("cn").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val seeds = table(s, dir, "customer")
       .filter(col("c_custkey") % 500 === 1)
       .select((col("c_custkey").cast("long") * 2).as("id"))

@@ -238,6 +238,10 @@ object LakeOps {
       .select(col("doc_id"), explode(graft.functions.SpanHashes(col("text"), 3)).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .persist()
+    // NOTE (round 19, measured): the cold tf/posting caches are filled by
+    // CONCURRENT racing AQE stages (~2× the shingling task mass). An eager
+    // count() barrier was tried and REJECTED: +18-19% wall at sf0.1 and
+    // sf1 — the duplicate fill rides idle cores, the barrier serializes.
     val w = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10))
       .crossJoin(docs.agg(count(lit(1)).as("_n")))

@@ -211,6 +211,13 @@ object TextOps {
     // per-doc counts — without it the span pipeline recomputes three times.
     // Shingles are HASHED spans ([[graft.functions.SpanHashes]]): one
     // compiled pass, 8-byte join keys, no shingle strings, no window.
+    // NOTE (round 19, measured): sh's consumers are AQE stages that
+    // materialize CONCURRENTLY, and each racing stage fills the cold cache
+    // independently — the spanhashes subtree executes ~2× in task time.
+    // An eager count() barrier was tried and REJECTED: the duplicate fill
+    // rides otherwise-idle cores (wall-neutral at sf0.1 AND sf1) while the
+    // barrier serializes the query (+12-16% wall both SFs). On a saturated
+    // cluster the trade can flip — revisit with cluster-level evidence.
     val sh = spanHashRows(s, dir, Some(400)).persist()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inv = sh.join(counts, Seq("doc_id"))
