@@ -703,18 +703,31 @@ object VectorOps {
   private def pqCentroids(emb: DataFrame): DataFrame =
     pqSubvectors(emb.filter(col("vec_id") < 16), "cid", "cv")
 
-  /** Nearest-centroid assignment per (id, subspace). Argmin is a
-    * lexicographic struct-min: partial-aggregates map-side (the ×16
-    * candidate expansion never crosses the shuffle, only one best-so-far
-    * row per (id,m) does) and needs no per-group sort — ties break on the
-    * smaller cid, same as the oracle's windowed rank. */
-  private def pqAssign(emb: DataFrame, idName: String): DataFrame =
-    pqSubvectors(emb, idName, "sv").join(broadcast(pqCentroids(emb)), Seq("m"))
-      .withColumn("dist2", pqD2(col("sv"), col("cv")))
-      .groupBy(col(idName), col("m"))
-      .agg(min(struct(col("dist2"), col("cid"))).as("best"))
-      .select(col(idName), col("m"),
-        col("best.cid").as("cid"), col("best.dist2").as("dist2"))
+  /** Nearest-centroid assignment per (id, subspace), as ONE codegen'd
+    * argmin over the driver-collected constant codebook (128 rows at any
+    * data scale — [[graft.functions.PqNearest]]). The previous broadcast
+    * join expanded every subvector ×16 codebook candidates, evaluated an
+    * interpreted `aggregate(zip_with(...))` distance per candidate, and
+    * collapsed the expansion through a SORT-based `min(struct(dist2, cid))`
+    * aggregate (struct min has no hash buffer) with its corpus-wide
+    * exchange; the expression form is a single narrow map stage. Distance
+    * accumulation order and the lowest-cid tie-break are bit-identical to
+    * the struct-min form — oracle-pinned (embed_pq / ann_pq_rerank). */
+  private def pqAssign(emb: DataFrame, idName: String): DataFrame = {
+    val codebook = pqCentroids(emb).collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2))).toSeq
+    if (codebook.isEmpty)
+      // no seed vectors (vec_id < 16 absent): same empty result the
+      // join-with-empty-broadcast formulation produced
+      pqSubvectors(emb, idName, "sv")
+        .select(col(idName), col("m"), lit(-1L).as("cid"), lit(0.0).as("dist2"))
+        .filter(lit(false))
+    else
+      pqSubvectors(emb, idName, "sv")
+        .select(col(idName), col("m"),
+          graft.functions.PqNearest.cid(col("m"), col("sv"), codebook).as("cid"),
+          graft.functions.PqNearest.d2(col("m"), col("sv"), codebook).as("dist2"))
+  }
 
   val embedPq: Q = (s, dir) => {
     val emb = table(s, dir, "embeddings")
@@ -852,17 +865,30 @@ object VectorOps {
         dims.map(i => sum(element_at(col("q"), i + 1)).as(s"s$i")): _*)
       .select(col("cid"), col("n"),
         array(dims.map(i => expr(s"s$i div n")): _*).as("c"))
-    def assign(cents: DataFrame): DataFrame = emb
-      .join(broadcast(cents.select(col("cid"), col("c"))), lit(true))
-      .withColumn("d2", aggregate(zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("best"), first(col("q")).as("q"))
-      .select(col("vec_id"), col("q"), col("best.cid").as("cid"))
-    val init = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("q").as("c"))
+    // Assignment as ONE codegen'd argmin over the driver-collected K=8
+    // centroid table ([[graft.functions.CentroidArgMin]]) — the
+    // dedup_semantic shape. The previous broadcast-join +
+    // min(struct(d2, cid)) groupBy expanded n rows ×K and shuffled the
+    // full quantized corpus back by vec_id ONCE PER LLOYD ROUND (two
+    // corpus-wide exchanges that exist only to undo the expansion); the
+    // argmin keeps both rounds narrow map stages, so the only shuffles
+    // left are the two K-group centroid aggregates (map-side combining,
+    // K rows out). Tie-break (lowest cid) and integer arithmetic are
+    // bit-identical to the min-struct form — oracle-pinned.
+    def assign(centRows: Seq[(Long, Seq[Long])]): DataFrame =
+      if (centRows.isEmpty)
+        // no seed vectors (vec_id < 8 absent): same empty result the
+        // join-with-empty-broadcast formulation produced
+        emb.select(col("vec_id"), col("q"), lit(-1L).as("cid")).filter(lit(false))
+      else emb.select(col("vec_id"), col("q"),
+        graft.functions.CentroidArgMin(col("q"), centRows).as("cid"))
+    // constant-size driver collects: K=8 rows each, at any data scale
+    def centroidRows(df: DataFrame): Seq[(Long, Seq[Long])] =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val init = centroidRows(emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("c")))
     val round1 = centroidsOf(assign(init))
-    val round2 = centroidsOf(assign(round1))
+    val round2 = centroidsOf(assign(centroidRows(round1.select(col("cid"), col("c")))))
     round2.select(col("cid"), col("n"),
       aggregate(col("c"), lit(0L), (acc, x) => acc + abs(x)).as("coord_checksum"))
   }
