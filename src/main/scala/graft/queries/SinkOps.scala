@@ -339,6 +339,16 @@ object SinkOps {
     }
   }
 
+  /** Staged-source size below which the streaming entries run the
+    * heap-backed (Spark-default) state store instead of the session's
+    * RocksDB: state for these operators is bounded by the source (join
+    * buffers, per-key aggregates), and a ≤1 GiB source's state — even at
+    * the HDFS store's retained-versions worst case — fits a multi-GB
+    * executor heap, while RocksDB's per-store native open/commit/WAL is
+    * the measured floor at that scale (see withStreamParallelism). Past
+    * it, RocksDB's disk-backed memtables are the r11 sf100 winner. */
+  private[graft] val StreamHeapStateMaxSrcBytes = 1L << 30
+
   private def withStreamParallelism[T](s: SparkSession,
                                        needsWatermarkFlush: Boolean = true,
                                        srcBytes: Long = -1L)(body: => T): T = {
@@ -365,17 +375,40 @@ object SinkOps {
       })
     s.conf.set(keys.head, n.toString)
     s.conf.set(keys(1), needsWatermarkFlush.toString)
-    // State-store provider knob (-Dgraft.stateStore=hdfs|rocksdb). The
-    // default HDFSBackedStateStoreProvider keeps every version of every
-    // store in executor HEAP — the one streaming component that cannot
-    // survive 100 TB state. RocksDB spills to local disk with bounded
-    // memtables; each entry here creates a fresh checkpoint, so the
-    // provider can be swapped per run (it is fixed per checkpoint).
-    sys.props.get("graft.stateStore").foreach {
-      case "rocksdb" => s.conf.set(keys(2),
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      case _ => () // hdfs = Spark default
+    // Scale-adaptive store PROVIDER (round 19, same both-directions shape
+    // as the store-count derivation above). The session default is RocksDB
+    // (r11): bounded memtables + local disk are the only provider shape
+    // that survives 100 TB state, and at sf100 the stateful entries
+    // measured 5× FASTER on it (heap stores die of per-version map-copy
+    // GC). But every RocksDB store pays native open/commit/WAL per
+    // micro-batch, and below [[StreamHeapStateMaxSrcBytes]] of staged
+    // source the whole state of every operator is a few MB per store —
+    // measured at sf0.1 (3-run alternating medians, this round): the
+    // heap-backed provider takes the 11-entry streaming subtotal
+    // 27.5 → 22.4 s (−19%), concentrated on the multi-store entries
+    // (session_window −39%, correlate/left_join −28%, dedup −26%;
+    // single-store entries parity). State volume for these operators is
+    // bounded by the staged source (join buffers / per-key aggregates),
+    // so srcBytes is the same scale signal the partition derivation keys
+    // on; entries staging no source (srcBytes < 0) stay on RocksDB.
+    // Explicit -Dgraft.stateStore=hdfs|rocksdb still overrides both ways.
+    val heapStore =
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    val rocksStore =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    sys.props.get("graft.stateStore") match {
+      case Some("rocksdb") => s.conf.set(keys(2), rocksStore)
+      case Some("hdfs")    => s.conf.set(keys(2), heapStore)
+      case _ =>
+        if (srcBytes >= 0 && srcBytes < StreamHeapStateMaxSrcBytes)
+          s.conf.set(keys(2), heapStore)
+        // else: session default (RocksDB) stands
     }
+    if (sys.props.get("graft.streamDebug").contains("true"))
+      // scalastyle:off println
+      println(s"[streamDebug] stores=$n srcBytes=$srcBytes " +
+        s"provider=${s.conf.get(keys(2)).split('.').last}")
+      // scalastyle:on println
     try body
     finally prev.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
