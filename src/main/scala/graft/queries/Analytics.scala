@@ -1628,17 +1628,17 @@ object Analytics {
           |    struct(least(x, y) as u, greatest(x, y) as v))))""".stripMargin)).as("p"))
       .groupBy(col("p.u").as("u"), col("p.v").as("v")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2).select(col("u"), col("v"))
-      // Materialize ONCE for the 4 consumers below (n_edges + degrees/
-      // orientation/wedge close), which would otherwise race a lazy cache
-      // and each recompute the whole expansion. persist + eager count, NOT
-      // localCheckpoint (round 19, r18 verdict task 6): |E| here is
-      // #cells × ≤C(25,2) — bounded per cell but ∝ cell count, so at
-      // decade scale it is a real table; a checkpoint severs lineage and
-      // lives only on executors (one lost executor kills the query), while
-      // a persisted block just recomputes. The count() barrier preserves
-      // the checkpoint's fill-once semantics.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // eager fill (see above)
+      // eager checkpoint: 4 consumers below (n_edges + degrees/orientation/
+      // wedge close) would otherwise race a lazy cache and each recompute
+      // the whole expansion — the ConnectedComponents materialization rule.
+      // Round 19 TRIED the lineage-keeping persist(MEMORY_AND_DISK)+count
+      // swap here (the pagerank/format_roundtrip r18-task-6 pattern) and
+      // REVERTED it on measurement: 6.8 → 10.3 s median (3-run alternating
+      // A/B, sf0.1) — the columnar InMemoryRelation build + the extra
+      // count() action cost ~1.5× where the raw-block checkpoint is
+      // one-shot. The liveness trade (severed lineage on executors) stands
+      // as a known cost, same class as the per-round iterative checkpoints.
+      .localCheckpoint(true)
     // boundedGraph: the cell cap bounds |E| ≤ #cells × C(25,2) at any data
     // scale, so the degree/orientation tables are broadcast-safe here
     edges.agg(count(lit(1)).as("n_edges"))
